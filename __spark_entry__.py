@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` / ``oracle_sql()`` merge the per-module suites under
+``aichemy_data_pipelines_spark.operators`` (see SURVEY.md §2 for the
+inventory). ``entry`` runs the flagship Q3-style query at sf0.001.
 """
 
 from __future__ import annotations
@@ -16,23 +14,51 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from aichemy_data_pipelines_spark.operators.tpch import q3_shipping_priority
+
+    return q3_shipping_priority(spark, "/root/testdata/sf0.001")
+
+
+def _suites():
+    from aichemy_data_pipelines_spark.operators import tpch
+
+    modules = [tpch]
+    try:
+        from aichemy_data_pipelines_spark.operators import timeseries
+
+        modules.append(timeseries)
+    except ImportError:
+        pass
+    try:
+        from aichemy_data_pipelines_spark.operators import dedup, similarity, textops
+
+        modules.extend([dedup, similarity, textops])
+    except ImportError:
+        pass
+    try:
+        from aichemy_data_pipelines_spark.operators import pipeline_ops
+
+        modules.append(pipeline_ops)
+    except ImportError:
+        pass
+    try:
+        from aichemy_data_pipelines_spark.operators import multimodal_ops
+
+        modules.append(multimodal_ops)
+    except ImportError:
+        pass
+    return modules
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for mod in _suites():
+        merged.update(mod.QUERIES)
+    return merged
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    merged: dict[str, str] = {}
+    for mod in _suites():
+        merged.update(mod.ORACLE)
+    return merged

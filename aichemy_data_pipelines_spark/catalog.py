@@ -1,0 +1,53 @@
+"""Parquet source catalog for the test star schema.
+
+Tables (TPC-H-ish + events/documents/embeddings) live as one parquet
+file per table under an SF directory. ``load_table`` is a thin
+``spark.read.parquet`` so Catalyst keeps full pushdown/pruning;
+``register_views`` exposes them to ``spark.sql``.
+
+Scale: parquet scans split at ``spark.sql.files.maxPartitionBytes``;
+predicate pushdown + column pruning reach the scan (asserted in
+tests/test_plans.py). On a real cluster these would be
+partitioned/bucketed table roots instead of single files — the API is
+path-based so nothing else changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic SF.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

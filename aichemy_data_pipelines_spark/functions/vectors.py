@@ -1,0 +1,74 @@
+"""Vector math over ``array<float>`` columns — pure Catalyst.
+
+Dot product / norms / cosine via ``zip_with`` + ``aggregate`` higher-
+order functions: JVM-evaluated per row, no Python, no UDF. DuckDB
+twins use ``list_dot_product`` / ``list_cosine_similarity``.
+
+Scale: per-row O(dim) JVM work inside codegen; for brute-force top-k
+the cost driver is the pair join, not this arithmetic (see
+operators/similarity.py for the LSH-bucketed scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        f"0D, (acc, v) -> acc + v)"
+    )
+
+
+def spark_norm(a: str) -> str:
+    return f"sqrt({spark_dot(a, a)})"
+
+
+def spark_cosine(a: str, b: str) -> str:
+    return f"({spark_dot(a, b)} / ({spark_norm(a)} * {spark_norm(b)}))"
+
+
+def dot(a: str, b: str, alias: str | None = None) -> Column:
+    col = F.expr(spark_dot(a, b))
+    return col.alias(alias) if alias else col
+
+
+def cosine(a: str, b: str, alias: str | None = None) -> Column:
+    col = F.expr(spark_cosine(a, b))
+    return col.alias(alias) if alias else col
+
+
+# -- Exact (oracle-comparable) variants -------------------------------
+#
+# float * float widened to double is EXACT (24+24 mantissa bits < 53),
+# so only the summation ORDER introduces engine-dependent rounding.
+# Summing in DECIMAL(38,24) is exact and order-independent; the final
+# cast to double is one deterministic rounding. Both engines therefore
+# produce bit-identical cosines.
+
+_DECV = "decimal(18,12)"
+
+
+def spark_dot_exact(a: str, b: str) -> str:
+    return (
+        f"cast(aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> cast(x as {_DECV}) * cast(y as {_DECV})), "
+        f"cast(0 as decimal(38,24)), (acc, v) -> acc + v) as double)"
+    )
+
+
+def spark_cosine_exact(a: str, b: str) -> str:
+    return (
+        f"({spark_dot_exact(a, b)} / "
+        f"(sqrt({spark_dot_exact(a, a)}) * sqrt({spark_dot_exact(b, b)})))"
+    )
+
+
+def sql_dot_exact(a_val: str, b_val: str) -> str:
+    """DuckDB aggregate fragment over zipped-unnest element columns."""
+    return (
+        f"CAST(SUM(CAST({a_val} AS DECIMAL(18,12)) * "
+        f"CAST({b_val} AS DECIMAL(18,12))) AS DOUBLE)"
+    )
