@@ -44,6 +44,18 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+        # outright. Read nanos as int64 (runtime-settable legacy conf,
+        # works on any caller-provided session) and floor-convert to a
+        # µs timestamp — the exact truncation DuckDB applies when it
+        # casts TIMESTAMP_NS to its µs TIMESTAMP, so both engines see
+        # identical instants.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(table_path(sf_dir, name))
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

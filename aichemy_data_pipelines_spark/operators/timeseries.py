@@ -1,0 +1,527 @@
+"""Time-series / window operator suite over the ``events`` table.
+
+Spark-first designs:
+* sessionization / as-of — window functions partitioned by user_id
+  (no O(n²) self-join; the shuffle key is the natural partition key);
+* range join — equi-join on user_id with the time predicate as a
+  post-join filter (Catalyst keeps it out of a cartesian);
+* tumbling/sliding windows — ``F.window`` (native, codegen) with
+  DuckDB oracles built from epoch arithmetic on the same grid.
+
+Determinism: all money-ish sums go through decimal (functions/
+money.py); all timestamps are emitted as formatted strings; every
+window ordering has an ``event_id`` tiebreak so results are unique.
+
+Reference parity: ``events_dedup_latest`` is the Spark form of the
+reference's idempotent ``already_converted`` re-discovery check
+(msconvert_dag.py:112-122) — keep exactly one (latest) row per
+logical key at any scale.
+
+Scale: every window partitions by ``user_id`` (high cardinality, even
+distribution) so state per task is bounded by one user's history; AQE
+skew-split covers pathological users. Aggregations are map-side
+partial. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.money import dec, money_sum, sum_to_double
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_SQL_TS_FMT = "%Y-%m-%d %H:%M:%S"
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window counts + exact value sums per type.
+
+    Scale: single scan; hash agg on (hour, type) — bounded keyspace,
+    map-side combine does nearly all the work.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+        .select(
+            F.date_format("w", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min (each event lands in 2).
+
+    Scale: F.window expands each row to its covering windows before
+    the agg — a 2x row inflation, far cheaper than a self-join; grid
+    arithmetic all in codegen.
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").start.alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+        .select(
+            F.date_format("w", _TS_FMT).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a >30-min silence starts a new
+    session. Classic lag → boundary flag → cumulative-sum session id.
+
+    Scale: one shuffle on user_id; per-task state is a single user's
+    ordered history. At 100 TB this is the standard streaming-or-batch
+    sessionizer; the streaming twin uses a session window with
+    watermark (streaming/watch.py).
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev_us", F.lag(F.unix_micros("ts")).over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_us").isNull()
+                | (F.unix_micros("ts") - F.col("prev_us") > F.lit(_SESSION_GAP_US))
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        F.count("*").alias("n_events"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+def events_topk_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 highest-value events per user via row_number.
+
+    Scale: one shuffle on user_id; rank truncation happens inside the
+    window operator (no global sort). For extreme k-skew, pre-
+    aggregate per (user, salt) then re-rank.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), "event_id"
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("user_id", "rk", "event_id", "value")
+    )
+
+
+def events_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the latest event per (user_id, event_type) — idempotent
+    re-processing guard, the Spark form of the reference's
+    already_converted check (msconvert_dag.py:112-122).
+
+    Scale: row_number over the logical key; the shuffle is the
+    dedup — no secondary pass.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.date_format("ts", _TS_FMT).alias("ts"),
+            "value",
+        )
+    )
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at
+    or before it.
+
+    Spark-first: instead of an inequality join (O(n·m) per user), sort
+    once per user and carry the last click forward with
+    ``last(..., ignorenulls=True)`` — linear, one shuffle, and the
+    exact plan a streaming state op would use.
+
+    Scale: partition by user_id; for a calendar-scale fact stream,
+    bucket by (user_id, day) and seed each day with the previous
+    day's tail to keep windows bounded.
+    """
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    enriched = ev.withColumn(
+        "last_click_id", F.last(click_id, ignorenulls=True).over(w)
+    ).withColumn("last_click_us", F.last(click_ts, ignorenulls=True).over(w))
+    return enriched.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        "last_click_id",
+        (F.unix_micros("ts") - F.col("last_click_us")).alias("since_click_us"),
+    )
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within 30 minutes after a purchase, per user: equi-join
+    on user_id + time-range filter.
+
+    Scale: the equi key keeps this a hash/sort-merge join; the range
+    predicate filters post-match. For dense per-user streams, add a
+    coarse time-bucket to the join key (bucket and bucket+1) to bound
+    per-key fanout.
+    """
+    ev = _events(spark, sf_dir)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+    )
+    e = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    return (
+        p.join(e, F.col("p_user") == F.col("e_user"))
+        .where(
+            (F.col("e_us") > F.col("p_us"))
+            & (F.col("e_us") <= F.col("p_us") + 30 * 60 * 1_000_000)
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "purchase_id",
+            "error_id",
+            (F.col("e_us") - F.col("p_us")).alias("gap_us"),
+        )
+    )
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily × event-type ROLLUP (day totals + grand total).
+
+    Scale: native rollup = one expand + one agg; bounded keyspace.
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    return ev.rollup("day", "event_type").agg(
+        F.count("*").alias("n_events"),
+        money_sum(dec("value"), "sum_value"),
+    )
+
+
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event_type (linear
+    interpolation), rounded to 6dp to absorb formula-order ulps.
+
+    Scale: exact percentile needs a per-group sort — fine for bounded
+    groups; the 100 TB path swaps in approx_percentile (t-digest,
+    map-side mergeable) with the same API shape.
+    """
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count("*").alias("n"),
+    )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel depth per user (each later stage
+    must strictly follow the user's first qualifying earlier stage).
+
+    Scale: three conditional aggs over one user_id shuffle (Catalyst
+    reuses the exchange); no joins between stages.
+    """
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
+        F.collect_list(
+            F.when(F.col("event_type") == "click", F.struct(us.alias("us")))
+        ).alias("clicks"),
+        F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.struct(us.alias("us")))
+        ).alias("purchases"),
+    )
+    t_click = F.expr(
+        "array_min(transform(filter(clicks, c -> c.us > t_view), c -> c.us))"
+    )
+    per_user = per_user.withColumn("t_click", t_click)
+    t_purchase = F.expr(
+        "array_min(transform(filter(purchases, p -> p.us > t_click), p -> p.us))"
+    )
+    per_user = per_user.withColumn("t_purchase", t_purchase)
+    return per_user.select(
+        "user_id",
+        (
+            F.col("t_view").isNotNull().cast("int")
+            + F.col("t_click").isNotNull().cast("int")
+            + F.col("t_purchase").isNotNull().cast("int")
+        ).alias("funnel_depth"),
+    )
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase revenue with a running cumulative total.
+
+    Determinism: the cumulative sum runs in decimal and converts per
+    row, so the running column is exact in both engines.
+
+    Scale: daily pre-agg first (tiny), then a single-partition window
+    over days — the window input is already reduced to |days| rows.
+    """
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.expr(f"sum({dec('value')})").alias("_dsum"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_purchases",
+        F.expr("cast(cast(_dsum as decimal(38,6)) as double)").alias("revenue"),
+        F.expr(
+            "cast(cast(sum(_dsum) over "
+            "(order by day rows between unbounded preceding and current row) "
+            "as decimal(38,6)) as double)"
+        ).alias("cum_revenue"),
+    )
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation (props is a JSON blob).
+
+    Scale: get_json_object is JVM-side; for hot paths at 100 TB,
+    from_json with an explicit schema once per column beats repeated
+    path extraction.
+    """
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count("k")).alias("avg_k"),
+        )
+    )
+
+
+QUERIES = {
+    "events_tumbling_window": events_tumbling_window,
+    "events_sliding_window": events_sliding_window,
+    "events_sessionize": events_sessionize,
+    "events_topk_per_user": events_topk_per_user,
+    "events_dedup_latest": events_dedup_latest,
+    "events_asof_join": events_asof_join,
+    "events_range_join": events_range_join,
+    "events_rollup": events_rollup,
+    "events_percentiles": events_percentiles,
+    "events_funnel": events_funnel,
+    "events_running_total": events_running_total,
+    "events_json_props": events_json_props,
+}
+
+_SQL_SUM_VALUE = (
+    "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
+)
+
+ORACLE = {
+    "events_tumbling_window": f"""
+        SELECT strftime(date_trunc('hour', ts), '{_SQL_TS_FMT}') AS window_start,
+               event_type, COUNT(*) AS n_events,
+               {_SQL_SUM_VALUE} AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "events_sliding_window": f"""
+        WITH expanded AS (
+            SELECT to_timestamp(floor(epoch_us(ts) / 1800000000) * 1800) AS w, value
+            FROM events
+            UNION ALL
+            SELECT to_timestamp(floor(epoch_us(ts) / 1800000000) * 1800
+                                - 1800) AS w, value
+            FROM events
+        )
+        SELECT strftime(w, '{_SQL_TS_FMT}') AS window_start,
+               COUNT(*) AS n_events,
+               {_SQL_SUM_VALUE} AS sum_value
+        FROM expanded GROUP BY 1
+    """,
+    "events_sessionize": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               strftime(MIN(ts), '{_SQL_TS_FMT}') AS session_start,
+               COUNT(*) AS n_events,
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    "events_topk_per_user": """
+        SELECT user_id, rk, event_id, value FROM (
+            SELECT user_id, event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value DESC, event_id) AS rk
+            FROM events) t
+        WHERE rk <= 3
+    """,
+    "events_dedup_latest": f"""
+        SELECT user_id, event_type, event_id,
+               strftime(ts, '{_SQL_TS_FMT}') AS ts, value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id DESC) AS rk
+              FROM events) t
+        WHERE rk = 1
+    """,
+    "events_asof_join": f"""
+        WITH ce AS (
+            SELECT *, last_value(CASE WHEN event_type = 'click' THEN event_id END
+                                 IGNORE NULLS)
+                          OVER w AS last_click_id,
+                      last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                                 IGNORE NULLS)
+                          OVER w AS last_click_us
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id AS purchase_id, user_id,
+               strftime(ts, '{_SQL_TS_FMT}') AS purchase_ts,
+               last_click_id,
+               epoch_us(ts) - last_click_us AS since_click_us
+        FROM ce WHERE event_type = 'purchase'
+    """,
+    "events_range_join": """
+        SELECT p.user_id AS user_id,
+               p.event_id AS purchase_id,
+               e.event_id AS error_id,
+               epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+        WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+          AND epoch_us(e.ts) > epoch_us(p.ts)
+          AND epoch_us(e.ts) <= epoch_us(p.ts) + 1800000000
+    """,
+    "events_rollup": f"""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, COUNT(*) AS n_events,
+               {_SQL_SUM_VALUE} AS sum_value
+        FROM events
+        GROUP BY ROLLUP(strftime(date_trunc('day', ts), '%Y-%m-%d'), event_type)
+    """,
+    "events_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "events_funnel": """
+        WITH v AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view
+            FROM events GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id,
+                   MIN(CASE WHEN e.event_type = 'click'
+                            AND epoch_us(e.ts) > v.t_view
+                            THEN epoch_us(e.ts) END) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            GROUP BY e.user_id
+        ), p AS (
+            SELECT e.user_id,
+                   MIN(CASE WHEN e.event_type = 'purchase'
+                            AND epoch_us(e.ts) > c.t_click
+                            THEN epoch_us(e.ts) END) AS t_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            GROUP BY e.user_id
+        )
+        SELECT v.user_id,
+               (CASE WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+               AS funnel_depth
+        FROM v JOIN c ON v.user_id = c.user_id
+               JOIN p ON v.user_id = p.user_id
+    """,
+    "events_running_total": """
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_purchases,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS dsum
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT day, n_purchases,
+               CAST(CAST(dsum AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(dsum) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DECIMAL(38,6)) AS DOUBLE) AS cum_revenue
+        FROM daily
+    """,
+    "events_json_props": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS DOUBLE)
+                 / COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS avg_k
+        FROM events GROUP BY event_type
+    """,
+}

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+
+Each query is executed once warm-up-free with ``collect()`` (results
+are small aggregates / top-k). Timings therefore include scan,
+shuffle, and result fetch — the whole user-visible latency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: scan-heavy (q1/q6), join-heavy (q5/q9/q18), window
+# (sessionize/topk), dedup (minhash), similarity (ann), text.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_revenue_forecast",
+    "q9_product_profit",
+    "q18_large_volume_customer",
+    "events_sessionize",
+    "events_topk_per_user",
+    "events_asof_join",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from aichemy_data_pipelines_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warm the JVM + parquet footers once with the cheapest query
+    qs["q6_revenue_forecast"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,10 +52,16 @@ def _norm(v):
     return v
 
 
+def _sort_key(row):
+    return tuple((v is None, str(type(v)), str(v)) for v in row)
+
+
 def _normalize(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     cols = [columns[i] for i in order]
-    data = sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    data = sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows), key=_sort_key
+    )
     return cols, data
 
 
