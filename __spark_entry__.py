@@ -29,12 +29,14 @@ def _suites():
         modules.append(timeseries)
     except ImportError:
         pass
-    try:
-        from aichemy_data_pipelines_spark.operators import dedup, similarity, textops
-
-        modules.extend([dedup, similarity, textops])
-    except ImportError:
-        pass
+    for name in ("dedup", "similarity", "textops"):
+        try:
+            mod = __import__(
+                f"aichemy_data_pipelines_spark.operators.{name}", fromlist=[name]
+            )
+            modules.append(mod)
+        except ImportError:
+            pass
     try:
         from aichemy_data_pipelines_spark.operators import pipeline_ops
 

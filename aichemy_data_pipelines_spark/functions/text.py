@@ -1,0 +1,54 @@
+"""Portable text primitives: tokens, shingles, stopwords.
+
+Each primitive has a Spark fragment and a DuckDB fragment producing
+identical values, so text/dedup operators can be oracle-checked
+end-to-end. Tokenization = lowercase, trim, split on whitespace —
+deliberately simple and locale-free.
+
+Scale: all expressions are per-row JVM lambdas (higher-order
+functions) inside codegen; no explode is required to build
+signatures, so the only shuffles in the dedup pipeline are the
+bucket joins.
+"""
+
+from __future__ import annotations
+
+# lowercase+trim+whitespace-split, identical in both engines
+SPARK_TOKENS = r"split(trim(lower(text)), '\\s+')"
+SQL_TOKENS = r"string_split_regex(trim(lower(text)), '\s+')"
+
+
+def spark_shingles(tokens: str, n: int) -> str:
+    """Word n-gram shingles from a token-array column (Spark)."""
+    return (
+        f"transform(sequence(0, size({tokens}) - {n}), "
+        f"i -> concat_ws(' ', slice({tokens}, i + 1, {n})))"
+    )
+
+
+def sql_shingles(tokens: str, n: int) -> str:
+    """DuckDB twin: inclusive list slice + range."""
+    return (
+        f"list_transform(range(0, len({tokens}) - {n - 1}), "
+        f"i -> array_to_string(({tokens})[i + 1:i + {n}], ' '))"
+    )
+
+
+# Small embedded stopword lists for the language-ID heuristic and the
+# quality score. Frozen: changing them changes oracle results.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "y", "en", "que", "los", "una"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "de": ("der", "die", "und", "das", "von", "ein", "mit", "zu"),
+}
+
+
+def spark_stopword_hits(tokens: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({tokens}, t -> array_contains(array({arr}), t)))"
+
+
+def sql_stopword_hits(tokens: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens}, t -> list_contains([{arr}], t)))"

@@ -52,10 +52,22 @@ _DECV = "decimal(18,12)"
 
 
 def spark_dot_exact(a: str, b: str) -> str:
+    # Two subtleties: (1) the merge lambda re-casts because Spark's
+    # decimal '+' widening would otherwise shrink the scale to 23 and
+    # break the fold type; (2) floats widen to double BEFORE the
+    # decimal cast — Spark's float→decimal goes through the float's
+    # 7-digit shortest string repr, which loses the low bits DuckDB's
+    # numeric conversion keeps.
+    # The scale-24 sum is exact; its double conversion can differ by
+    # one ulp between engines (mantissa > 2^53), so consumers must
+    # round derived quantities (e.g. cosine to 8dp). A mid-pipeline
+    # decimal rescale is NOT portable: DuckDB truncates, Spark rounds.
     return (
         f"cast(aggregate(zip_with({a}, {b}, "
-        f"(x, y) -> cast(x as {_DECV}) * cast(y as {_DECV})), "
-        f"cast(0 as decimal(38,24)), (acc, v) -> acc + v) as double)"
+        f"(x, y) -> cast(cast(x as double) as {_DECV}) "
+        f"* cast(cast(y as double) as {_DECV})), "
+        f"cast(0 as decimal(38,24)), "
+        f"(acc, v) -> cast(acc + v as decimal(38,24))) as double)"
     )
 
 
@@ -67,8 +79,13 @@ def spark_cosine_exact(a: str, b: str) -> str:
 
 
 def sql_dot_exact(a_val: str, b_val: str) -> str:
-    """DuckDB aggregate fragment over zipped-unnest element columns."""
+    """DuckDB aggregate fragment over zipped-unnest element columns.
+
+    The inner CAST TO DOUBLE mirrors Spark AND dodges DuckDB's
+    float→decimal cast, which scales in float precision and corrupts
+    digits past the 7th.
+    """
     return (
-        f"CAST(SUM(CAST({a_val} AS DECIMAL(18,12)) * "
-        f"CAST({b_val} AS DECIMAL(18,12))) AS DOUBLE)"
+        f"CAST(SUM(CAST(CAST({a_val} AS DOUBLE) AS DECIMAL(18,12)) * "
+        f"CAST(CAST({b_val} AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)"
     )

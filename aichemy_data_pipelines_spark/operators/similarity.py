@@ -1,0 +1,235 @@
+"""Similarity search over the ``embeddings`` table.
+
+Two paths, as a real vector pipeline has:
+
+* ``ann_cosine_topk`` — brute-force exact cosine top-k for a small
+  query set: broadcast the queries, scan the corpus once, rank per
+  query. The correctness baseline.
+* ``ann_lsh_topk`` — random-hyperplane LSH with multiprobe: 4
+  deterministic ±1 hyperplanes → 4-bit bucket signature → each query
+  probes its own bucket plus every Hamming-1 neighbor (5 probes) →
+  candidates = equi-join on the probe key → exact cosine re-rank.
+  The 100 TB path: the only shuffle is an equi-join on the bucket
+  key; bits scale with corpus size (recall/cost knob) and multiprobe
+  recovers the recall that extra bits cost. On this synthetic corpus
+  (nearest neighbors only at cosine ≈ 0.4, per-plane agreement
+  p ≈ 0.63) the 4-bit+multiprobe design measures ~50% recall@3 vs
+  the exact baseline (tests/test_similarity.py); tighter real-world
+  neighbors (cosine ≥ 0.9 → p ≥ 0.9) push this to ~1.
+
+Hyperplane weights are derived from md5 in PYTHON (hashlib) and
+inlined as literals into both engines' queries, so even the
+"random" projection is oracle-checkable. Dot products are
+decimal-exact (functions/vectors.py); cosines are rounded to 8dp
+before ranking so both engines rank identical values.
+
+Scale: the brute-force path is O(|Q|·N) with broadcast queries (no
+shuffle of the corpus); LSH drops it to O(|Q|·N/2^bits) expected.
+For real workloads raise bits with corpus size and add multi-probe
+(flip one bit) for recall — multiprobe is the same equi-join with an
+exploded probe list.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.vectors import spark_cosine_exact
+
+_N_QUERIES = 10  # vec_id < 10 are the query vectors
+_TOP_K = 5
+_N_PLANES = 4
+_DIM = 64
+# probe keys: own bucket + all Hamming-1 neighbors
+_PROBE_XORS = [0] + [1 << p for p in range(_N_PLANES)]
+
+
+def _plane_weights() -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign of md5("p:d") parity."""
+    planes = []
+    for p in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h, 16) % 2 == 0 else -1)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _plane_weights()
+
+
+def _spark_signature(vec: str) -> str:
+    """8-bit LSH bucket signature expression (Spark dialect)."""
+    terms = []
+    for p, weights in enumerate(_PLANES):
+        arr = ", ".join(str(w) for w in weights)
+        proj = (
+            f"cast(aggregate(zip_with({vec}, array({arr}), "
+            f"(x, w) -> cast(cast(x as double) as decimal(18,12)) "
+            f"* cast(w as decimal(2,0))), "
+            f"cast(0 as decimal(38,12)), "
+            f"(acc, v) -> cast(acc + v as decimal(38,12))) as double)"
+        )
+        terms.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
+    return " + ".join(terms)
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 vectors.
+
+    Scale: queries broadcast (tiny), corpus scanned once, per-query
+    ranking via window — no corpus shuffle at all. The per-row cost
+    is O(|Q|·dim) JVM work inside codegen.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(F.expr(spark_cosine_exact("qv", "cv")), 8))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "rk", "cand_id", "cosine")
+    )
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN top-3 with Hamming-1 multiprobe: signature
+    equi-join on the probe key, exact cosine re-rank in-bucket.
+
+    Scale: signature is a pure-map column; queries explode to 5 probe
+    keys (queries are the small side — the corpus is NOT inflated);
+    the candidate join is an equi-join on the bucket key with
+    expected fanout 5·N/2^bits. Recall asserted against the exact
+    baseline in tests/test_similarity.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "sig", F.expr(_spark_signature("embedding"))
+    )
+    probes = ", ".join(f"int(sig ^ {x})" for x in _PROBE_XORS)
+    q = (
+        e.where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.explode(F.expr(f"array({probes})")).alias("sig"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "sig"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    return (
+        F.broadcast(q)
+        .join(c, "sig")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(F.expr(spark_cosine_exact("qv", "cv")), 8))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("query_id", "rk", "cand_id", "cosine")
+    )
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+
+def _sql_cosine(alias_a: str, alias_b: str) -> str:
+    """DuckDB exact-cosine over zipped unnests, 8dp-rounded."""
+    dec = "CAST(CAST({v} AS DOUBLE) AS DECIMAL(18,12))"
+    da, db = dec.format(v="xa"), dec.format(v="xb")
+    return (
+        f"round(CAST(SUM({da} * {db}) AS DOUBLE) / "
+        f"(sqrt(CAST(SUM({da} * {da}) AS DOUBLE)) * "
+        f"sqrt(CAST(SUM({db} * {db}) AS DOUBLE))), 8)"
+    )
+
+
+def _sql_signature() -> str:
+    """DuckDB signature: zipped unnest of vector + 8 weight lists."""
+    unnests = ", ".join(
+        f"unnest({list(w)}) AS w{p}" for p, w in enumerate(_PLANES)
+    )
+    sums = ", ".join(
+        f"SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12)) "
+        f"* CAST(w{p} AS DECIMAL(2,0))) AS s{p}"
+        for p in range(_N_PLANES)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN CAST(s{p} AS DOUBLE) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(_N_PLANES)
+    )
+    return f"""
+        sigparts AS (
+            SELECT vec_id, {sums}
+            FROM (SELECT vec_id, unnest(embedding) AS x, {unnests}
+                  FROM embeddings)
+            GROUP BY vec_id
+        ), sigs AS (
+            SELECT vec_id, {bits} AS sig FROM sigparts
+        )
+    """
+
+
+ORACLE = {
+    "ann_cosine_topk": f"""
+        WITH pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   q.embedding AS qv, c.embedding AS cv
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {_N_QUERIES}
+        ), expl AS (
+            SELECT query_id, cand_id, unnest(qv) AS xa, unnest(cv) AS xb
+            FROM pairs
+        ), cos AS (
+            SELECT query_id, cand_id, {_sql_cosine('xa', 'xb')} AS cosine
+            FROM expl GROUP BY query_id, cand_id
+        )
+        SELECT query_id, rk, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rk
+            FROM cos) t
+        WHERE rk <= {_TOP_K}
+    """,
+    "ann_lsh_topk": f"""
+        WITH {_sql_signature()},
+        probes AS (
+            SELECT vec_id,
+                   unnest([{', '.join(f'xor(sig, {x})' for x in _PROBE_XORS)}])
+                     AS probe
+            FROM sigs WHERE vec_id < {_N_QUERIES}
+        ), pairs AS (
+            SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+                   q.embedding AS qv, c.embedding AS cv
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.vec_id
+            JOIN sigs sc ON sc.sig = p.probe
+            JOIN embeddings c ON c.vec_id = sc.vec_id
+            WHERE q.vec_id <> c.vec_id
+        ), expl AS (
+            SELECT query_id, cand_id, unnest(qv) AS xa, unnest(cv) AS xb
+            FROM pairs
+        ), cos AS (
+            SELECT query_id, cand_id, {_sql_cosine('xa', 'xb')} AS cosine
+            FROM expl GROUP BY query_id, cand_id
+        )
+        SELECT query_id, rk, cand_id, cosine FROM (
+            SELECT query_id, cand_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rk
+            FROM cos) t
+        WHERE rk <= 3
+    """,
+}

@@ -1,0 +1,205 @@
+"""Text-analysis suite over the ``documents`` table (LLM-training-data
+operators): token counting, quality scoring, language ID,
+fingerprinting.
+
+All per-document computation is higher-order-function expressions over
+the token array — per-row JVM work, no explode, no Python UDF, no
+shuffle at all until a final aggregate (these queries are pure map
+jobs: at 100 TB they scale linearly with zero exchange).
+
+Determinism: ratios are single FP divisions of exact integers, written
+identically in both engines; hashes are portable md5
+(functions/hashing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.text import (
+    SPARK_TOKENS,
+    SQL_TOKENS,
+    STOPWORDS,
+    spark_shingles,
+    spark_stopword_hits,
+    sql_shingles,
+    sql_stopword_hits,
+)
+
+# Same regex, two literal syntaxes: Spark SQL strings process
+# backslash escapes (need \\s in the literal); DuckDB's don't.
+_BPE_RE_SPARK = "[a-z]+|[0-9]+|[^a-z0-9\\\\s]"
+_BPE_RE_SQL = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").withColumn(
+        "tokens", F.expr(SPARK_TOKENS)
+    )
+
+
+def text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + distinct
+    token count per document.
+
+    Scale: pure map — no shuffle, columns pruned to (doc_id, text).
+    """
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.expr("array_distinct(tokens)")).alias("n_distinct_tokens"),
+        F.size(
+            F.expr(f"regexp_extract_all(trim(lower(text)), '{_BPE_RE_SPARK}', 0)")
+        ).alias("n_bpe_tokens"),
+        F.length("text").alias("len_chars"),
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score per document.
+
+    Components (all exact-integer ratios):
+    * mean token length (longer ≈ richer vocabulary),
+    * stopword ratio (too low = keyword spam, too high = filler),
+    * distinct-token ratio (repetition detector — the batch analog of
+      a dup-line filter),
+    * non-alnum char ratio (boilerplate/markup detector).
+
+    Scale: pure map; the score feeds a downstream filter predicate
+    that pushes straight onto the scan.
+    """
+    d = _docs(spark, sf_dir)
+    en_hits = spark_stopword_hits("tokens", STOPWORDS["en"])
+    d = d.select(
+        "doc_id",
+        F.col("n_chars").alias("n_chars"),
+        F.size("tokens").alias("n_tokens"),
+        F.expr(
+            "cast(size(array_distinct(tokens)) as double) / size(tokens)"
+        ).alias("distinct_ratio"),
+        F.expr(f"cast({en_hits} as double) / size(tokens)").alias("stop_ratio"),
+        F.expr(
+            "cast(length(regexp_replace(text, '[a-z0-9 ]', '')) as double) "
+            "/ length(text)"
+        ).alias("punct_ratio"),
+    )
+    return d.withColumn(
+        "quality_score",
+        F.round(
+            F.col("distinct_ratio") * 0.5
+            + F.col("stop_ratio") * 0.3
+            + (1.0 - F.col("punct_ratio")) * 0.2,
+            6,
+        ),
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID with a deterministic argmax.
+
+    (On this synthetic corpus the vocabulary is shared across the
+    ``lang`` labels, so predictions skew English — the point is the
+    operator shape: per-language evidence counts + stable tie-break.)
+
+    Scale: pure map; the per-language hit counters are k independent
+    filters over one token array.
+    """
+    d = _docs(spark, sf_dir)
+    for lang, words in STOPWORDS.items():
+        d = d.withColumn(
+            f"hits_{lang}", F.expr(spark_stopword_hits("tokens", words))
+        )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in STOPWORDS:  # insertion order = deterministic tie-break
+        pred = pred.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[F.col(f"hits_{lang}") for lang in STOPWORDS],
+        pred.alias("pred_lang"),
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: full-text md5, an order-insensitive bag
+    fingerprint (md5 of sorted distinct tokens), and a winnowing-style
+    shingle fingerprint (min md5 over word 5-grams).
+
+    Scale: pure map; fingerprints become join keys for exact /
+    near-dup passes (operators/dedup.py).
+    """
+    d = _docs(spark, sf_dir)
+    sh = spark_shingles("tokens", 5)
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.expr(
+            "md5(concat_ws(' ', array_sort(array_distinct(tokens))))"
+        ).alias("bag_md5"),
+        F.expr(f"array_min(transform({sh}, s -> md5(s)))").alias(
+            "min_shingle_md5"
+        ),
+    )
+
+
+QUERIES = {
+    "text_tokencount": text_tokencount,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+}
+
+_T = SQL_TOKENS
+
+_hits = {lang: sql_stopword_hits(_T, w) for lang, w in STOPWORDS.items()}
+_pred_cases = " ".join(
+    f"WHEN {_hits[lang]} = greatest({', '.join(_hits[x] for x in STOPWORDS)}) "
+    f"THEN '{lang}'"
+    for lang in STOPWORDS
+)
+
+ORACLE = {
+    "text_tokencount": f"""
+        SELECT doc_id,
+               len({_T}) AS n_tokens,
+               len(list_distinct({_T})) AS n_distinct_tokens,
+               len(regexp_extract_all(trim(lower(text)), '{_BPE_RE_SQL}', 0)) AS n_bpe_tokens,
+               length(text) AS len_chars
+        FROM documents
+    """,
+    "text_quality": f"""
+        SELECT doc_id, n_chars,
+               len({_T}) AS n_tokens,
+               CAST(len(list_distinct({_T})) AS DOUBLE) / len({_T}) AS distinct_ratio,
+               CAST({sql_stopword_hits(_T, STOPWORDS['en'])} AS DOUBLE)
+                 / len({_T}) AS stop_ratio,
+               CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                 / length(text) AS punct_ratio,
+               round(CAST(len(list_distinct({_T})) AS DOUBLE) / len({_T}) * 0.5
+                     + CAST({sql_stopword_hits(_T, STOPWORDS['en'])} AS DOUBLE)
+                       / len({_T}) * 0.3
+                     + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                              / length(text)) * 0.2,
+                     6) AS quality_score
+        FROM documents
+    """,
+    "text_langid": f"""
+        SELECT doc_id, lang AS labeled_lang,
+               {', '.join(f'{_hits[lang]} AS hits_{lang}' for lang in STOPWORDS)},
+               CASE WHEN greatest({', '.join(_hits[x] for x in STOPWORDS)}) = 0
+                    THEN 'und' {_pred_cases} END AS pred_lang
+        FROM documents
+    """,
+    "text_fingerprint": f"""
+        SELECT doc_id,
+               md5(text) AS text_md5,
+               md5(array_to_string(list_sort(list_distinct({_T})), ' ')) AS bag_md5,
+               list_aggregate(list_transform({sql_shingles(_T, 5)}, s -> md5(s)),
+                              'min') AS min_shingle_md5
+        FROM documents
+    """,
+}
