@@ -1,0 +1,177 @@
+"""Multimodal columns: opaque ``binary`` payloads + typed metadata,
+processed with Arrow-batched Pandas UDFs (``mapInPandas``).
+
+The design a 100 TB training-data pipeline needs:
+
+* media rides as a ``binary`` column next to typed metadata
+  (mime/width/height/n_frames) — never exploded into rows of pixels;
+* decode / feature-extract / resize / frame-sample run as
+  ``mapInPandas`` stages so bytes cross the JVM↔Python boundary in
+  Arrow record batches (one copy, vectorized), never row-at-a-time;
+* partitioning: payloads stay where they are — every stage is a pure
+  map, so the media table never shuffles; only extracted features
+  (tiny) join onward.
+
+Real decode is STUBBED: this container ships no image/audio libs, so
+``decode_features`` uses a deterministic byte-level fake (documented
+below) and ``resize_image`` raises ``NotImplementedError`` unless
+PIL is importable. The Spark-side plumbing — schema, Arrow batch
+shape, UDF signatures, partition behavior — is real and tested
+(tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from aichemy_data_pipelines_spark.catalog import load_table
+
+try:  # real decoder path, absent in this container
+    from PIL import Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("declared_w", IntegerType()),
+        StructField("declared_h", IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("lead_byte", IntegerType()),
+        StructField("byte_sum_mod", IntegerType()),
+        StructField("phash", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+_MIMES = ("image/png", "audio/wav", "video/mp4")
+
+
+def synthetic_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 32-byte fake payload per document:
+    unhex(md5(text) || md5(reverse(text))). Every value is derivable
+    in plain SQL, so even the Pandas-UDF stage downstream is
+    oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MIMES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("mime"),
+        F.unhex(F.concat(F.md5("text"), F.md5(F.reverse(F.col("text"))))).alias(
+            "payload"
+        ),
+        ((F.col("doc_id") % 4 + 1) * 64).cast("int").alias("declared_w"),
+        ((F.col("doc_id") % 3 + 1) * 64).cast("int").alias("declared_h"),
+    )
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over binary payloads via mapInPandas.
+
+    Fake decode (deterministic, no libs): n_bytes, first byte,
+    byte-sum mod 256, and a hex 'perceptual hash' = md5 of the
+    payload. With a real decoder this is where pixels would become
+    embeddings; the batch shape and schema would not change.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "lead_byte": payloads.map(lambda b: b[0]).astype("int32"),
+                    "byte_sum_mod": payloads.map(
+                        lambda b: sum(b) % 256
+                    ).astype("int32"),
+                    # md5 over the hex encoding (not raw bytes) so
+                    # SQL oracles can recompute it (DuckDB md5 takes
+                    # VARCHAR only)
+                    "phash": payloads.map(
+                        lambda b: hashlib.md5(bytes(b).hex().encode()).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
+    """Frame sampling for video payloads: treat each 4-byte block as
+    a 'frame', keep every Nth, emit (doc_id, frame_idx, frame_hash).
+    Real codecs would seek keyframes; the fan-out shape (one media
+    row → k frame rows, still map-side) is the point."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime != "video/mp4":
+                    continue
+                frames = [
+                    payload[i : i + 4] for i in range(0, len(payload), 4)
+                ]
+                for idx in range(0, len(frames), every):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_hash"].append(
+                        hashlib.md5(frames[idx]).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real image resize — requires PIL, absent in this container.
+
+    Kept as an explicit NotImplementedError (per the build mandate)
+    rather than a fake: resizing changes pixels, and faking pixels
+    would silently corrupt a real training pipeline.
+    """
+    if not HAVE_PIL:
+        raise NotImplementedError(
+            "resize_image needs PIL; container ships without image libs. "
+            "The mapInPandas harness is identical to decode_features."
+        )
+    raise NotImplementedError("real decode path not wired in this build")

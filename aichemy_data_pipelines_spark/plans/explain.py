@@ -1,0 +1,51 @@
+"""Plan-shape assertions: the scale contract, checked mechanically.
+
+Correct results with a wrong plan (cartesian product, unpruned scan,
+missed broadcast) pass value tests and then die at 100 TB — so the
+perf tests assert on ``explain("formatted")`` output directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_no_cartesian(df: DataFrame, name: str = "") -> None:
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, (
+        f"{name}: plan contains a CartesianProduct\n{plan}"
+    )
+
+
+def assert_broadcast_join(df: DataFrame, name: str = "") -> None:
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{name}: expected a broadcast join\n{plan}"
+    )
+
+
+def assert_pushed_filters(df: DataFrame, fragment: str, name: str = "") -> None:
+    """Assert a predicate reached the parquet scan (PushedFilters)."""
+    plan = formatted_plan(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and any(fragment in ln for ln in pushed), (
+        f"{name}: filter {fragment!r} not pushed to scan; "
+        f"PushedFilters lines: {pushed}\n{plan}"
+    )
+
+
+def assert_pruned_schema(df: DataFrame, max_cols: int, name: str = "") -> None:
+    """Assert the scan reads at most max_cols columns (ReadSchema)."""
+    plan = formatted_plan(df)
+    for ln in plan.splitlines():
+        if "ReadSchema" in ln and "struct<" in ln:
+            ncols = ln.split("struct<", 1)[1].count(":")
+            assert ncols <= max_cols, (
+                f"{name}: scan reads {ncols} cols (> {max_cols}): {ln}"
+            )

@@ -1,0 +1,167 @@
+"""Structured Streaming twins of the watch/convert pipeline and the
+windowed event aggregations.
+
+Reference parity (msconvert_dag.py): the DAG *polls* every 5 minutes
+and sleeps in wait_until_quiet. Streaming-native Spark replaces both:
+
+* the file source tails the watch directory incrementally with
+  exactly-once tracking in the checkpoint (no ledger anti-join needed
+  — the checkpoint IS the ledger);
+* ``maxFileAge`` / watermarks replace the quiet-wait sleep: a late or
+  still-growing file simply arrives in a later micro-batch;
+* ``Trigger.AvailableNow`` gives the batch-drain mode used in tests;
+  a production deployment runs the same code with a processing-time
+  trigger.
+
+Scale: the streaming file source scales to large directories via
+``maxFilesPerTrigger`` back-pressure; state for windowed aggs is
+bounded by the watermark horizon. Event-time sessionization with
+``session_window`` mirrors operators/timeseries.events_sessionize.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+FILE_SCHEMA = StructType(
+    [
+        StructField("path", StringType()),
+        StructField("modificationTime", TimestampType()),
+        StructField("length", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # ns (read with nanosAsLong)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_convert(
+    spark: SparkSession,
+    watch_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming convert: binaryFile stream → deterministic fake
+    conversion record per input file → parquet sink, exactly-once via
+    checkpoint. Drains what's currently in the directory
+    (AvailableNow) — rerunning converts only NEW files.
+    """
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(FILE_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .load(watch_dir)
+    )
+    converted = stream.select(
+        F.regexp_replace("path", "^file:", "").alias("path"),
+        F.col("length").alias("n_bytes_in"),
+        F.md5("content").alias("checksum"),
+        F.lit("ok").alias("status"),
+    )
+    q = (
+        converted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet streaming source over the events table (ts arrives as
+    int64 nanos — same legacy-conf handling as catalog.load_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source requires a DIRECTORY; select the events
+    # table out of the SF dir with a glob filter
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_tumbling",
+) -> None:
+    """Hourly tumbling counts per event_type with a 1-hour watermark,
+    drained with AvailableNow into an in-memory sink (tests compare
+    against the batch events_tumbling_window)."""
+    ev = load_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").start.alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    table_name: str = "stream_sessions",
+) -> None:
+    """Native event-time session windows (gap-based) — the streaming
+    twin of events_sessionize, with watermark-bounded state."""
+    ev = load_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

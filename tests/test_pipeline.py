@@ -1,0 +1,160 @@
+"""Reference-parity behavior tests for the filesystem pipeline
+(WatchConvertPipeline) on temp directories: discovery, quiet-wait,
+idempotent re-runs, attempt escalation to permanent skip, archive
+policies, failure-threshold verification."""
+
+from __future__ import annotations
+
+import gzip
+import os
+import tarfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.pipeline.batch import (
+    PipelineConfig,
+    WatchConvertPipeline,
+)
+
+
+def make_tree(root, plates):
+    """plates: {plate: {run_base: {filename: bytes}}}"""
+    for plate, runs in plates.items():
+        for base, files in runs.items():
+            d = os.path.join(root, plate, base + ".d")
+            os.makedirs(d, exist_ok=True)
+            for fn, data in files.items():
+                with open(os.path.join(d, fn), "wb") as f:
+                    f.write(data)
+
+
+@pytest.fixture
+def pipe(spark, tmp_path):
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "out")
+    arc = str(tmp_path / "arc")
+    make_tree(
+        watch,
+        {
+            "plate A": {  # reference: plate names may contain spaces
+                "run1": {"a.bin": b"alpha", "b.bin": b"beta"},
+                "run2": {"a.bin": b"gamma"},
+            },
+            "plate_B": {"run3": {"x.bin": b"delta"}},
+        },
+    )
+    cfg = PipelineConfig(
+        watch_dir=watch, output_dir=out, archive_dir=arc, quiet_seconds=0
+    )
+    return WatchConvertPipeline(spark, cfg)
+
+
+def test_discover_finds_runs(pipe):
+    runs = pipe.discover().collect()
+    assert sorted(r.base for r in runs) == ["run1", "run2", "run3"]
+    r1 = next(r for r in runs if r.base == "run1")
+    assert r1.n_files == 2 and r1.total_bytes == len(b"alpha") + len(b"beta")
+    assert r1.plate_rel == "plate A"
+
+
+def test_quiet_filter_blocks_fresh_writes(pipe):
+    runs = pipe.discover()
+    pipe.cfg.quiet_seconds = 3600  # nothing is an hour old
+    assert pipe.quiet_filter(runs).count() == 0
+    pipe.cfg.quiet_seconds = 0
+    assert pipe.quiet_filter(runs).count() == 3
+
+
+def test_convert_and_idempotent_rerun(pipe):
+    stats = pipe.run_once()
+    assert stats["succeeded"] == 3 and stats["failed"] == 0
+    out = os.path.join(
+        pipe.cfg.output_dir, "plate A", "run1-converted.mzML.gz"
+    )
+    assert os.path.exists(out)
+    content = gzip.open(out, "rb").read()
+    assert b'base="run1"' in content and b"checksum=" in content
+    # second cycle: ledger suppresses re-discovery entirely
+    stats2 = pipe.run_once()
+    assert stats2["total"] == 0
+
+
+def test_new_run_picked_up_incrementally(pipe):
+    pipe.run_once()
+    make_tree(pipe.cfg.watch_dir, {"plate A": {"run9": {"n.bin": b"new"}}})
+    stats = pipe.run_once()
+    assert stats["total"] == 1 and stats["succeeded"] == 1
+
+
+def test_failed_run_escalates_to_permanent_skip(pipe, spark):
+    # a corrupt input fails conversion (reference: msconvert rc != 0);
+    # note: an EMPTY run dir is simply invisible to the file-driven
+    # scan — discovery is file-level, like any Spark source
+    make_tree(
+        pipe.cfg.watch_dir, {"plate A": {"bad": {"x.bin": b"CORRUPT data"}}}
+    )
+    stats = pipe.run_once()  # 3 good + 1 bad: under threshold, no raise
+    assert stats["failed"] == 1 and stats["succeeded"] == 3
+    # retry cycles: only the bad run remains, so each batch is
+    # all-failed — verify raises, but attempts still accumulate
+    for _ in range(pipe.cfg.max_attempts - 1):
+        with pytest.raises(RuntimeError, match="All 1 conversions failed"):
+            pipe.run_once()
+    # after max_attempts failures the run is permanently skipped
+    stats = pipe.run_once()
+    assert stats["total"] == 0
+    led = spark.read.parquet(os.path.join(pipe.cfg.output_dir, "_ledger.parquet"))
+    bad = led.where(F.col("base") == "bad")
+    assert bad.agg(F.max("attempts")).collect()[0][0] == pipe.cfg.max_attempts
+
+
+def test_archive_policy_skip_vs_replace(pipe):
+    pipe.run_once()
+    arc = os.path.join(pipe.cfg.archive_dir, "plate_B", "run3-archive.tar.gz")
+    assert os.path.exists(arc)
+    with tarfile.open(arc) as tf:
+        assert any(m.name.endswith("x.bin") for m in tf.getmembers())
+    mtime = os.path.getmtime(arc)
+    # force re-archive of same run: clear ledger + output, policy=skip
+    os.remove(
+        os.path.join(pipe.cfg.output_dir, "plate_B", "run3-converted.mzML.gz")
+    )
+    import shutil
+
+    shutil.rmtree(os.path.join(pipe.cfg.output_dir, "_ledger.parquet"))
+    pipe.run_once()
+    assert os.path.getmtime(arc) == mtime  # skip policy kept existing
+    # replace policy rewrites
+    os.remove(
+        os.path.join(pipe.cfg.output_dir, "plate_B", "run3-converted.mzML.gz")
+    )
+    shutil.rmtree(os.path.join(pipe.cfg.output_dir, "_ledger.parquet"))
+    pipe.cfg.archive_policy = "replace"
+    time.sleep(0.05)
+    pipe.run_once()
+    assert os.path.getmtime(arc) > mtime
+
+
+def test_verify_raises_when_all_fail(pipe, spark):
+    import shutil
+
+    for plate in ("plate A", "plate_B"):
+        shutil.rmtree(os.path.join(pipe.cfg.watch_dir, plate))
+    make_tree(pipe.cfg.watch_dir, {"p": {"only_bad": {"x.bin": b"CORRUPT!"}}})
+    with pytest.raises(RuntimeError, match="All 1 conversions failed"):
+        pipe.run_once()
+
+
+def test_delete_original(pipe):
+    pipe.cfg.delete_original = True
+    pipe.run_once()
+    assert not os.path.exists(
+        os.path.join(pipe.cfg.watch_dir, "plate A", "run1.d")
+    )
+    # archive still holds the data
+    arc = os.path.join(pipe.cfg.archive_dir, "plate A", "run1-archive.tar.gz")
+    with tarfile.open(arc) as tf:
+        names = [m.name for m in tf.getmembers()]
+    assert any(n.endswith("a.bin") for n in names)

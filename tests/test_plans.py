@@ -1,0 +1,53 @@
+"""Plan-shape (scale-contract) tests: pushdown, pruning, broadcasts,
+no cartesians — over every registered query."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from aichemy_data_pipelines_spark.operators.tpch import (
+    q1_pricing_summary,
+    q3_shipping_priority,
+    q5_local_supplier_volume,
+    q6_revenue_forecast,
+)
+from aichemy_data_pipelines_spark.plans.explain import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pruned_schema,
+    assert_pushed_filters,
+)
+from tests.conftest import SF_SMOKE
+
+_QUERIES = entry_mod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES))
+def test_no_cartesian_anywhere(spark, name):
+    assert_no_cartesian(_QUERIES[name](spark, SF_SMOKE), name)
+
+
+def test_q6_filters_pushed_and_pruned(spark):
+    df = q6_revenue_forecast(spark, SF_SMOKE)
+    assert_pushed_filters(df, "l_shipdate", "q6")
+    assert_pushed_filters(df, "l_discount", "q6")
+    # q6 needs only shipdate/discount/quantity/extendedprice
+    assert_pruned_schema(df, 4, "q6")
+
+
+def test_q1_column_pruning(spark):
+    # q1 reads 7 of lineitem's 11 columns
+    assert_pruned_schema(q1_pricing_summary(spark, SF_SMOKE), 7, "q1")
+
+
+def test_dimension_joins_broadcast(spark):
+    assert_broadcast_join(q3_shipping_priority(spark, SF_SMOKE), "q3")
+    assert_broadcast_join(q5_local_supplier_volume(spark, SF_SMOKE), "q5")
+
+
+def test_segment_filter_pushed_through_join(spark):
+    # customer-side segment predicate must reach the customer scan
+    assert_pushed_filters(
+        q3_shipping_priority(spark, SF_SMOKE), "c_mktsegment", "q3"
+    )

@@ -1,0 +1,79 @@
+"""Streaming twins: exactly-once file conversion via checkpoint;
+windowed/session aggregations equal to their batch counterparts."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.operators.timeseries import (
+    events_sessionize,
+    events_tumbling_window,
+)
+from aichemy_data_pipelines_spark.streaming.watch import (
+    stream_convert,
+    stream_sessionize,
+    stream_tumbling_counts,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_stream_convert_exactly_once(spark, tmp_path):
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    (watch / "f1.bin").write_bytes(b"one")
+    (watch / "f2.bin").write_bytes(b"two")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    stream_convert(spark, str(watch), out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+    assert set(first.columns) == {"path", "n_bytes_in", "checksum", "status"}
+
+    # drain again with no new files: checkpoint suppresses reprocessing
+    stream_convert(spark, str(watch), out, ckpt)
+    assert spark.read.parquet(out).count() == 2
+
+    # a NEW file is picked up incrementally
+    (watch / "f3.bin").write_bytes(b"three")
+    stream_convert(spark, str(watch), out, ckpt)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    stream_tumbling_counts(
+        spark,
+        SF_SMOKE,
+        str(tmp_path / "ckpt"),
+        table_name="t_tumble",
+    )
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("t_tumble").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): r.n_events
+        for r in events_tumbling_window(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessionize_equals_batch(spark, tmp_path):
+    stream_sessionize(
+        spark,
+        SF_SMOKE,
+        str(tmp_path / "ckpt"),
+        table_name="t_sess",
+    )
+    got = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in spark.table("t_sess").collect()
+    )
+    want = sorted(
+        (r.user_id, r.session_start, r.n_events)
+        for r in events_sessionize(spark, SF_SMOKE)
+        .select("user_id", "session_start", "n_events")
+        .collect()
+    )
+    assert got == want
