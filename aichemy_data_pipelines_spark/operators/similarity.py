@@ -38,7 +38,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
-from aichemy_data_pipelines_spark.functions.vectors import spark_cosine_exact
+from aichemy_data_pipelines_spark.functions.vectors import (
+    spark_cosine_exact,
+    spark_dot_exact,
+)
 
 _N_QUERIES = 10  # vec_id < 10 are the query vectors
 _TOP_K = 5
@@ -86,16 +89,28 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking via window — no corpus shuffle at all. The per-row cost
     is O(|Q|·dim) JVM work inside codegen.
     """
-    e = load_table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
     )
-    c = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    # norms once per VECTOR, not per pair — 3x less decimal work for
+    # bit-identical cosines (norm is the same double either way)
+    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm).alias("qn"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(norm).alias("cn"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    dot = spark_dot_exact("qv", "cv")
     return (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(F.expr(spark_cosine_exact("qv", "cv")), 8))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOP_K)
         .select("query_id", "rk", "cand_id", "cosine")
@@ -116,23 +131,29 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sig", F.expr(_spark_signature("embedding"))
     )
     probes = ", ".join(f"int(sig ^ {x})" for x in _PROBE_XORS)
+    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
     q = (
         e.where(F.col("vec_id") < _N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
+            F.expr(norm).alias("qn"),
             F.explode(F.expr(f"array({probes})")).alias("sig"),
         )
     )
     c = e.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"), "sig"
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        F.expr(norm).alias("cn"),
+        "sig",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    dot = spark_dot_exact("qv", "cv")
     return (
         F.broadcast(q)
         .join(c, "sig")
         .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(F.expr(spark_cosine_exact("qv", "cv")), 8))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("query_id", "rk", "cand_id", "cosine")

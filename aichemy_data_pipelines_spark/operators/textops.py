@@ -35,8 +35,12 @@ _BPE_RE_SQL = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "documents").withColumn(
-        "tokens", F.expr(SPARK_TOKENS)
+    # repartition before HOF-heavy per-row work: small single-row-group
+    # parquet files give the scan exactly one task (see dedup.py)
+    return (
+        load_table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("tokens", F.expr(SPARK_TOKENS))
     )
 
 
