@@ -1,0 +1,252 @@
+"""Extended relational operators beyond the TPC-H-adapted core:
+pivot, cube / grouping sets, set operations, exact distinct counts,
+windowed customer lifetime value, per-group top-N over joins.
+
+Scale notes: pivot/cube/grouping-sets are single-shuffle expand+agg
+plans with bounded key spaces; set ops compile to hash
+aggregates/joins on pruned columns; the LTV window partitions on the
+natural high-cardinality key (custkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.money import dec, money_sum, sum_to_double
+
+_STATUSES = ("F", "O", "P")  # o_orderstatus domain
+
+
+def orders_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per priority × status (explicit pivot
+    values so the plan is a single expand+agg, no extra pass to
+    discover the domain).
+
+    Scale: one shuffle on o_orderpriority (5 keys); counts combine
+    map-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", list(_STATUSES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("n_f"),
+            F.col("O").alias("n_o"),
+            F.col("P").alias("n_p"),
+        )
+    )
+
+
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in
+    one expand+agg pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        money_sum(dec("o_totalprice"), "sum_price"),
+    )
+
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority)) — the general
+    form rollup/cube compile to."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    total = sum_to_double(f"sum({dec('o_totalprice')})")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, {total} AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+def customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT: customers in the BUILDING segment vs
+    customers with an urgent order — emitted as a tagged union so one
+    result covers both set operators.
+
+    Scale: both compile to shuffle joins on the pruned custkey column
+    only.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = building.intersect(urgent).withColumn("set_op", F.lit("both"))
+    only_building = building.exceptAll(urgent).withColumn(
+        "set_op", F.lit("building_only")
+    )
+    return both.unionByName(only_building)
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts over lineitem (the expensive
+    one big data always asks for).
+
+    Scale: count(distinct x) expands per aggregate; at 100 TB swap in
+    approx_count_distinct (HLL, map-side mergeable, no expand) — kept
+    exact here because the oracle must agree bit-for-bit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+    )
+
+
+def customer_ltv_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime value: per-order running total and order
+    sequence number over each customer's history.
+
+    Scale: one shuffle on o_custkey; state per task = one customer's
+    orders. The decimal running sum converts per row (exact in both
+    engines).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        F.row_number()
+        .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+        .alias("order_seq"),
+        F.expr(
+            f"cast(cast(sum({dec('o_totalprice')}) over "
+            f"(partition by o_custkey order by o_orderdate, o_orderkey "
+            f"rows between unbounded preceding and current row) "
+            f"as decimal(38,6)) as double)"
+        ).alias("ltv"),
+    )
+
+
+def top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by revenue per supplier nation: join + agg +
+    windowed top-N (the canonical 'leaderboard per group' shape).
+
+    Scale: part/supplier/nation broadcast; one shuffle for the agg,
+    exchange reused by the window (same key).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_partkey")
+        .agg(
+            money_sum(
+                f"{dec('l_extendedprice')} * {dec('1 - l_discount')}", "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), "l_partkey")
+    return (
+        rev.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("n_name", "rk", "l_partkey", "revenue")
+    )
+
+
+QUERIES = {
+    "orders_pivot_status": orders_pivot_status,
+    "orders_cube": orders_cube,
+    "orders_grouping_sets": orders_grouping_sets,
+    "customer_set_ops": customer_set_ops,
+    "distinct_counts": distinct_counts,
+    "customer_ltv_window": customer_ltv_window,
+    "top_parts_per_nation": top_parts_per_nation,
+}
+
+_SQL_SUM_PRICE = (
+    "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
+)
+_SQL_REV = (
+    "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) "
+    "* CAST(1 - l_discount AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
+)
+
+ORACLE = {
+    "orders_pivot_status": """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "orders_cube": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, {_SQL_SUM_PRICE} AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    "orders_grouping_sets": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, {_SQL_SUM_PRICE} AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    "customer_set_ops": """
+        WITH building AS (
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        ), urgent AS (
+            SELECT DISTINCT o_custkey AS c_custkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+        )
+        SELECT c_custkey, 'both' AS set_op
+        FROM (SELECT c_custkey FROM building
+              INTERSECT SELECT c_custkey FROM urgent)
+        UNION ALL
+        SELECT c_custkey, 'building_only' AS set_op
+        FROM (SELECT c_custkey FROM building
+              EXCEPT ALL SELECT c_custkey FROM urgent)
+    """,
+    "distinct_counts": """
+        SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+        FROM lineitem
+    """,
+    "customer_ltv_window": """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               row_number() OVER w AS order_seq,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER
+                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DECIMAL(38,6)) AS DOUBLE) AS ltv
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    "top_parts_per_nation": f"""
+        WITH rev AS (
+            SELECT n_name, l_partkey, {_SQL_REV} AS revenue
+            FROM lineitem, supplier, nation
+            WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            GROUP BY n_name, l_partkey
+        )
+        SELECT n_name, rk, l_partkey, revenue FROM (
+            SELECT n_name, l_partkey, revenue,
+                   row_number() OVER (PARTITION BY n_name
+                                      ORDER BY revenue DESC, l_partkey) AS rk
+            FROM rev) t
+        WHERE rk <= 3
+    """,
+}
