@@ -1,0 +1,105 @@
+"""Command-line surface: run the watch pipeline, a registered query,
+or the metrics panels.
+
+Usage (mirrors how a reference user would drive the Airflow DAG):
+
+    python -m aichemy_data_pipelines_spark.cli watch \
+        --watch-dir /data --output-dir /data/mzML --archive-dir /data/archives \
+        [--cycles N] [--quiet-seconds S] [--policy skip|replace] [--delete-original]
+
+    python -m aichemy_data_pipelines_spark.cli query q1_pricing_summary \
+        [--sf-dir /root/testdata/sf0.01] [--limit 20]
+
+    python -m aichemy_data_pipelines_spark.cli metrics --output-dir /data/mzML
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="aichemy-data-pipelines-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    w = sub.add_parser("watch", help="run watch→convert→archive cycles")
+    w.add_argument("--watch-dir", required=True)
+    w.add_argument("--output-dir", required=True)
+    w.add_argument("--archive-dir", required=True)
+    w.add_argument("--cycles", type=int, default=1)
+    w.add_argument("--quiet-seconds", type=int, default=0)
+    w.add_argument("--policy", choices=["skip", "replace"], default="skip")
+    w.add_argument("--delete-original", action="store_true")
+    w.add_argument("--fmt", choices=["mzml", "mzxml"], default="mzml")
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    m = sub.add_parser("metrics", help="print pipeline metrics panels")
+    m.add_argument("--output-dir", required=True)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    from aichemy_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name=f"cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "watch":
+        from aichemy_data_pipelines_spark.pipeline.batch import (
+            PipelineConfig,
+            WatchConvertPipeline,
+        )
+
+        cfg = PipelineConfig(
+            watch_dir=args.watch_dir,
+            output_dir=args.output_dir,
+            archive_dir=args.archive_dir,
+            quiet_seconds=args.quiet_seconds,
+            archive_policy=args.policy,
+            delete_original=args.delete_original,
+            fmt=args.fmt,
+        )
+        pipe = WatchConvertPipeline(spark, cfg)
+        for i in range(args.cycles):
+            stats = pipe.run_once()
+            print(f"cycle {i + 1}: {stats}")
+        return 0
+
+    if args.cmd == "query":
+        import __spark_entry__ as entry_mod
+
+        qs = entry_mod.queries()
+        if args.name not in qs:
+            print(
+                f"unknown query {args.name!r}; available: {sorted(qs)}",
+                file=sys.stderr,
+            )
+            return 2
+        qs[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "metrics":
+        from aichemy_data_pipelines_spark.pipeline.metrics import PipelineMetrics
+
+        m = PipelineMetrics(spark, args.output_dir)
+        print("== files converted (24h) ==")
+        m.converted_last_24h().show()
+        print("== avg conversion time ==")
+        m.avg_conversion_seconds().show()
+        print("== conversions per hour ==")
+        m.conversions_per_hour().show(truncate=False)
+        print("== recent cycles ==")
+        m.recent_cycles().show(truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

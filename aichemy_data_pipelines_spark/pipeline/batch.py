@@ -74,6 +74,8 @@ CONVERT_SCHEMA = StructType(
         StructField("n_bytes_out", LongType()),
         StructField("status", StringType()),
         StructField("attempts", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("converted_at", StringType()),  # utc iso seconds
     ]
 )
 
@@ -208,12 +210,17 @@ class WatchConvertPipeline:
         def do_convert(batches):
             import gzip as gzmod
             import hashlib
+            from datetime import datetime, timezone
 
             import pandas as pd
 
             for pdf in batches:
                 rows = []
                 for r in pdf.itertuples():
+                    t_start = time.perf_counter()
+                    now_iso = datetime.now(timezone.utc).strftime(
+                        "%Y-%m-%d %H:%M:%S"
+                    )
                     attempts = prev.get((r.base, r.plate_rel), 0) + 1
                     outdir = os.path.join(out_root, r.plate_rel)
                     os.makedirs(outdir, exist_ok=True)
@@ -223,7 +230,7 @@ class WatchConvertPipeline:
                     if os.path.exists(outfile):
                         rows.append(
                             (r.base, r.plate_rel, outfile, r.total_bytes, 0,
-                             "already_converted", attempts - 1)
+                             "already_converted", attempts - 1, 0, now_iso)
                         )
                         continue
                     try:
@@ -252,20 +259,23 @@ class WatchConvertPipeline:
                         with open(tmp, "wb") as f:
                             f.write(payload)
                         os.replace(tmp, outfile)
+                        dur = int((time.perf_counter() - t_start) * 1000)
                         rows.append(
                             (r.base, r.plate_rel, outfile, n_in,
-                             len(payload), "ok", attempts)
+                             len(payload), "ok", attempts, dur, now_iso)
                         )
                     except Exception:  # noqa: BLE001 — status ledger, not crash
+                        dur = int((time.perf_counter() - t_start) * 1000)
                         rows.append(
                             (r.base, r.plate_rel, "", r.total_bytes, 0,
-                             "failed", attempts)
+                             "failed", attempts, dur, now_iso)
                         )
                 yield pd.DataFrame(
                     rows,
                     columns=[
                         "base", "plate_rel", "outfile", "n_bytes_in",
-                        "n_bytes_out", "status", "attempts",
+                        "n_bytes_out", "status", "attempts", "duration_ms",
+                        "converted_at",
                     ],
                 )
 
@@ -382,11 +392,22 @@ class WatchConvertPipeline:
 
     def _append_ledger(self, converted: DataFrame) -> None:
         converted.select(
-            "base", "plate_rel", "status", "attempts"
+            "base", "plate_rel", "status", "attempts", "duration_ms",
+            "converted_at",
         ).write.mode("append").parquet(self._ledger_path)
 
     # -- one polling cycle ----------------------------------------------------
     def run_once(self, now_ms: int | None = None) -> dict:
+        from aichemy_data_pipelines_spark.pipeline.metrics import PipelineMetrics
+
+        t_cycle = time.perf_counter()
+        # reference parity: MS_POOL concurrency pool -> Spark fair-
+        # scheduler pool (bounds this pipeline's share of the cluster)
+        pool = self.cfg.extra.get("pool")
+        if pool:
+            self.spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", pool
+            )
         runs = self.quiet_filter(self.discover(), now_ms=now_ms)
         # Materialize the batch ONCE and cut lineage: the convert plan
         # depends on the ledger parquet, and appending to that ledger
@@ -404,6 +425,18 @@ class WatchConvertPipeline:
         # batch verdict (reference: _on_convert_failure writes
         # .attempts/.skip regardless of verify_batch)
         self._append_ledger(converted)
-        stats = self.verify(converted)
+        metrics = PipelineMetrics(self.spark, self.cfg.output_dir)
+        try:
+            stats = self.verify(converted)
+        except RuntimeError:
+            metrics.record_cycle(
+                {"total": len(rows), "verdict": "failed"},
+                int((time.perf_counter() - t_cycle) * 1000),
+            )
+            raise
         stats["archived"] = n_archived
+        metrics.record_cycle(
+            {**stats, "verdict": "ok"},
+            int((time.perf_counter() - t_cycle) * 1000),
+        )
         return stats

@@ -165,3 +165,68 @@ def stream_sessionize(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_user_running_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_user_totals",
+) -> None:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, sum) accumulator maintained across
+    micro-batches — the hand-rolled state that windows/sessions can't
+    express (e.g. lifetime counters, fraud scores).
+
+    Scale: state is keyed by user_id (natural shuffle key); each
+    micro-batch touches only arriving keys; Arrow moves the batch.
+    State eviction (timeout) is configured NoTimeout here because the
+    tests drain a finite source; production sets EventTimeTimeout
+    with the watermark.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = load_events_stream(spark, sf_dir).select("user_id", "value")
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, round(total, 6)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

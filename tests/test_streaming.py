@@ -77,3 +77,29 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stateful_running_totals_equals_batch(spark, tmp_path):
+    from aichemy_data_pipelines_spark.catalog import load_table
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        stream_user_running_totals,
+    )
+
+    stream_user_running_totals(
+        spark, SF_SMOKE, str(tmp_path / "ckpt"), table_name="t_state"
+    )
+    # keep only each user's final (latest) update row
+    got = {}
+    for r in spark.table("t_state").collect():
+        got[r.user_id] = (r.n_events, r.sum_value)
+    want = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u][0] == want[u][0]
+        assert abs(got[u][1] - want[u][1]) < 1e-6
