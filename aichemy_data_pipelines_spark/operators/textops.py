@@ -150,7 +150,61 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency: top-50 tokens with deterministic
+    tie-break — the vocabulary profile every corpus audit starts with.
+
+    Scale: explode + count = one shuffle on token (high cardinality,
+    uniform); top-k via window avoids a global sort. Skewed head
+    tokens are exactly what AQE's skew split handles.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    counts = (
+        d.select(F.explode("tokens").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), "token")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 50)
+        .select("rk", "token", "n")
+    )
+
+
+def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats over the quality pipeline output —
+    operator composition: quality scores feed a second aggregate.
+
+    Scale: reuses the pure-map quality stage; one tiny agg on lang.
+    """
+    q = text_quality(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (
+        q.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            # quality_score is already rounded to 6dp, so the decimal
+            # cast is exact and the average is order-independent
+            F.round(
+                F.expr(
+                    "cast(cast(sum(cast(quality_score as decimal(18,6))) "
+                    "as decimal(38,6)) as double) / count(*)"
+                ),
+                6,
+            ).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 QUERIES = {
+    "text_ngram_stats": text_ngram_stats,
+    "text_stats_by_lang": text_stats_by_lang,
     "text_tokencount": text_tokencount,
     "text_quality": text_quality,
     "text_langid": text_langid,
@@ -167,6 +221,38 @@ _pred_cases = " ".join(
 )
 
 ORACLE = {
+    "text_ngram_stats": f"""
+        WITH tok AS (
+            SELECT unnest({_T}) AS token FROM documents
+        ), counts AS (
+            SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+        )
+        SELECT rk, token, n FROM (
+            SELECT token, n,
+                   row_number() OVER (ORDER BY n DESC, token) AS rk
+            FROM counts) t
+        WHERE rk <= 50
+    """,
+    "text_stats_by_lang": f"""
+        WITH q AS (
+            SELECT doc_id, lang, n_chars,
+                   len({_T}) AS n_tokens,
+                   round(CAST(len(list_distinct({_T})) AS DOUBLE) / len({_T}) * 0.5
+                         + CAST({sql_stopword_hits(_T, STOPWORDS['en'])} AS DOUBLE)
+                           / len({_T}) * 0.3
+                         + (1.0 - CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                                  / length(text)) * 0.2,
+                         6) AS quality_score
+            FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               round(CAST(CAST(SUM(CAST(quality_score AS DECIMAL(18,6)))
+                          AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_quality,
+               round(AVG(n_tokens), 6) AS avg_tokens,
+               SUM(n_chars) AS total_chars
+        FROM q GROUP BY lang
+    """,
     "text_tokencount": f"""
         SELECT doc_id,
                len({_T}) AS n_tokens,

@@ -24,14 +24,17 @@ from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.functions.money import (
     dec,
     money_sum,
+    rate,
     sql_money_sum,
     sum_to_double,
 )
 
-# Shared money expressions (Spark fragments == DuckDB fragments since
-# both are ANSI; only the outer cast helpers differ).
-_DISC_PRICE = f"{dec('l_extendedprice')} * {dec('1 - l_discount')}"
-_CHARGE = f"{dec('l_extendedprice')} * {dec('1 - l_discount')} * {dec('1 + l_tax')}"
+# Shared money expressions. rate() keeps the per-row product at
+# decimal precision ≤ 18 → Spark's compact-long decimal fast path.
+_DISC_PRICE = f"{dec('l_extendedprice')} * {rate('1 - l_discount')}"
+_CHARGE = (
+    f"{dec('l_extendedprice')} * {rate('1 - l_discount')} * {rate('1 + l_tax')}"
+)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
