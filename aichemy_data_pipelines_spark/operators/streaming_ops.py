@@ -1,0 +1,109 @@
+"""Oracle-checked STREAMING queries.
+
+Each entry drains a Structured Streaming query over the events table
+(AvailableNow trigger, fresh checkpoint) into a memory sink and
+returns the result — so the driver's DuckDB gate verifies the
+*streaming* computation end-to-end, not just its batch twin:
+
+* tumbling window counts (watermarked groupBy window),
+* native session windows,
+* the applyInPandasWithState per-user lifetime totals (integer-cents
+  state → exact, engine-comparable sums).
+
+Scale notes live with the implementations (streaming/watch.py);
+checkpoints make every one of these exactly-once under retries.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.streaming.watch import (
+    stream_sessionize,
+    stream_tumbling_counts,
+    stream_user_running_totals,
+)
+
+
+def _drain(spark: SparkSession, runner, sf_dir: str) -> DataFrame:
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    # state-store partition count is frozen into the checkpoint at
+    # first run; pin it so a caller session's default (200) doesn't
+    # spin 200 tiny state tasks per micro-batch
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        runner(spark, sf_dir, ckpt, table_name=name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+def streaming_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(spark, stream_tumbling_counts, sf_dir)
+
+
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(spark, stream_sessionize, sf_dir)
+
+
+def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _drain(spark, stream_user_running_totals, sf_dir)
+    # keep each user's final update (single-batch drains emit one row
+    # per user already; retries may emit more)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
+QUERIES = {
+    "streaming_tumbling_window": streaming_tumbling_window,
+    "streaming_session_window": streaming_session_window,
+    "streaming_user_totals": streaming_user_totals,
+}
+
+ORACLE = {
+    "streaming_tumbling_window": """
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                 AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    """,
+    "streaming_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                     AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               COUNT(*) AS n_events
+        FROM sessions GROUP BY user_id, session_id
+    """,
+    "streaming_user_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events GROUP BY user_id
+    """,
+}

@@ -198,20 +198,30 @@ def stream_user_running_totals(
     state_schema = StructType(
         [
             StructField("n", LongType()),
-            StructField("total", DoubleType()),
+            StructField("total_cents", LongType()),
         ]
     )
 
     def update(key, pdfs, state):
         import pandas as pd
 
-        n, total = state.get if state.exists else (0, 0.0)
+        # integer-cents accumulator: values are 2-decimal by domain,
+        # so the running sum is EXACT and order-independent — the
+        # streamed total is bit-comparable to any batch/oracle sum
+        n, total_cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, round(total, 6)))
+            # round per VALUE (each is 2dp-exact), then integer-sum
+            total_cents += int(
+                pdf["value"].mul(100).round().astype("int64").sum()
+            )
+        state.update((n, total_cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(total, 6)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "sum_value": [total_cents / 100.0],
+            }
         )
 
     agg = ev.groupBy("user_id").applyInPandasWithState(

@@ -1,0 +1,81 @@
+"""Property-based cross-engine tests (hypothesis): the portability
+primitives hold for arbitrary in-domain inputs, not just the test
+tables.
+
+Few examples + session-scoped Spark keep runtime sane; each example
+round-trips generated data through BOTH engines.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import duckdb
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+MONEY = st.decimals(
+    min_value=Decimal("-999999.99"),
+    max_value=Decimal("999999.99"),
+    places=2,
+)
+TOKENS = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789 _-",
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(MONEY, min_size=1, max_size=50))
+def test_money_sum_matches_exact_decimal(spark, values):
+    """sum_to_double over arbitrary 2dp money == Python Decimal sum
+    (exactness + engine-independence of the documented pipeline)."""
+    from aichemy_data_pipelines_spark.functions.money import dec, sum_to_double
+
+    df = spark.createDataFrame([(float(v),) for v in values], "x double")
+    got = df.selectExpr(
+        f"{sum_to_double('sum(' + dec('x') + ')')} AS s"
+    ).collect()[0].s
+    want = float(sum(values))
+    assert got == want
+
+    duck = duckdb.connect()
+    duck_got = duck.sql(
+        "SELECT CAST(CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DECIMAL(38,6)) "
+        "AS DOUBLE) FROM (SELECT unnest($1::DOUBLE[]) AS x)",
+        params=[[float(v) for v in values]],
+    ).fetchone()[0]
+    assert duck_got == want
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(TOKENS, min_size=1, max_size=20, unique=True))
+def test_portable_hash_matches_duckdb(spark, strings):
+    """portable_hash64 (md5-derived) is identical in Spark and DuckDB
+    for arbitrary strings."""
+    from aichemy_data_pipelines_spark.functions.hashing import (
+        spark_hash64,
+        sql_hash64,
+    )
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = {
+        r.s: r.h
+        for r in df.selectExpr("s", f"{spark_hash64('s')} AS h").collect()
+    }
+    duck = duckdb.connect()
+    for s in strings:
+        want = duck.sql(
+            f"SELECT {sql_hash64('$1::VARCHAR')}", params=[s]
+        ).fetchone()[0]
+        assert got[s] == want, s

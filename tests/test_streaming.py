@@ -93,13 +93,15 @@ def test_stateful_running_totals_equals_batch(spark, tmp_path):
     for r in spark.table("t_state").collect():
         got[r.user_id] = (r.n_events, r.sum_value)
     want = {
-        r.user_id: (r.n, round(r.s, 6))
+        r.user_id: (r.n, r.s)
         for r in load_table(spark, SF_SMOKE, "events")
         .groupBy("user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "cast(sum(cast(round(value * 100) as bigint)) as double) / 100"
+            ).alias("s"),
+        )
         .collect()
     }
-    assert set(got) == set(want)
-    for u in want:
-        assert got[u][0] == want[u][0]
-        assert abs(got[u][1] - want[u][1]) < 1e-6
+    assert got == want
