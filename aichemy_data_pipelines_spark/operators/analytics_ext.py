@@ -1,0 +1,226 @@
+"""Further analytics operators: anomaly scoring, cohort retention,
+histograms, and a compliance (right-to-be-forgotten) impact plan.
+
+Determinism notes:
+* z-scores avoid stddev_samp's engine-specific accumulation: the
+  moments come from EXACT decimal sums (Σx at 2dp, Σx² at 4dp), so
+  mean/std derive from identical doubles in both engines, then one
+  identical arithmetic chain per row (rounded 6dp).
+* histograms use integer bucket arithmetic; cohorts use month
+  strings; the delete plan is pure joins/aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+
+_SQL_SUM = "CAST(CAST(SUM({x}) AS DECIMAL(38,6)) AS DOUBLE)"
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value is > 3 sample standard deviations above
+    their type's mean — the batch anomaly sweep.
+
+    Scale: one agg on event_type (broadcast back), one map pass; no
+    second shuffle. Moments via exact decimal sums (see module note).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "cast(cast(sum(cast(value as decimal(8,2))) as decimal(38,6)) "
+            "as double)"
+        ).alias("sx"),
+        F.expr(
+            "cast(cast(sum(cast(value as decimal(8,2)) "
+            "* cast(value as decimal(8,2))) as decimal(38,6)) as double)"
+        ).alias("sxx"),
+    )
+    stats = stats.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "zscore", F.round((F.col("value") - F.col("mean")) / F.col("std"), 6)
+        )
+        .where(F.col("zscore") > 3)
+        .select("event_id", "user_id", "event_type", "value", "zscore")
+    )
+
+
+def orders_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: customers grouped by first-order month; for
+    each (cohort, activity-month) the count of distinct active
+    customers and months-since-cohort.
+
+    Scale: two aggs on o_custkey (exchange reused), then a tiny
+    cohort×month agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_format(F.min("o_orderdate"), "yyyy-MM").alias("cohort_month")
+    )
+    activity = orders.select(
+        "o_custkey", F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).distinct()
+    return (
+        activity.join(first, "o_custkey")
+        .groupBy("cohort_month", "month")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+        .withColumn(
+            "months_since",
+            (
+                F.substring("month", 1, 4).cast("int") * 12
+                + F.substring("month", 6, 2).cast("int")
+            )
+            - (
+                F.substring("cohort_month", 1, 4).cast("int") * 12
+                + F.substring("cohort_month", 6, 2).cast("int")
+            ),
+        )
+    )
+
+
+def part_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width price histogram (10-unit buckets) per brand —
+    integer bucket arithmetic, portable across engines.
+
+    Scale: pure map + bounded-key agg.
+    """
+    part = load_table(spark, sf_dir, "part")
+    bucket = F.floor(F.col("p_retailprice") / 10).cast("int")
+    return (
+        part.withColumn("bucket", bucket)
+        .groupBy("p_brand", "bucket")
+        .agg(
+            F.count("*").alias("n_parts"),
+            (F.col("bucket") * 10).cast("double").alias("bucket_low"),
+        )
+        .select("p_brand", "bucket", "bucket_low", "n_parts")
+    )
+
+
+def compliance_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact plan: for a deletion cohort
+    (stand-in: user/customer key % 37 = 0), count affected rows per
+    table BEFORE destructive deletes run — the audit step of a GDPR
+    pipeline.
+
+    Scale: per-table semi-join counts; each is key-pruned and
+    shuffle-bounded by the cohort size. The actual delete is the same
+    anti-join materialized back to storage (dynamic partition
+    overwrite in sources/formats.py).
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 37 == 0
+    ).select(F.col("c_custkey").alias("key"))
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    n_cust = cust.count()
+    ev_cnt = (
+        events.join(
+            F.broadcast(cust), events.user_id == cust.key, "left_semi"
+        ).count()
+    )
+    ord_rows = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.key, "left_semi"
+    )
+    ord_cnt = ord_rows.count()
+    li_cnt = li.join(
+        ord_rows.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    ).count()
+    return spark.createDataFrame(
+        [
+            ("customer", n_cust),
+            ("events", ev_cnt),
+            ("orders", ord_cnt),
+            ("lineitem", li_cnt),
+        ],
+        "table_name string, n_rows bigint",
+    )
+
+
+QUERIES = {
+    "events_anomaly_zscore": events_anomaly_zscore,
+    "orders_retention_cohorts": orders_retention_cohorts,
+    "part_price_histogram": part_price_histogram,
+    "compliance_delete_plan": compliance_delete_plan,
+}
+
+ORACLE = {
+    "events_anomaly_zscore": """
+        WITH stats AS (
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(8,2))) AS DECIMAL(38,6))
+                        AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(8,2))
+                                 * CAST(value AS DECIMAL(8,2)))
+                        AS DECIMAL(38,6)) AS DOUBLE) AS sxx
+            FROM events GROUP BY event_type
+        ), ms AS (
+            SELECT event_type, n, sx / n AS mean,
+                   sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+            FROM stats
+        )
+        SELECT e.event_id, e.user_id, e.event_type, e.value,
+               round((e.value - ms.mean) / ms.std, 6) AS zscore
+        FROM events e JOIN ms ON e.event_type = ms.event_type
+        WHERE round((e.value - ms.mean) / ms.std, 6) > 3
+    """,
+    "orders_retention_cohorts": """
+        WITH first AS (
+            SELECT o_custkey, strftime(MIN(o_orderdate), '%Y-%m') AS cohort_month
+            FROM orders GROUP BY o_custkey
+        ), activity AS (
+            SELECT DISTINCT o_custkey, strftime(o_orderdate, '%Y-%m') AS month
+            FROM orders
+        )
+        SELECT f.cohort_month, a.month,
+               COUNT(DISTINCT a.o_custkey) AS n_active,
+               (CAST(substr(a.month, 1, 4) AS INTEGER) * 12
+                + CAST(substr(a.month, 6, 2) AS INTEGER))
+               - (CAST(substr(f.cohort_month, 1, 4) AS INTEGER) * 12
+                  + CAST(substr(f.cohort_month, 6, 2) AS INTEGER))
+                 AS months_since
+        FROM activity a JOIN first f ON a.o_custkey = f.o_custkey
+        GROUP BY f.cohort_month, a.month
+    """,
+    "part_price_histogram": """
+        SELECT p_brand,
+               CAST(floor(p_retailprice / 10) AS INTEGER) AS bucket,
+               CAST(CAST(floor(p_retailprice / 10) AS INTEGER) * 10 AS DOUBLE)
+                 AS bucket_low,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY p_brand, floor(p_retailprice / 10)
+    """,
+    "compliance_delete_plan": """
+        WITH cohort AS (
+            SELECT c_custkey AS key FROM customer WHERE c_custkey % 37 = 0
+        )
+        SELECT 'customer' AS table_name, COUNT(*) AS n_rows FROM cohort
+        UNION ALL
+        SELECT 'events', COUNT(*) FROM events
+        WHERE user_id IN (SELECT key FROM cohort)
+        UNION ALL
+        SELECT 'orders', COUNT(*) FROM orders
+        WHERE o_custkey IN (SELECT key FROM cohort)
+        UNION ALL
+        SELECT 'lineitem', COUNT(*) FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                             WHERE o_custkey IN (SELECT key FROM cohort))
+    """,
+}

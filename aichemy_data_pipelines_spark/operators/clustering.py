@@ -42,6 +42,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over jaccard≥0.5 LSH pairs; every doc
     gets a cluster id (= min doc_id in its component; singletons are
     their own cluster) and the cluster size."""
+    # the label-propagation loop runs many small shuffles; a caller
+    # session's default 200 partitions would mean 200 tiny tasks per
+    # iteration — pin to the session's core count for this job
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
