@@ -182,9 +182,9 @@ ORACLE = {
             FROM documents
         ), per AS (
             SELECT source, COUNT(*) AS total,
-                   SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS failed,
-                   SUM(CASE WHEN status = 'skipped' THEN 1 ELSE 0 END) AS skipped,
-                   SUM(CASE WHEN status = 'succeeded' THEN 1 ELSE 0 END) AS succeeded
+                   CAST(SUM(CASE WHEN status = 'failed' THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+                   CAST(SUM(CASE WHEN status = 'skipped' THEN 1 ELSE 0 END) AS BIGINT) AS skipped,
+                   CAST(SUM(CASE WHEN status = 'succeeded' THEN 1 ELSE 0 END) AS BIGINT) AS succeeded
             FROM st GROUP BY source
         )
         SELECT source, total, failed, skipped, succeeded,

@@ -519,7 +519,7 @@ ORACLE = {
     """,
     "events_json_props": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
                CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS DOUBLE)
                  / COUNT(CAST(json_extract(props, '$.k') AS INTEGER)) AS avg_k
         FROM events GROUP BY event_type
