@@ -1,0 +1,160 @@
+"""Data-quality / validation operators — the checks every ingestion
+pipeline runs before promoting a batch (the generalized form of the
+reference's verify_batch gate).
+
+* ``dq_orphan_check`` — referential integrity: child keys without a
+  parent, per relationship (anti-join counts).
+* ``dq_null_profile`` — per-column null/blank counts over lineitem
+  (one pass, conditional aggs).
+* ``dq_value_ranges`` — domain assertions as data: min/max/violation
+  counts for the business rules this engine's money math relies on
+  (2dp, |x| < 10^6 — see functions/money.py).
+
+Scale: each is one scan + bounded agg or a key-pruned anti-join;
+these run as pre-commit gates on every batch at any size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+
+
+def dq_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphaned-foreign-key counts for every edge of the star schema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def orphans(child, ckey, parent, pkey):
+        return child.join(
+            parent.select(pkey), child[ckey] == F.col(pkey), "left_anti"
+        ).count()
+
+    rows = [
+        ("lineitem.l_orderkey->orders", orphans(li, "l_orderkey", orders, "o_orderkey")),
+        ("lineitem.l_partkey->part", orphans(li, "l_partkey", part, "p_partkey")),
+        ("lineitem.l_suppkey->supplier", orphans(li, "l_suppkey", supp, "s_suppkey")),
+        ("orders.o_custkey->customer", orphans(orders, "o_custkey", cust, "c_custkey")),
+        ("customer.c_nationkey->nation", orphans(cust, "c_nationkey", nation, "n_nationkey")),
+    ]
+    return spark.createDataFrame(rows, "relationship string, n_orphans bigint")
+
+
+def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null + blank-string counts per lineitem column, one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for f in li.schema.fields:
+        aggs.append(
+            F.sum(F.col(f.name).isNull().cast("bigint")).alias(f"null_{f.name}")
+        )
+    string_cols = [f.name for f in li.schema.fields if f.dataType.simpleString() == "string"]
+    for c in string_cols:
+        aggs.append(
+            F.sum((F.trim(F.col(c)) == "").cast("bigint")).alias(f"blank_{c}")
+        )
+    return li.agg(*aggs)
+
+
+def dq_value_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-rule audit for the money columns: 2-decimal + bound
+    checks (the invariants functions/money.py's narrow decimals
+    assume — violated rows would silently round, so they gate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def rule(col, bound):
+        non2dp = F.sum(
+            (F.abs(F.col(col) * 100 - F.round(F.col(col) * 100)) > 1e-6)
+            .cast("bigint")
+        )
+        oob = F.sum((F.abs(F.col(col)) >= bound).cast("bigint"))
+        return [
+            non2dp.alias(f"non2dp_{col}"),
+            oob.alias(f"oob_{col}"),
+        ]
+
+    return li.agg(
+        *rule("l_extendedprice", 1_000_000),
+        *rule("l_discount", 1),
+        *rule("l_tax", 1),
+        *rule("l_quantity", 1_000_000),
+    )
+
+
+QUERIES = {
+    "dq_orphan_check": dq_orphan_check,
+    "dq_null_profile": dq_null_profile,
+    "dq_value_ranges": dq_value_ranges,
+}
+
+
+def _null_profile_sql() -> str:
+    cols = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ]
+    strings = ["l_returnflag", "l_linestatus"]
+    parts = [
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS null_{c}"
+        for c in cols
+    ] + [
+        f"CAST(SUM(CASE WHEN trim({c}) = '' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS blank_{c}"
+        for c in strings
+    ]
+    return "SELECT " + ", ".join(parts) + " FROM lineitem"
+
+
+def _value_ranges_sql() -> str:
+    parts = []
+    for col, bound in [
+        ("l_extendedprice", 1_000_000),
+        ("l_discount", 1),
+        ("l_tax", 1),
+        ("l_quantity", 1_000_000),
+    ]:
+        parts.append(
+            f"CAST(SUM(CASE WHEN abs({col} * 100 - round({col} * 100)) > 1e-6 "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS non2dp_{col}"
+        )
+        parts.append(
+            f"CAST(SUM(CASE WHEN abs({col}) >= {bound} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS oob_{col}"
+        )
+    return "SELECT " + ", ".join(parts) + " FROM lineitem"
+
+
+ORACLE = {
+    "dq_orphan_check": """
+        SELECT 'lineitem.l_orderkey->orders' AS relationship,
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+                 AS n_orphans
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders
+                WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT COUNT(*) FROM customer
+                WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+    """,
+    "dq_null_profile": _null_profile_sql(),
+    "dq_value_ranges": _value_ranges_sql(),
+}

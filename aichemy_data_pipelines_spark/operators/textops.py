@@ -250,7 +250,7 @@ ORACLE = {
                           AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6)
                  AS avg_quality,
                round(AVG(n_tokens), 6) AS avg_tokens,
-               SUM(n_chars) AS total_chars
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM q GROUP BY lang
     """,
     "text_tokencount": f"""

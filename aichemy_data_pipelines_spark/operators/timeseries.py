@@ -352,7 +352,37 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily purchase revenue (RANGE frame
+    over a day index so gaps count as zero-revenue days implicitly
+    excluded — frame is row-based over existing days; decimal-exact).
+
+    Scale: daily pre-agg shrinks input to |days| rows; the window
+    runs on the reduced set.
+    """
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.expr(f"sum({dec('value')})").alias("_dsum"))
+    return daily.select(
+        "day",
+        F.expr("cast(cast(_dsum as decimal(38,6)) as double)").alias("revenue"),
+        F.round(
+            F.expr(
+                "cast(cast(sum(_dsum) over (order by day rows between 6 "
+                "preceding and current row) as decimal(38,6)) as double)"
+            )
+            / F.expr(
+                "count(*) over (order by day rows between 6 preceding "
+                "and current row)"
+            ),
+            6,
+        ).alias("ma7"),
+    )
+
+
 QUERIES = {
+    "events_moving_avg": events_moving_avg,
     "events_tumbling_window": events_tumbling_window,
     "events_sliding_window": events_sliding_window,
     "events_sessionize": events_sessionize,
@@ -372,6 +402,22 @@ _SQL_SUM_VALUE = (
 )
 
 ORACLE = {
+    "events_moving_avg": """
+        WITH daily AS (
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS dsum
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT day,
+               CAST(CAST(dsum AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
+               round(CAST(CAST(SUM(dsum) OVER (ORDER BY day ROWS BETWEEN 6
+                          PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
+                     AS DOUBLE)
+                     / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                                      AND CURRENT ROW), 6) AS ma7
+        FROM daily
+    """,
     "events_tumbling_window": f"""
         SELECT strftime(date_trunc('hour', ts), '{_SQL_TS_FMT}') AS window_start,
                event_type, COUNT(*) AS n_events,
@@ -403,8 +449,10 @@ ORACLE = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts,
-                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,
