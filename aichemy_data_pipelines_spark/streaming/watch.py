@@ -61,18 +61,23 @@ def stream_convert(
     watch_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> None:
     """Streaming convert: binaryFile stream → deterministic fake
     conversion record per input file → parquet sink, exactly-once via
     checkpoint. Drains what's currently in the directory
     (AvailableNow) — rerunning converts only NEW files.
     """
-    stream = (
+    reader = (
         spark.readStream.format("binaryFile")
         .schema(FILE_SCHEMA)
         .option("recursiveFileLookup", "true")
-        .load(watch_dir)
     )
+    if max_files_per_trigger:
+        # back-pressure: bound every micro-batch; AvailableNow still
+        # drains the whole backlog, just in multiple batches
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(watch_dir)
     converted = stream.select(
         F.regexp_replace("path", "^file:", "").alias("path"),
         F.col("length").alias("n_bytes_in"),

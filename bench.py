@@ -53,16 +53,8 @@ def main() -> None:
     # timed section measures steady-state throughput at SF_DIR, not
     # first-compile latency. (Same generated classes; 100x less data.)
     warm_sf = "/root/testdata/sf0.001"
-    for warm in (
-        "q1_pricing_summary",
-        "q5_local_supplier_volume",
-        "events_sessionize",
-        "dedup_minhash_lsh",
-        "ann_cosine_topk",
-        "text_quality",
-    ):
-        if warm in qs:
-            qs[warm](spark, warm_sf).collect()
+    for warm in names:
+        qs[warm](spark, warm_sf).collect()
     qs["q6_revenue_forecast"](spark, SF_DIR).collect()
 
     timings: dict[str, float] = {}

@@ -105,3 +105,21 @@ def test_stateful_running_totals_equals_batch(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_convert_backpressure_multiple_batches(spark, tmp_path):
+    from aichemy_data_pipelines_spark.streaming.watch import stream_convert
+
+    watch = tmp_path / "watch_bp"
+    watch.mkdir()
+    for i in range(7):
+        (watch / f"f{i}.bin").write_bytes(bytes([i]) * (i + 1))
+    out, ckpt = str(tmp_path / "out_bp"), str(tmp_path / "ckpt_bp")
+    # 2 files per micro-batch -> 4 batches; still exactly-once overall
+    stream_convert(spark, str(watch), out, ckpt, max_files_per_trigger=2)
+    got = spark.read.parquet(out)
+    assert got.count() == 7
+    assert got.select("path").distinct().count() == 7
+    # re-drain: nothing reprocessed
+    stream_convert(spark, str(watch), out, ckpt, max_files_per_trigger=2)
+    assert spark.read.parquet(out).count() == 7
