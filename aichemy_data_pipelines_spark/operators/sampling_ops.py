@@ -1,0 +1,91 @@
+"""Dataset sampling / splitting operators for training pipelines.
+
+Both are HASH-deterministic (portable md5, functions/hashing.py) —
+the property that matters at scale: assignments are reproducible
+across runs, engines, and cluster sizes, and adding new rows never
+reshuffles existing assignments (unlike rand()-seeded sampling,
+which changes with partitioning).
+
+* ``sample_split`` — 80/10/10 train/val/test by hash(doc_id) mod 100
+  + per-split counts (the audit view).
+* ``sample_stratified`` — keep ≤ K docs per source, chosen by hash
+  order (deterministic pseudo-random, balanced across strata).
+
+Scale: pure map + bounded aggs / one window per stratum. The split
+column usually becomes a partition column on write (dynamic
+partition overwrite in sources/formats.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.hashing import spark_hash64, sql_hash64
+
+_PER_SOURCE_K = 12
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 split assignment + size audit per split."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(f"{spark_hash64('cast(doc_id as string)')} % 100")
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """≤ K docs per source, selected by portable-hash order (with
+    doc_id tiebreak so the choice is total)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(spark_hash64("cast(doc_id as string)", seed=7))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w))
+        .where(F.col("pick_rank") <= _PER_SOURCE_K)
+        .select("source", "pick_rank", "doc_id")
+    )
+
+
+QUERIES = {
+    "sample_split": sample_split,
+    "sample_stratified": sample_stratified,
+}
+
+_H = sql_hash64("CAST(doc_id AS VARCHAR)")
+_H7 = sql_hash64("CAST(doc_id AS VARCHAR)", seed=7)
+
+ORACLE = {
+    "sample_split": f"""
+        WITH s AS (
+            SELECT n_chars,
+                   CASE WHEN ({_H}) % 100 < 80 THEN 'train'
+                        WHEN ({_H}) % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM s GROUP BY split
+    """,
+    "sample_stratified": f"""
+        SELECT source, pick_rank, doc_id FROM (
+            SELECT source, doc_id,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY ({_H7}), doc_id) AS pick_rank
+            FROM documents) t
+        WHERE pick_rank <= {_PER_SOURCE_K}
+    """,
+}
