@@ -39,3 +39,23 @@ def test_lsh_recall_floor(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"LSH recall collapsed: {recall:.2f}"
+
+
+def test_ivf_recall_floor(spark):
+    """IVF with nprobe=2 over 10 lists: this corpus' labels are not
+    cosine-cohesive, so the information-theoretic expectation is
+    ~nprobe/n_lists = 20%; measured ~30%. Floor guards the mechanism
+    (probing + in-list search), not the quantizer quality."""
+    from aichemy_data_pipelines_spark.operators.ivf import ann_ivf_topk
+
+    exact = {
+        (r.query_id, r.cand_id)
+        for r in ann_cosine_topk(spark, SF_SMOKE).collect()
+        if r.rk <= 3
+    }
+    ivf = {
+        (r.query_id, r.cand_id)
+        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall:.2f}"
