@@ -411,7 +411,75 @@ def q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (adapted): NATION_5 suppliers' share of ASIA-region
+    revenue by order year — the share-of-total-within-group shape
+    (ratio of a conditional decimal sum to the total).
+
+    Scale: same star join as q5; the share is two exact sums in one
+    agg pass.
+    """
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    snation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(snation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    nat_rev = (
+        "sum(case when supp_nation = 'NATION_5' then "
+        f"{_DISC_PRICE} else cast(0 as decimal(13,4)) end)"
+    )
+    tot_rev = f"sum({_DISC_PRICE})"
+    return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.expr(f"{sum_to_double(nat_rev)} / {sum_to_double(tot_rev)}"), 6
+        ).alias("mkt_share")
+    )
+
+
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted): lost revenue from small-quantity orders —
+    lineitems under 50%% of their part's average quantity, for one
+    brand. The correlated-aggregate-per-key shape.
+
+    Scale: the per-part avg is an agg + broadcast-back; Catalyst
+    reuses the lineitem scan for both sides.
+    """
+    part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.expr(
+            f"{sum_to_double('sum(' + dec('l_quantity') + ')')} / count(*)"
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.expr(sum_to_double("sum(" + dec("l_extendedprice") + ")"))
+                / 7.0,
+                6,
+            ).alias("avg_yearly")
+        )
+    )
+
+
 QUERIES = {
+    "q8_market_share": q8_market_share,
+    "q17_small_quantity": q17_small_quantity,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q4_order_priority": q4_order_priority,
@@ -434,6 +502,40 @@ _SQL_DISC_PRICE = (
 _SQL_CHARGE = _SQL_DISC_PRICE + " * CAST(1 + l_tax AS DECIMAL(18,6))"
 
 ORACLE = {
+    "q8_market_share": f"""
+        WITH j AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   n2.n_name AS supp_nation,
+                   {_SQL_DISC_PRICE} AS dp
+            FROM lineitem, orders, customer, nation n1, region, supplier,
+                 nation n2
+            WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+              AND c_nationkey = n1.n_nationkey
+              AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        )
+        SELECT o_year,
+               round(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                                        THEN dp ELSE CAST(0 AS DECIMAL(13,4))
+                                   END) AS DECIMAL(38,6)) AS DOUBLE)
+                     / CAST(CAST(SUM(dp) AS DECIMAL(38,6)) AS DOUBLE), 6)
+                 AS mkt_share
+        FROM j GROUP BY o_year
+    """,
+    "q17_small_quantity": """
+        WITH pp AS (
+            SELECT l_partkey AS pk,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2)))
+                        AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(8,2)))
+                     AS DECIMAL(38,6)) AS DOUBLE) / 7.0, 6) AS avg_yearly
+        FROM lineitem, part, pp
+        WHERE l_partkey = p_partkey AND l_partkey = pp.pk
+          AND p_brand = 'Brand#1'
+          AND l_quantity < 0.5 * pp.avg_qty
+    """,
     "q1_pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                {sql_money_sum('CAST(l_quantity AS DECIMAL(18,6))')} AS sum_qty,
