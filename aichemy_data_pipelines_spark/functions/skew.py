@@ -16,6 +16,11 @@ hot that even a split partition's build side overflows.
 Results are exactly equal to the plain join (asserted in
 tests/test_skew.py); cost is n_salt× replication of the right side,
 so use it left=fact / right=dim-with-hot-key.
+
+Supported join types: inner / left / left_semi / left_anti only.
+Because the RIGHT side is replicated n_salt times, a right or full
+outer join would emit every unmatched right row n_salt times — a
+silent divergence from the plain join — so those types raise.
 """
 
 from __future__ import annotations
@@ -35,7 +40,30 @@ def salted_join(
     """Equi-join on ``on`` with the left side salted and the right
     side replicated. ``salt_src`` defaults to a hash of all left
     columns (deterministic; pass an id column for cheaper salting).
+
+    Raises ``ValueError`` for right/full outer joins: unmatched right
+    rows would appear once per salt replica, diverging from the plain
+    join. Salt the other side (swap the inputs) instead.
     """
+    allowed = {
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "semi",
+        "left_anti",
+        "leftanti",
+        "anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is not supported — the replicated "
+            "right side would duplicate unmatched right rows. Supported: "
+            "inner, left, left_semi, left_anti (swap inputs to salt the "
+            "other side)."
+        )
     if salt_src is None:
         salt_src = F.xxhash64(*[F.col(c) for c in left.columns])
     lsalted = left.withColumn("_salt", F.pmod(salt_src, F.lit(n_salt)))

@@ -44,11 +44,22 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     their own cluster) and the cluster size."""
     # the label-propagation loop runs many small shuffles; a caller
     # session's default 200 partitions would mean 200 tiny tasks per
-    # iteration — pin to the session's core count for this job
+    # iteration — pin to the session's core count for this job, and
+    # restore the caller's setting afterwards (the loop materializes
+    # every intermediate via persist/count, so the conf has done its
+    # job by the time we return the final lazy plan)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    try:
+        return _dedup_clusters_inner(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _dedup_clusters_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)

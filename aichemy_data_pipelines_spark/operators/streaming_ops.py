@@ -82,9 +82,14 @@ ORACLE = {
     "streaming_session_window": """
         WITH flagged AS (
             SELECT user_id, ts, event_id,
+                   -- >= (not >): Spark's session_window end is
+                   -- EXCLUSIVE (window = [start, last_ts + gap)), so
+                   -- an event exactly gap after its predecessor opens
+                   -- a NEW session — unlike batch events_sessionize,
+                   -- which uses strictly-greater-than-gap
                    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                              OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                                > 1800000000
+                                >= 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -271,29 +271,58 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view → click → purchase funnel depth per user (each later stage
     must strictly follow the user's first qualifying earlier stage).
 
-    Scale: three conditional aggs over one user_id shuffle (Catalyst
-    reuses the exchange); no joins between stages.
+    Bounded-state design: three scalar conditional MIN aggregates —
+    first view, first click strictly after it, first purchase strictly
+    after that — never per-user arrays, so a bot user with millions of
+    events costs three longs of agg state, not a collect_list blowup.
+
+    Scale: every groupBy/join keys on user_id, so after the first
+    shuffle the later aggs and joins reuse the hash partitioning
+    (AQE/Catalyst exchange reuse); map-side partial aggregation does
+    the heavy lifting.
     """
     ev = _events(spark, sf_dir)
     us = F.unix_micros("ts")
-    per_user = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", us)).alias("t_view"),
-        F.collect_list(
-            F.when(F.col("event_type") == "click", F.struct(us.alias("us")))
-        ).alias("clicks"),
-        F.collect_list(
-            F.when(F.col("event_type") == "purchase", F.struct(us.alias("us")))
-        ).alias("purchases"),
+    et = F.col("event_type")
+    # pass 1: first view per user (grouping over ALL events keeps
+    # view-less users in the output with t_view NULL)
+    views = ev.groupBy("user_id").agg(
+        F.min(F.when(et == "view", us)).alias("t_view")
     )
-    t_click = F.expr(
-        "array_min(transform(filter(clicks, c -> c.us > t_view), c -> c.us))"
+    # pass 2: first click strictly after the first view
+    clicks = (
+        ev.select("user_id", et.alias("event_type"), us.alias("us"))
+        .join(views, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") > F.col("t_view")),
+                    F.col("us"),
+                )
+            ).alias("t_click"),
+        )
     )
-    per_user = per_user.withColumn("t_click", t_click)
-    t_purchase = F.expr(
-        "array_min(transform(filter(purchases, p -> p.us > t_click), p -> p.us))"
+    # pass 3: first purchase strictly after that click
+    funnel = (
+        ev.select("user_id", et.alias("event_type"), us.alias("us"))
+        .join(clicks, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.max("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") > F.col("t_click")),
+                    F.col("us"),
+                )
+            ).alias("t_purchase"),
+        )
     )
-    per_user = per_user.withColumn("t_purchase", t_purchase)
-    return per_user.select(
+    return funnel.select(
         "user_id",
         (
             F.col("t_view").isNotNull().cast("int")
@@ -353,9 +382,12 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """7-day moving average of daily purchase revenue (RANGE frame
-    over a day index so gaps count as zero-revenue days implicitly
-    excluded — frame is row-based over existing days; decimal-exact).
+    """7-CALENDAR-day moving average of daily purchase revenue: a
+    RANGE frame over an integer day index (days since epoch), so the
+    frame always spans exactly the trailing 7 calendar days — gap days
+    contribute no rows but still bound the frame, unlike a ROWS frame
+    over observed days. Average is over observed days in the frame
+    (decimal-exact sum, 6dp round).
 
     Scale: daily pre-agg shrinks input to |days| rows; the window
     runs on the reduced set.
@@ -364,18 +396,19 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
     ).agg(F.expr(f"sum({dec('value')})").alias("_dsum"))
+    daily = daily.withColumn(
+        "_day_idx", F.expr("datediff(to_date(day), date '1970-01-01')")
+    )
+    frame = "order by _day_idx range between 6 preceding and current row"
     return daily.select(
         "day",
         F.expr("cast(cast(_dsum as decimal(38,6)) as double)").alias("revenue"),
         F.round(
             F.expr(
-                "cast(cast(sum(_dsum) over (order by day rows between 6 "
-                "preceding and current row) as decimal(38,6)) as double)"
+                f"cast(cast(sum(_dsum) over ({frame}) as decimal(38,6)) "
+                "as double)"
             )
-            / F.expr(
-                "count(*) over (order by day rows between 6 preceding "
-                "and current row)"
-            ),
+            / F.expr(f"count(*) over ({frame})"),
             6,
         ).alias("ma7"),
     )
@@ -405,16 +438,18 @@ ORACLE = {
     "events_moving_avg": """
         WITH daily AS (
             SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   CAST(CAST(date_trunc('day', ts) AS DATE)
+                        - DATE '1970-01-01' AS INTEGER) AS day_idx,
                    SUM(CAST(value AS DECIMAL(18,6))) AS dsum
             FROM events WHERE event_type = 'purchase'
-            GROUP BY 1
+            GROUP BY 1, 2
         )
         SELECT day,
                CAST(CAST(dsum AS DECIMAL(38,6)) AS DOUBLE) AS revenue,
-               round(CAST(CAST(SUM(dsum) OVER (ORDER BY day ROWS BETWEEN 6
+               round(CAST(CAST(SUM(dsum) OVER (ORDER BY day_idx RANGE BETWEEN 6
                           PRECEDING AND CURRENT ROW) AS DECIMAL(38,6))
                      AS DOUBLE)
-                     / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                     / COUNT(*) OVER (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING
                                       AND CURRENT ROW), 6) AS ma7
         FROM daily
     """,

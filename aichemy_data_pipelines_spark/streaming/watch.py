@@ -147,7 +147,15 @@ def stream_sessionize(
     table_name: str = "stream_sessions",
 ) -> None:
     """Native event-time session windows (gap-based) — the streaming
-    twin of events_sessionize, with watermark-bounded state."""
+    twin of events_sessionize, with watermark-bounded state.
+
+    Boundary semantics: ``session_window``'s end is EXCLUSIVE
+    (window = [start, last_ts + gap)), so an event arriving exactly
+    ``gap`` after its predecessor starts a NEW session. The batch
+    events_sessionize uses strictly-greater-than-gap, so the two
+    differ only for exact-gap events; the streaming oracle
+    (operators/streaming_ops.py) encodes the ``>=`` boundary.
+    """
     ev = load_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")

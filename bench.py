@@ -6,9 +6,12 @@ ONE JSON line:
     {"metric": ..., "value": total_sec, "unit": "sec",
      "queries": {name: sec, ...}, "sf": ...}
 
-Each query is executed once warm-up-free with ``collect()`` (results
-are small aggregates / top-k). Timings therefore include scan,
-shuffle, and result fetch — the whole user-visible latency.
+Warm-up protocol: before timing, each headline query runs once at
+sf0.001 (plus one q6 run at SF_DIR) so codegen/JIT compilation and
+file-listing caches are warm; the timed section then executes each
+query ONCE at SF_DIR with ``collect()`` (results are small
+aggregates / top-k). Timings therefore measure steady-state scan +
+shuffle + result-fetch latency, not first-compile cost.
 """
 
 from __future__ import annotations

@@ -51,3 +51,25 @@ def test_segment_filter_pushed_through_join(spark):
     assert_pushed_filters(
         q3_shipping_priority(spark, SF_SMOKE), "c_mktsegment", "q3"
     )
+
+
+def test_funnel_has_no_collect_list(spark):
+    # bounded-state contract: the funnel must never buffer per-user
+    # arrays (skew-killer at scale) — three scalar conditional aggs only
+    from aichemy_data_pipelines_spark.operators.timeseries import events_funnel
+
+    plan = events_funnel(spark, SF_SMOKE)._jdf.queryExecution().toString()
+    assert "collect_list" not in plan
+
+
+def test_dedup_clusters_restores_shuffle_partitions(spark):
+    from aichemy_data_pipelines_spark.operators.clustering import dedup_clusters
+
+    sentinel = "49"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", sentinel)
+    try:
+        dedup_clusters(spark, SF_SMOKE).collect()
+        assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)

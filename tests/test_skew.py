@@ -42,3 +42,16 @@ def test_salted_left_join_keeps_unmatched(spark):
         salted.where(F.col("o_orderpriority").isNull()).count()
         == plain.where(F.col("o_orderpriority").isNull()).count()
     )
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest
+
+    orders = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    dim = load_table(spark, SF_SMOKE, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="not supported"):
+            salted_join(orders, dim, "o_orderkey", how=how)
