@@ -1,0 +1,116 @@
+"""MinHash/LSH semantic guarantees: known-near-dup recall and
+candidate precision against brute-force exact Jaccard (DuckDB).
+
+These pin the 16-band × 4-row parameterization: shrinking the
+signature (or a windowing bug) collapses recall; widening bands or a
+densification-style correlation bug collapses precision.
+"""
+
+from __future__ import annotations
+
+import duckdb
+
+from aichemy_data_pipelines_spark.functions.text import SQL_TOKENS, sql_shingles
+from aichemy_data_pipelines_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _true_pairs(threshold: float) -> set[tuple[int, int]]:
+    """All-pairs exact 3-shingle Jaccard at sf0.001 (500 docs) —
+    brute force is fine here, it's the ORACLE for the LSH shortcut."""
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    q = f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKENS} AS tokens FROM documents),
+    sh AS (SELECT doc_id, {sql_shingles('tokens', 3)} AS shingles
+           FROM toks WHERE len(tokens) >= 3),
+    ds AS (SELECT doc_id, unnest(list_distinct(shingles)) AS s FROM sh),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ni
+      FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT da, db
+    FROM inter JOIN counts ca ON da = ca.doc_id
+               JOIN counts cb ON db = cb.doc_id
+    WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= {threshold}
+    """
+    return {(r[0], r[1]) for r in con.sql(q).fetchall()}
+
+
+def test_lsh_recall_on_high_jaccard_pairs(spark):
+    # P(band match) at j=0.8 is 1-(1-0.8^4)^16 ≈ 0.9996 — every
+    # true near-dup pair must surface as a candidate
+    truth = _true_pairs(0.8)
+    assert truth, "fixture data should contain near-dup pairs"
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    missed = truth - cand
+    assert not missed, f"LSH missed true near-dups: {sorted(missed)[:10]}"
+
+
+def test_lsh_candidate_precision(spark):
+    # 16×4 banding at j<0.3 has P(candidate) < 1%: the candidate set
+    # must not contain junk pairs (the old 4×2 config, or an OPH
+    # densification bug, floods this with zero-overlap pairs)
+    rows = dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    assert rows
+    junk = [r for r in rows if r.jaccard < 0.3]
+    assert len(junk) <= max(1, len(rows) // 10), (
+        f"candidate set is {len(junk)}/{len(rows)} low-jaccard junk"
+    )
+
+
+def test_embedding_dedup_fanout_bounded(spark):
+    """The candidate space must be (label, sig)-blocked, not
+    label-all-pairs: every surviving pair's signatures are within
+    Hamming distance 1, and the multiprobe join's candidate fanout is
+    strictly below the label-block all-pairs count."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.catalog import load_table
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        _spark_signature,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings").withColumn(
+        "sig", F.expr(_spark_signature("embedding"))
+    )
+    sigs = {r.vec_id: r.sig for r in e.select("vec_id", "sig").collect()}
+    pairs = dedup_embedding_cosine(spark, SF_SMOKE).collect()
+    assert pairs
+    for r in pairs:
+        ham = bin(sigs[r.id_a] ^ sigs[r.id_b]).count("1")
+        assert ham <= 1, f"pair ({r.id_a},{r.id_b}) hamming {ham} > 1"
+
+    # candidate fanout: Σ_{label,sig-probe} |a|·|b| must undercut the
+    # unbounded label-block Σ n·(n-1)/2
+    by_label = e.groupBy("label").count().collect()
+    label_allpairs = sum(r["count"] * (r["count"] - 1) // 2 for r in by_label)
+    by_block = e.groupBy("label", "sig").count().collect()
+    # hamming<=1 join fanout: same-block pairs + cross-block via 4 probes
+    from collections import defaultdict
+
+    blocks = defaultdict(int)
+    for r in by_block:
+        blocks[(r.label, r.sig)] = r["count"]
+    fanout = 0
+    for (label, sig), n in blocks.items():
+        fanout += n * (n - 1) // 2
+        for bit in range(4):
+            other = blocks.get((label, sig ^ (1 << bit)), 0)
+            # summed from both sides, so each cross-block pair counts twice
+            fanout += n * other
+    assert fanout < 2 * label_allpairs
+    assert label_allpairs > 0
