@@ -1,29 +1,34 @@
-"""IVF-style ANN: coarse quantizer → inverted lists → in-list exact
-re-rank. The second classic ANN architecture next to LSH
-(operators/similarity.py) — this is the FAISS-IVF shape on
-DataFrames.
+"""IVF ANN with a TRAINED coarse quantizer: deterministic k-means →
+inverted lists → nprobe probing → in-list exact re-rank. The
+FAISS-IVF architecture on DataFrames (reference parity: the
+reference has no ANN; this is part of the LLM-data operator mandate).
 
-Stages (all declarative):
-1. centroids — per-list (here: the corpus' ``label`` partition, i.e.
-   a pre-trained coarse quantizer) per-dimension means, computed with
-   EXACT decimal sums and rounded to 6dp so both engines hold
-   bit-identical centroid vectors;
-2. probe — each query scores all centroids (decimal-exact cosine vs
-   the rounded centroids) and keeps its top-2 lists (nprobe=2);
-3. search — equi-join query×list → exact cosine re-rank → top-3.
+Quantizer training (fully declarative, reproducible, and expressible
+in BOTH engines so even the training is oracle-checked):
 
-Scale: centroids are a tiny broadcast (n_lists × dim); the only big
-join is the probe equi-join on list id with fanout N·nprobe/n_lists;
-at 100 TB you train the quantizer once (k-means on a sample) and
-this query never changes.
+1. seeds — the K=8 vectors with the smallest md5(vec_id) (a
+   deterministic pseudo-random sample; portable, no RNG state);
+2. Lloyd iterations (2, unrolled) — assign every vector to its
+   max-cosine centroid (8dp-rounded, ties to the lower list id),
+   recompute centroids as per-list per-dimension EXACT-decimal means
+   rounded to 6dp. Rounding after every step keeps Spark and DuckDB
+   bit-identical;
+3. the final assignment is the inverted-list id.
 
-Recall here is bounded by LIST QUALITY: on this synthetic corpus the
-``label`` partition is not cosine-cohesive (a query's true nearest
-neighbors scatter uniformly across labels), so recall ≈ nprobe /
-n_lists (~30% measured at nprobe=2, floor-asserted in
-tests/test_similarity.py). With a real k-means quantizer on clustered
-data, the same plan delivers the usual IVF recall curve — the knob
-is nprobe, the plan does not change.
+Search: each query scores the K centroids, probes its top-nprobe
+lists, exact cosine re-rank inside the probed lists, top-3.
+
+Scale: training runs on a SAMPLE (here the corpus — the plan is the
+same; at 100 TB you'd train on ~1M sampled rows, the cross join is
+sample×K and each Lloyd step is one groupBy); centroids are a tiny
+broadcast; the only corpus-scale shuffle is the final equi-join on
+list id with fanout N·nprobe/K. nprobe is the recall/cost knob; the
+plan never changes.
+
+Recall: k-means lists are cosine-cohesive by construction, unlike
+the corpus ``label`` column (not cosine-clustered — recall there ≈
+nprobe/n_lists). tests/test_similarity.py asserts the trained
+quantizer beats the label partition at equal nprobe.
 """
 
 from __future__ import annotations
@@ -37,17 +42,34 @@ from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
 _N_QUERIES = 10
 _NPROBE = 2
 _TOP_K = 3
-_DIM = 64
+_N_LISTS = 8
+_LLOYD_ITERS = 2
+
+_NORM = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
 
 
-def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label, per-dimension exact-decimal means, rounded to 6dp,
-    reassembled into ordered centroid arrays."""
-    e = load_table(spark, sf_dir, "embeddings")
-    dims = e.select(
-        "label", F.posexplode("embedding").alias("pos", "x")
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (deterministic:
+    8dp-rounded cosine, ties to the lower list id)."""
+    cdot = spark_dot_exact("embedding", "centroid")
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    w = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), "list_id")
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "a_cos", F.round(F.expr(f"{cdot} / (({_NORM}) * ({cnorm}))"), 8)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", "list_id")
     )
-    per_dim = dims.groupBy("label", "pos").agg(
+
+
+def _mean_centroids(assign: DataFrame) -> DataFrame:
+    """Per-list per-dimension exact-decimal means, rounded to 6dp,
+    reassembled into ordered centroid arrays."""
+    dims = assign.select("list_id", F.posexplode("embedding").alias("pos", "x"))
+    per_dim = dims.groupBy("list_id", "pos").agg(
         F.round(
             F.expr(
                 "cast(sum(cast(cast(x as double) as decimal(18,12))) as double)"
@@ -56,51 +78,67 @@ def _centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("c")
     )
-    return per_dim.groupBy("label").agg(
+    return per_dim.groupBy("list_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(pos, c))), s -> s.c)"
         ).alias("centroid")
     )
 
 
+def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse quantizer; returns (centroids, assignment)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_N_LISTS)
+    )
+    cents = seeds.select(
+        F.row_number().over(Window.orderBy("h")).alias("list_id"),
+        F.expr("transform(embedding, x -> round(cast(x as double), 6))").alias(
+            "centroid"
+        ),
+    )
+    for _ in range(_LLOYD_ITERS):
+        cents = _mean_centroids(_assign(e, cents))
+    return cents, _assign(e, cents)
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search: nprobe=2 lists per query, exact cosine top-3."""
+    """IVF search over k-means lists: nprobe=2, exact cosine top-3."""
+    cents, lists = _kmeans(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
     )
-    cents = _centroids(spark, sf_dir)
 
-    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        F.expr(norm).alias("qn"),
+        F.expr(_NORM).alias("qn"),
     )
     # probe: score every centroid, keep top-nprobe lists
     cdot = spark_dot_exact("qv", "centroid")
     cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
-    wq = Window.partitionBy("query_id").orderBy(
-        F.desc("c_cos"), "label"
-    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "list_id")
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", F.round(F.expr(f"{cdot} / (qn * {cnorm})"), 8))
+        .withColumn("c_cos", F.round(F.expr(f"{cdot} / (qn * ({cnorm}))"), 8))
         .withColumn("prk", F.row_number().over(wq))
         .where(F.col("prk") <= _NPROBE)
-        .select("query_id", "qv", "qn", "label")
+        .select("query_id", "qv", "qn", "list_id")
     )
-    # search inside the probed lists
-    c = e.select(
+    # search inside the probed inverted lists
+    norm = f"sqrt({spark_dot_exact('cv', 'cv')})"
+    c = lists.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
-        F.expr(norm).alias("cn"),
-        "label",
-    )
+        "list_id",
+    ).withColumn("cn", F.expr(norm))
     dot = spark_dot_exact("qv", "cv")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
     return (
         F.broadcast(probes)
-        .join(c, "label")
+        .join(c, "list_id")
         .where(F.col("query_id") != F.col("cand_id"))
         .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
         .withColumn("rk", F.row_number().over(w))
@@ -123,44 +161,87 @@ def _sql_pair_cos(a: str, b: str) -> str:
     )
 
 
-ORACLE = {
-    "ann_ivf_topk": f"""
-        WITH dims AS (
-            SELECT label, x.pos, x.val FROM (
-                SELECT label,
+def _sql_assign_ctes(cent: str, out: str) -> str:
+    """CTE chain assigning every vector to its max-cosine centroid
+    from ``cent``; emits ``{out}(vec_id, list_id)``."""
+    return f"""{out}_x AS (
+            SELECT e.vec_id, c.list_id,
+                   unnest(e.embedding) AS xa, unnest(c.centroid) AS xb
+            FROM embeddings e, {cent} c
+        ), {out}_s AS (
+            SELECT vec_id, list_id, {_sql_pair_cos('xa', 'xb')} AS a_cos
+            FROM {out}_x GROUP BY vec_id, list_id
+        ), {out} AS (
+            SELECT vec_id, list_id FROM (
+                SELECT vec_id, list_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY a_cos DESC, list_id) AS rk
+                FROM {out}_s) t
+            WHERE rk = 1
+        )"""
+
+
+def _sql_mean_ctes(assign: str, out: str) -> str:
+    """CTE chain recomputing centroids as exact-decimal 6dp-rounded
+    per-list means over ``assign``; emits ``{out}(list_id, centroid)``."""
+    return f"""{out}_d AS (
+            SELECT a.list_id, x.pos, x.val
+            FROM {assign} a JOIN (
+                SELECT vec_id,
                        unnest(list_transform(embedding,
                               (v, i) -> {{'pos': i - 1, 'val': v}})) AS x
-                FROM embeddings)
-        ), cent AS (
-            SELECT label, pos,
+                FROM embeddings) e ON e.vec_id = a.vec_id
+        ), {out}_p AS (
+            SELECT list_id, pos,
                    round(CAST(SUM(CAST(CAST(val AS DOUBLE)
                                        AS DECIMAL(18,12))) AS DOUBLE)
                          / COUNT(*), 6) AS c
-            FROM dims GROUP BY label, pos
-        ), cvec AS (
-            SELECT label, list(c ORDER BY pos) AS centroid FROM cent
-            GROUP BY label
-        ), qc AS (
-            SELECT q.vec_id AS query_id, cv.label,
+            FROM {out}_d GROUP BY list_id, pos
+        ), {out} AS (
+            SELECT list_id, list(c ORDER BY pos) AS centroid FROM {out}_p
+            GROUP BY list_id
+        )"""
+
+
+_KMEANS_CTES = f"""seeds AS (
+            SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding
+            FROM embeddings ORDER BY h LIMIT {_N_LISTS}
+        ), cent0 AS (
+            SELECT row_number() OVER (ORDER BY h) AS list_id,
+                   list_transform(embedding,
+                                  x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+            FROM seeds
+        ), {_sql_assign_ctes('cent0', 'a1')},
+        {_sql_mean_ctes('a1', 'cent1')},
+        {_sql_assign_ctes('cent1', 'a2')},
+        {_sql_mean_ctes('a2', 'cent2')},
+        {_sql_assign_ctes('cent2', 'lists')}"""
+
+
+ORACLE = {
+    "ann_ivf_topk": f"""
+        WITH {_KMEANS_CTES}, qc AS (
+            SELECT q.vec_id AS query_id, cv.list_id,
                    unnest(q.embedding) AS xa, unnest(cv.centroid) AS xb
-            FROM embeddings q, cvec cv WHERE q.vec_id < {_N_QUERIES}
+            FROM embeddings q, cent2 cv WHERE q.vec_id < {_N_QUERIES}
         ), qscore AS (
-            SELECT query_id, label, {_sql_pair_cos('xa', 'xb')} AS c_cos
-            FROM qc GROUP BY query_id, label
+            SELECT query_id, list_id, {_sql_pair_cos('xa', 'xb')} AS c_cos
+            FROM qc GROUP BY query_id, list_id
         ), probes AS (
-            SELECT query_id, label FROM (
-                SELECT query_id, label,
+            SELECT query_id, list_id FROM (
+                SELECT query_id, list_id,
                        row_number() OVER (PARTITION BY query_id
-                                          ORDER BY c_cos DESC, label) AS prk
+                                          ORDER BY c_cos DESC, list_id) AS prk
                 FROM qscore) t
             WHERE prk <= {_NPROBE}
         ), pairs AS (
-            SELECT p.query_id, c.vec_id AS cand_id,
+            SELECT p.query_id, l.vec_id AS cand_id,
                    q.embedding AS qv, c.embedding AS cv
             FROM probes p
             JOIN embeddings q ON q.vec_id = p.query_id
-            JOIN embeddings c ON c.label = p.label
-            WHERE p.query_id <> c.vec_id
+            JOIN lists l ON l.list_id = p.list_id
+            JOIN embeddings c ON c.vec_id = l.vec_id
+            WHERE p.query_id <> l.vec_id
         ), expl AS (
             SELECT query_id, cand_id, unnest(qv) AS xa, unnest(cv) AS xb
             FROM pairs

@@ -96,3 +96,10 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() >= 0
     assert df.columns
+
+
+def test_all_suites_registered():
+    """_suites() swallows ImportError so one broken module can't sink
+    the whole driver contract — but that must never SILENTLY shrink
+    the query surface. Pin the count; bump it when adding queries."""
+    assert len(_QUERIES) >= 70, sorted(_QUERIES)
