@@ -27,7 +27,26 @@ def _build_parser() -> argparse.ArgumentParser:
     w.add_argument("--watch-dir", required=True)
     w.add_argument("--output-dir", required=True)
     w.add_argument("--archive-dir", required=True)
-    w.add_argument("--cycles", type=int, default=1)
+    w.add_argument(
+        "--cycles",
+        type=int,
+        default=None,
+        help="number of cycles (default: 1, or unbounded with --interval)",
+    )
+    w.add_argument(
+        "--interval",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="daemon mode: fixed-rate polling every SECONDS (the "
+        "reference's */5 cron schedule); Ctrl-C to stop",
+    )
+    w.add_argument(
+        "--pool",
+        default=None,
+        help="fair-scheduler pool name bounding this pipeline's share "
+        "of the cluster (the reference's MS_POOL concurrency pool)",
+    )
     w.add_argument("--quiet-seconds", type=int, default=0)
     w.add_argument("--policy", choices=["skip", "replace"], default="skip")
     w.add_argument("--delete-original", action="store_true")
@@ -40,6 +59,14 @@ def _build_parser() -> argparse.ArgumentParser:
 
     m = sub.add_parser("metrics", help="print pipeline metrics panels")
     m.add_argument("--output-dir", required=True)
+    m.add_argument(
+        "--export-grafana",
+        metavar="DIR",
+        default=None,
+        help="write a Grafana provisioning tree (dashboard JSON + "
+        "provider + DuckDB datasource) mirroring the reference's "
+        "grafana/provisioning, backed by the ledger parquet",
+    )
     return p
 
 
@@ -64,9 +91,20 @@ def main(argv: list[str] | None = None) -> int:
             archive_policy=args.policy,
             delete_original=args.delete_original,
             fmt=args.fmt,
+            extra={"pool": args.pool} if args.pool else {},
         )
         pipe = WatchConvertPipeline(spark, cfg)
-        for i in range(args.cycles):
+        if args.interval is not None:
+            try:
+                pipe.run_forever(
+                    args.interval,
+                    max_cycles=args.cycles,
+                    on_cycle=lambda n, s: print(f"cycle {n}: {s}"),
+                )
+            except KeyboardInterrupt:
+                print("watch loop stopped")
+            return 0
+        for i in range(args.cycles or 1):
             stats = pipe.run_once()
             print(f"cycle {i + 1}: {stats}")
         return 0
@@ -87,6 +125,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "metrics":
         from aichemy_data_pipelines_spark.pipeline.metrics import PipelineMetrics
 
+        if args.export_grafana:
+            from aichemy_data_pipelines_spark.pipeline.grafana import (
+                export_provisioning,
+            )
+
+            for path in export_provisioning(args.output_dir, args.export_grafana):
+                print(f"wrote {path}")
         m = PipelineMetrics(spark, args.output_dir)
         print("== files converted (24h) ==")
         m.converted_last_24h().show()

@@ -440,3 +440,44 @@ class WatchConvertPipeline:
             int((time.perf_counter() - t_cycle) * 1000),
         )
         return stats
+
+    # -- scheduler loop -------------------------------------------------------
+    def run_forever(
+        self,
+        interval_s: float,
+        max_cycles: int | None = None,
+        clock=time.monotonic,
+        sleep=time.sleep,
+        on_cycle=None,
+    ) -> list[dict]:
+        """Cron-style FIXED-RATE polling loop — the reference's
+        ``schedule_interval="*/5 * * * *"`` (msconvert_dag.py:167):
+        cycle n starts at t0 + n·interval regardless of how long the
+        previous cycle took (an overrunning cycle starts the next one
+        immediately, it does not drift the grid). Runs until
+        ``max_cycles`` (None = until SIGINT/KeyboardInterrupt, the
+        daemon mode the CLI exposes as ``watch --interval``).
+
+        A failed batch verdict (verify raising) does NOT stop the
+        loop — the reference's failed DAG run doesn't unschedule the
+        DAG either; the attempt ledger already advanced, so poisoned
+        runs hit max_attempts and drop out of discovery.
+
+        ``clock``/``sleep`` are injectable for tests.
+        """
+        results: list[dict] = []
+        t0 = clock()
+        n = 0
+        while True:
+            try:
+                results.append(self.run_once())
+            except RuntimeError as e:
+                results.append({"verdict": "failed", "error": str(e)})
+            n += 1
+            if on_cycle is not None:
+                on_cycle(n, results[-1])
+            if max_cycles is not None and n >= max_cycles:
+                return results
+            delay = (t0 + n * interval_s) - clock()
+            if delay > 0:
+                sleep(delay)

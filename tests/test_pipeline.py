@@ -158,3 +158,55 @@ def test_delete_original(pipe):
     with tarfile.open(arc) as tf:
         names = [m.name for m in tf.getmembers()]
     assert any(n.endswith("a.bin") for n in names)
+
+
+def test_run_forever_fixed_rate_scheduler(pipe):
+    """Daemon loop: >=2 timed cycles on the reference's fixed-rate
+    grid, idempotent re-discovery on the second cycle, injected clock
+    asserting the sleep lands on t0 + n*interval."""
+    clock_now = [100.0]
+    sleeps = []
+
+    def clock():
+        return clock_now[0]
+
+    def sleep(s):
+        sleeps.append(s)
+        clock_now[0] += s
+
+    seen = []
+    results = pipe.run_forever(
+        300.0,
+        max_cycles=2,
+        clock=clock,
+        sleep=sleep,
+        on_cycle=lambda n, s: seen.append((n, s)),
+    )
+    assert len(results) == 2 and len(seen) == 2
+    # cycle 1 converts everything; cycle 2 re-discovers nothing new
+    assert results[0]["succeeded"] == 3
+    assert results[1]["total"] == 0 and results[1]["failed"] == 0
+    # exactly one sleep (between the two cycles), landing the second
+    # cycle on the t0+interval grid line regardless of cycle duration
+    assert len(sleeps) == 1
+    assert sleeps[0] == pytest.approx(300.0)
+
+
+def test_run_forever_survives_failed_verdict(pipe, tmp_path):
+    """A failing batch (verify raising) must not stop the schedule —
+    the attempt ledger advances and the loop keeps polling."""
+    bad = os.path.join(pipe.cfg.watch_dir, "plate_B", "runbad.d")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "x.bin"), "wb") as f:
+        f.write(b"CORRUPT data")
+    pipe.cfg.fail_threshold = 0
+    results = pipe.run_forever(
+        60.0, max_cycles=4, clock=lambda: 0.0, sleep=lambda s: None
+    )
+    assert len(results) == 4
+    assert results[0]["verdict"] == "failed"  # 1 corrupt of 4
+    # attempts escalate each failing cycle (1, 2, 3 = max_attempts);
+    # cycle 4 then re-discovers nothing — the poisoned run is
+    # permanently skipped, exactly the reference's .skip sentinel
+    assert all(r.get("verdict") == "failed" for r in results[:3])
+    assert results[3]["total"] == 0 and results[3]["failed"] == 0
