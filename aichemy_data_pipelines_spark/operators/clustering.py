@@ -66,11 +66,17 @@ def _dedup_clusters_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b")
     )
+    # localCheckpoint (NOT persist): each round's result must TRUNCATE
+    # the logical plan, or round N's plan embeds rounds 1..N-1 and
+    # Catalyst analysis (DeduplicateRelations) blows the heap after a
+    # handful of rounds — persist caches data but keeps full lineage.
+    # On a real cluster swap for reliable checkpoint() to durable
+    # storage (localCheckpoint dies with an executor).
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    ).localCheckpoint()
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     for _ in range(_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
@@ -85,7 +91,7 @@ def _dedup_clusters_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -94,11 +100,9 @@ def _dedup_clusters_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
 
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (
@@ -111,10 +115,123 @@ def _dedup_clusters_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"dedup_clusters": dedup_clusters}
+def dedup_clusters_star(
+    spark: SparkSession,
+    sf_dir: str,
+    _iters_out: list | None = None,
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the web-scale variant of dedup_clusters: converges in
+    O(log² n) rounds on ANY graph shape, where plain min-label
+    propagation needs O(diameter) rounds (a long near-dup chain = a
+    long schedule).
 
-ORACLE = {
-    "dedup_clusters": f"""
+    large-star: every node's strictly-larger neighbors re-attach to
+    the min of its neighborhood; small-star: orient edges toward the
+    smaller id, then all smaller-or-equal neighbors re-attach to the
+    min. Both are one groupBy + one join on node id — the same
+    equi-join shapes as the simple variant, just fewer rounds.
+
+    Output contract (and DuckDB oracle) is IDENTICAL to
+    dedup_clusters: (doc_id, cluster_id = component min, cluster_size).
+    ``_iters_out`` (tests) receives the converged round count.
+    """
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        return _dedup_clusters_star_inner(spark, sf_dir, _iters_out)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """edges: directed pairs; treated as symmetric neighborhoods."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+    return (
+        sym.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(
+            F.col("dst").alias("src"),
+            F.least(F.col("src"), F.col("mn")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+    mins = oriented.groupBy("src").agg(F.min("dst").alias("mn"))
+    joined = oriented.join(mins, "src")
+    to_nbrs = joined.where(F.col("dst") != F.col("mn")).select(
+        F.col("dst").alias("src"), F.col("mn").alias("dst")
+    )
+    to_self = mins.where(F.col("src") != F.col("mn")).select(
+        "src", F.col("mn").alias("dst")
+    )
+    return to_nbrs.union(to_self).distinct()
+
+
+def _dedup_clusters_star_inner(
+    spark: SparkSession, sf_dir: str, _iters_out: list | None
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    pairs = (
+        dedup_ngram_jaccard(spark, sf_dir)
+        .where(F.col("jaccard") >= _JACCARD_MIN)
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    # localCheckpoint per round: truncates lineage so round N's plan
+    # doesn't embed rounds 1..N-1 (see _dedup_clusters_inner note).
+    edges = pairs.localCheckpoint()
+    n_edges = edges.count()
+    iters = 0
+    for _ in range(_MAX_ITERS):
+        iters += 1
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        # both sides are distinct sets (each star op ends in distinct),
+        # so equal cardinality + empty one-sided difference ⇒ set
+        # equality; counts on checkpointed frames are near-free
+        n_new = new_edges.count()
+        changed = (
+            n_new != n_edges
+            or new_edges.exceptAll(edges).limit(1).count() > 0
+        )
+        edges, n_edges = new_edges, n_new
+        if not changed:
+            break
+    if _iters_out is not None:
+        _iters_out.append(iters)
+
+    # converged: stars — every non-root points straight at its
+    # component min; roots and singletons label themselves
+    roots = edges.groupBy("src").agg(F.min("dst").alias("lbl"))
+    labels = docs.join(
+        roots, docs.doc_id == roots.src, "left"
+    ).select(
+        "doc_id", F.coalesce(F.col("lbl"), F.col("doc_id")).alias("label")
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        "doc_id", F.col("label").alias("cluster_id"), "cluster_size"
+    )
+
+
+QUERIES = {
+    "dedup_clusters": dedup_clusters,
+    "dedup_clusters_star": dedup_clusters_star,
+}
+
+_SQL_CLUSTERS = f"""
         WITH pairs_base AS ({_SQL_LSH_PAIRS}),
         jacc AS (
             WITH toks AS (
@@ -170,5 +287,11 @@ ORACLE = {
         JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
               FROM comp GROUP BY cluster_id) s
           ON c.cluster_id = s.cluster_id
-    """,
+    """
+
+ORACLE = {
+    "dedup_clusters": _SQL_CLUSTERS,
+    # identical contract — the star variant must produce the very same
+    # components, so it shares the recursive-CTE oracle
+    "dedup_clusters_star": _SQL_CLUSTERS,
 }

@@ -23,7 +23,11 @@ from aichemy_data_pipelines_spark.catalog import load_table
 
 
 def dq_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orphaned-foreign-key counts for every edge of the star schema."""
+    """Orphaned-foreign-key counts for every edge of the star schema —
+    ONE lazy job (a union of anti-join aggregates), not five
+    driver-blocking counts: all five audits schedule together, the
+    dimension-side anti-joins broadcast, and the audit composes into
+    larger plans without extra actions."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -31,19 +35,25 @@ def dq_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
-    def orphans(child, ckey, parent, pkey):
-        return child.join(
-            parent.select(pkey), child[ckey] == F.col(pkey), "left_anti"
-        ).count()
+    def orphans(name, child, ckey, parent, pkey):
+        return (
+            child.select(ckey)
+            .join(parent.select(pkey), child[ckey] == F.col(pkey), "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(name).alias("relationship"), "n_orphans")
+        )
 
-    rows = [
-        ("lineitem.l_orderkey->orders", orphans(li, "l_orderkey", orders, "o_orderkey")),
-        ("lineitem.l_partkey->part", orphans(li, "l_partkey", part, "p_partkey")),
-        ("lineitem.l_suppkey->supplier", orphans(li, "l_suppkey", supp, "s_suppkey")),
-        ("orders.o_custkey->customer", orphans(orders, "o_custkey", cust, "c_custkey")),
-        ("customer.c_nationkey->nation", orphans(cust, "c_nationkey", nation, "n_nationkey")),
+    edges = [
+        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        orphans("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
+        orphans("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        orphans("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
     ]
-    return spark.createDataFrame(rows, "relationship string, n_orphans bigint")
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
 
 
 def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,3 +114,25 @@ def test_embedding_dedup_fanout_bounded(spark):
             fanout += n * other
     assert fanout < 2 * label_allpairs
     assert label_allpairs > 0
+
+
+def test_star_components_match_and_converge_fast(spark):
+    """large-star/small-star must produce byte-identical components to
+    min-label propagation, converging within the O(log^2 n) budget —
+    NOT the O(diameter) rounds the simple variant needs."""
+    from aichemy_data_pipelines_spark.operators.clustering import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    simple = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters(spark, SF_SMOKE).collect()
+    )
+    iters = []
+    star = sorted(
+        (r.doc_id, r.cluster_id, r.cluster_size)
+        for r in dedup_clusters_star(spark, SF_SMOKE, _iters_out=iters).collect()
+    )
+    assert star == simple
+    assert iters and iters[0] <= 6, f"star CC took {iters} rounds"
