@@ -102,4 +102,4 @@ def test_all_suites_registered():
     """_suites() swallows ImportError so one broken module can't sink
     the whole driver contract — but that must never SILENTLY shrink
     the query surface. Pin the count; bump it when adding queries."""
-    assert len(_QUERIES) >= 70, sorted(_QUERIES)
+    assert len(_QUERIES) >= 75, sorted(_QUERIES)

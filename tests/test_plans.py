@@ -62,6 +62,16 @@ def test_funnel_has_no_collect_list(spark):
     assert "collect_list" not in plan
 
 
+def test_decontam_broadcasts_eval_side(spark):
+    # the 100 TB decontam contract: the eval-set shingles broadcast so
+    # the training corpus never shuffles its exploded n-grams
+    from aichemy_data_pipelines_spark.operators.corpus_ops import (
+        decontam_ngram_overlap,
+    )
+
+    assert_broadcast_join(decontam_ngram_overlap(spark, SF_SMOKE), "decontam")
+
+
 def test_dedup_clusters_restores_shuffle_partitions(spark):
     from aichemy_data_pipelines_spark.operators.clustering import dedup_clusters
 
