@@ -136,7 +136,12 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
     """Frame sampling for video payloads: treat each 4-byte block as
     a 'frame', keep every Nth, emit (doc_id, frame_idx, frame_hash).
     Real codecs would seek keyframes; the fan-out shape (one media
-    row → k frame rows, still map-side) is the point."""
+    row → k frame rows, still map-side) is the point.
+
+    frame_hash is md5 over the frame's HEX encoding (not raw bytes)
+    for the same reason as decode_features' phash: DuckDB's md5 takes
+    VARCHAR only, and hashing the hex keeps the whole stage
+    oracle-checkable."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -155,7 +160,7 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(idx)
                     out["frame_hash"].append(
-                        hashlib.md5(frames[idx]).hexdigest()
+                        hashlib.md5(bytes(frames[idx]).hex().encode()).hexdigest()
                     )
             yield pd.DataFrame(out)
 

@@ -154,14 +154,44 @@ def compliance_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users + row counts per event_type via the SALTED
+    two-phase aggregation (functions/skew.py salted_distinct_count).
+
+    event_type is the canonical hot key (5 values over the whole
+    corpus): the plain plan funnels each type's entire distinct-user
+    state through one task; the salted plan splits it 16 ways by
+    hashing the DISTINCT column, so the partial distinct counts are
+    over disjoint user slices and sum exactly.
+
+    Oracle is the plain COUNT(DISTINCT) — the salted rewrite must be
+    value-identical, not approximately right.
+    """
+    from aichemy_data_pipelines_spark.catalog import load_table as _lt
+    from aichemy_data_pipelines_spark.functions.skew import (
+        salted_distinct_count,
+    )
+
+    return salted_distinct_count(
+        _lt(spark, sf_dir, "events"), "event_type", "user_id", n_salt=16
+    )
+
+
 QUERIES = {
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_retention_cohorts": orders_retention_cohorts,
     "part_price_histogram": part_price_histogram,
     "compliance_delete_plan": compliance_delete_plan,
+    "events_salted_distinct": events_salted_distinct,
 }
 
 ORACLE = {
+    "events_salted_distinct": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_distinct,
+               COUNT(*) AS n_rows
+        FROM events GROUP BY event_type
+    """,
     "events_anomaly_zscore": """
         WITH stats AS (
             SELECT event_type, COUNT(*) AS n,

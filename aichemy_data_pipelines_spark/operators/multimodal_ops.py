@@ -17,15 +17,31 @@ from pyspark.sql import DataFrame, SparkSession
 
 from aichemy_data_pipelines_spark.multimodal.codecs import (
     decode_features,
+    frame_sample,
     synthetic_media,
 )
+
+_FRAME_EVERY = 4
+_FRAME_BYTES = 4
+_PAYLOAD_BYTES = 32
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synthetic_media(spark, sf_dir))
 
 
-QUERIES = {"multimodal_meta": multimodal_meta}
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage over video payloads (mime-filtered fanout
+    through the same Arrow mapInPandas path): one media row → k frame
+    rows, each frame a 4-byte block, stride 4; hashes recomputed by
+    the oracle from the payload's hex arithmetic."""
+    return frame_sample(synthetic_media(spark, sf_dir), every=_FRAME_EVERY)
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_frames": multimodal_frames,
+}
 
 # byte i of the payload, recomputed from the md5 hex strings
 _HEX = "concat(md5(text), md5(reverse(text)))"
@@ -34,7 +50,21 @@ _BYTE_SUM = (
     f"i -> ('0x' || substr({_HEX}, i * 2 + 1, 2))::BIGINT), 'sum') % 256"
 )
 
+# frame f covers payload bytes [f*4, f*4+4) = hex chars [f*8+1, f*8+8]
+_FRAME_IDXS = ", ".join(
+    str(i)
+    for i in range(0, _PAYLOAD_BYTES // _FRAME_BYTES, _FRAME_EVERY)
+)
+
 ORACLE = {
+    "multimodal_frames": f"""
+        SELECT doc_id,
+               CAST(f AS INTEGER) AS frame_idx,
+               md5(substr({_HEX}, f * {_FRAME_BYTES * 2} + 1,
+                          {_FRAME_BYTES * 2})) AS frame_hash
+        FROM documents, unnest([{_FRAME_IDXS}]) AS t(f)
+        WHERE doc_id % 3 = 2
+    """,
     "multimodal_meta": f"""
         SELECT doc_id,
                CASE CAST(doc_id % 3 AS INTEGER)

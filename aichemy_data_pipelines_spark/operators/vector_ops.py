@@ -1,0 +1,102 @@
+"""Vector compression for the 100 TB embedding store: per-dimension
+int8 scalar quantization (the storage tier FAISS calls SQ8).
+
+At corpus scale the embedding column dominates storage (a 64-dim
+float32 vector is 256 bytes/doc); 8-bit scalar quantization cuts it
+4× with bounded reconstruction error (≤ (mx-mn)/255 per dimension),
+and ANN pre-filtering happily runs on the quantized codes with exact
+re-rank on the survivors (operators/ivf.py's shape).
+
+Determinism: min/max are exact float32 values widened to double; the
+quantization arithmetic is the identical IEEE expression in both
+engines; codes are exact integers (floor, never round) — so the whole
+op is hash-checkable like every relational query.
+
+Scale: one posexplode→agg for the per-dimension stats (64 rows — the
+quantizer), broadcast back, one bounded groupBy(vec_id) to reassemble
+codes (state = d values per vector, NOT unbounded). Train/apply are
+separable: at 100 TB the stats come from a sample and ship as a
+literal, making the apply side a pure map (the IVF-centroid pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+
+
+def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize every embedding to int8 codes with a per-dimension
+    (min, max) linear quantizer trained on the full table.
+
+    Output: (vec_id, label, codes array<int>, code_sum) — codes in
+    [0, 255], code_sum a cheap integrity checksum downstream stages
+    can verify after transport.
+    """
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    stats = ex.groupBy("pos").agg(
+        F.min("x").alias("mn"), F.max("x").alias("mx")
+    )
+    codes = (
+        ex.join(F.broadcast(stats), "pos")
+        .select(
+            "vec_id",
+            "label",
+            "pos",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                # widen BEFORE subtracting: a float32 (mx - mn)
+                # denominator against a double numerator makes
+                # x == mx quantize to 254, not 255
+                F.floor(
+                    (F.col("x").cast("double") - F.col("mn").cast("double"))
+                    / (F.col("mx").cast("double") - F.col("mn").cast("double"))
+                    * 255
+                )
+            )
+            .cast("int")
+            .alias("code"),
+        )
+    )
+    return codes.groupBy("vec_id", "label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, code))), "
+            "s -> s.code)"
+        ).alias("codes"),
+        F.sum("code").cast("bigint").alias("code_sum"),
+    )
+
+
+QUERIES = {"embeddings_quantize_int8": embeddings_quantize_int8}
+
+ORACLE = {
+    "embeddings_quantize_int8": """
+        WITH ex AS (
+            SELECT vec_id, label,
+                   unnest(range(0, len(embedding))) AS pos,
+                   unnest(embedding) AS x
+            FROM embeddings
+        ), stats AS (
+            SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY pos
+        ), codes AS (
+            SELECT e.vec_id, e.label, e.pos,
+                   CASE WHEN s.mx = s.mn THEN 0
+                        ELSE CAST(floor((CAST(e.x AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                                        / (CAST(s.mx AS DOUBLE) - CAST(s.mn AS DOUBLE))
+                                        * 255) AS INTEGER)
+                   END AS code
+            FROM ex e JOIN stats s ON e.pos = s.pos
+        )
+        SELECT vec_id, label,
+               list(code ORDER BY pos) AS codes,
+               CAST(SUM(code) AS BIGINT) AS code_sum
+        FROM codes GROUP BY vec_id, label
+    """,
+}

@@ -91,3 +91,48 @@ def bucketed_join(
     ZERO Exchange (asserted in tests): the shuffle was paid once at
     write time and amortizes over every subsequent join."""
     return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_mb: int = 256,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_mb) files.
+
+    The small-files problem is THE silent killer of streaming /
+    incremental sinks at scale (a 5-minute micro-batch cadence writes
+    ~100k files/year per partition; every downstream scan pays
+    per-file open + footer costs and the namenode pays the metadata).
+    Periodic compaction keeps file count ∝ data size.
+
+    Listing goes through the Hadoop FileSystem API (the same listing
+    a scan performs), so the op works unchanged on HDFS/S3A; the
+    rewrite is one round-robin repartition — no key shuffle.
+
+    Returns {files_before, bytes_before, files_after, rows}.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    files_before = 0
+    bytes_before = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            files_before += 1
+            bytes_before += st.getLen()
+    n_out = max(1, -(-bytes_before // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(src_path)
+    df.repartition(n_out).write.mode("overwrite").parquet(dest_path)
+    rows = spark.read.parquet(dest_path).count()
+    return {
+        "files_before": files_before,
+        "bytes_before": bytes_before,
+        "files_after": n_out,
+        "rows": rows,
+    }

@@ -59,6 +59,16 @@ def test_frame_sample_only_video_and_stride(spark):
     per_doc = [r for r in rows if r.doc_id == min(video_ids)]
     # 32 bytes -> 8 4-byte frames -> stride 4 keeps idx 0 and 4
     assert sorted(r.frame_idx for r in per_doc) == [0, 4]
+    # frame_hash = md5 over the frame's hex encoding (oracle-checkable)
+    import hashlib
+
+    payload = {
+        r.doc_id: bytes(r.payload)
+        for r in m.where("mime = 'video/mp4'").collect()
+    }
+    for r in per_doc:
+        frame = payload[r.doc_id][r.frame_idx * 4 : r.frame_idx * 4 + 4]
+        assert r.frame_hash == hashlib.md5(frame.hex().encode()).hexdigest()
 
 
 def test_resize_is_explicitly_stubbed(spark):

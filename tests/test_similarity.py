@@ -141,3 +141,22 @@ def test_ivf_kmeans_beats_label_partition(spark):
         f"trained quantizer ({r_kmeans:.2f}) should beat label "
         f"partition ({r_label:.2f}) at nprobe={_NPROBE}"
     )
+
+
+def test_quantize_int8_invariants(spark):
+    from aichemy_data_pipelines_spark.operators.vector_ops import (
+        embeddings_quantize_int8,
+    )
+
+    rows = embeddings_quantize_int8(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert len(r.codes) == 64
+        assert all(0 <= c <= 255 for c in r.codes)
+        assert r.code_sum == sum(r.codes)
+    # every dimension must use the full range somewhere (min->0, max->255)
+    mins = [min(r.codes[i] for r in rows) for i in range(64)]
+    maxs = [max(r.codes[i] for r in rows) for i in range(64)]
+    assert all(m == 0 for m in mins)
+    assert all(m == 255 for m in maxs)

@@ -55,3 +55,27 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "right_outer", "full", "full_outer", "outer"):
         with pytest.raises(ValueError, match="not supported"):
             salted_join(orders, dim, "o_orderkey", how=how)
+
+
+def test_salted_distinct_count_equals_plain(spark):
+    from aichemy_data_pipelines_spark.functions.skew import (
+        salted_distinct_count,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events")
+    got = {
+        r.event_type: (r.n_distinct, r.n_rows)
+        for r in salted_distinct_count(
+            events, "event_type", "user_id", n_salt=16
+        ).collect()
+    }
+    want = {
+        r.event_type: (r.n_distinct, r.n_rows)
+        for r in events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_distinct"),
+            F.count("*").alias("n_rows"),
+        )
+        .collect()
+    }
+    assert got == want

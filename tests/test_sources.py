@@ -11,6 +11,7 @@ from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.plans.explain import formatted_plan
 from aichemy_data_pipelines_spark.sources.formats import (
     bucketed_join,
+    compact_parquet,
     read_csv,
     read_json,
     write_bucketed,
@@ -85,3 +86,39 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """write_partitioned's fmt knob covers ORC (the other columnar
+    lake format Spark ships natively)."""
+    orders = load_table(spark, SF_SMOKE, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    dest = str(tmp_path / "orc")
+    write_partitioned(orders, dest, ["status"], fmt="orc")
+    back = spark.read.orc(dest)
+    assert back.count() == orders.count()
+    assert set(back.select("status").distinct().toPandas()["status"]) == set(
+        orders.select("status").distinct().toPandas()["status"]
+    )
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "shattered")
+    dest = str(tmp_path / "compacted")
+    # simulate a micro-batch sink: 20 tiny files
+    docs.repartition(20).write.parquet(src)
+    stats = compact_parquet(spark, src, dest, target_file_mb=256)
+    assert stats["files_before"] == 20
+    assert stats["files_after"] == 1  # tiny data -> one target file
+    assert stats["rows"] == docs.count()
+    n_out_files = len(
+        [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    )
+    assert n_out_files == stats["files_after"]
+    # compaction preserves content exactly
+    assert (
+        spark.read.parquet(dest).exceptAll(docs).count() == 0
+        and docs.exceptAll(spark.read.parquet(dest)).count() == 0
+    )
