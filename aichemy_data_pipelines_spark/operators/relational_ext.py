@@ -165,7 +165,57 @@ def top_parts_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE INTO as a batch operator: apply an update/insert
+    changeset to ``orders`` with copy-on-write semantics (matched rows
+    replaced, new keys inserted, everything else carried over), then
+    summarize the merged state per status.
+
+    The changeset is derived deterministically so the oracle can build
+    the identical one: keys ≡ 3 (mod 7) get their price doubled and
+    status ``'U'``; keys ≡ 1 (mod 13) also arrive as brand-new orders
+    (key shifted by 10^8) with status ``'N'``.
+
+    Scale: the Spark plan is the canonical distributed merge —
+    ``target LEFT ANTI JOIN changeset`` on the key plus a union (one
+    shuffle on the high-cardinality key, AQE-splittable; a sorted/
+    bucketed target turns it into a zero-exchange merge, see
+    sources/formats.py write_bucketed). No driver-side state; the
+    changeset can be arbitrarily large.
+    """
+    # decimal(12,2): wide enough for a doubled TPC-H totalprice
+    # (~1.1M > decimal(8,2)'s domain), still compact-long in codegen
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("cast(o_totalprice as decimal(12,2))").alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    updates = orders.where("o_orderkey % 7 = 3").select(
+        "o_orderkey",
+        F.expr("cast(o_totalprice * 2 as decimal(12,2))").alias(
+            "o_totalprice"
+        ),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    inserts = orders.where("o_orderkey % 13 = 1").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit("N").alias("o_orderstatus"),
+    )
+    changeset = updates.unionByName(inserts)
+    merged = orders.join(
+        changeset.select("o_orderkey"), "o_orderkey", "left_anti"
+    ).unionByName(changeset)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        money_sum("o_totalprice", "sum_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
 QUERIES = {
+    "orders_merge_upsert": orders_merge_upsert,
     "orders_pivot_status": orders_pivot_status,
     "orders_cube": orders_cube,
     "orders_grouping_sets": orders_grouping_sets,
@@ -184,6 +234,33 @@ _SQL_REV = (
 )
 
 ORACLE = {
+    "orders_merge_upsert": """
+        WITH t AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DECIMAL(12,2)) AS o_totalprice,
+                   o_orderstatus
+            FROM orders
+        ), changeset AS (
+            SELECT o_orderkey,
+                   CAST(o_totalprice * 2 AS DECIMAL(12,2)) AS o_totalprice,
+                   'U' AS o_orderstatus
+            FROM t WHERE o_orderkey % 7 = 3
+            UNION ALL
+            SELECT o_orderkey + 100000000, o_totalprice, 'N'
+            FROM t WHERE o_orderkey % 13 = 1
+        ), merged AS (
+            SELECT * FROM t
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM changeset)
+            UNION ALL
+            SELECT * FROM changeset
+        )
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(CAST(SUM(o_totalprice) AS DECIMAL(38,6)) AS DOUBLE)
+                 AS sum_price,
+               MIN(o_orderkey) AS min_key,
+               MAX(o_orderkey) AS max_key
+        FROM merged GROUP BY o_orderstatus
+    """,
     "orders_pivot_status": """
         SELECT o_orderpriority,
                CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,

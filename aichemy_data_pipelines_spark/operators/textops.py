@@ -174,6 +174,48 @@ def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: documents dominated by
+    duplicate words or a single repeated bigram are boilerplate /
+    spam and get dropped before training.
+
+    Signals (all exact-integer ratios, Rae et al. 2021 §A1.1 shapes):
+    - ``frac_dup_words``  = 1 - distinct/total tokens
+    - ``top_bigram_frac`` = occurrences of the most frequent bigram
+      over total bigrams (per-row HOF: count each distinct bigram via
+      ``filter``, take ``array_max`` — O(k·n) per row on short-doc
+      k, never a shuffle)
+    - ``mean_word_len``   = exact char-sum / token count
+    - ``keep``            = thresholded AND of the above
+
+    Scale: pure map like the rest of the text suite — no explode, no
+    shuffle; the per-row quadratic bigram count is bounded by document
+    token length, not corpus size.
+    """
+    d = _docs(spark, sf_dir)
+    bg = spark_shingles("tokens", 2)
+    metrics = d.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.expr(
+            "1.0 - cast(size(array_distinct(tokens)) as double) / size(tokens)"
+        ).alias("frac_dup_words"),
+        F.expr(
+            f"cast(array_max(transform(array_distinct({bg}), "
+            f"b -> size(filter({bg}, x -> x = b)))) as double) "
+            f"/ size({bg})"
+        ).alias("top_bigram_frac"),
+        F.expr(
+            "cast(aggregate(tokens, 0, (a, t) -> a + length(t)) as double) "
+            "/ size(tokens)"
+        ).alias("mean_word_len"),
+    )
+    return metrics.withColumn(
+        "keep",
+        (F.col("frac_dup_words") <= 0.55) & (F.col("top_bigram_frac") <= 0.10),
+    )
+
+
 def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus stats over the quality pipeline output —
     operator composition: quality scores feed a second aggregate.
@@ -203,6 +245,7 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "text_repetition_filter": text_repetition_filter,
     "text_ngram_stats": text_ngram_stats,
     "text_stats_by_lang": text_stats_by_lang,
     "text_tokencount": text_tokencount,
@@ -221,6 +264,27 @@ _pred_cases = " ".join(
 )
 
 ORACLE = {
+    "text_repetition_filter": f"""
+        WITH m AS (
+            SELECT doc_id,
+                   len({_T}) AS n_tokens,
+                   1.0 - CAST(len(list_distinct({_T})) AS DOUBLE)
+                         / len({_T}) AS frac_dup_words,
+                   CAST(list_max(list_transform(
+                            list_distinct({sql_shingles(_T, 2)}),
+                            b -> len(list_filter({sql_shingles(_T, 2)},
+                                                 x -> x = b)))) AS DOUBLE)
+                     / len({sql_shingles(_T, 2)}) AS top_bigram_frac,
+                   CAST(list_aggregate(list_transform({_T}, t -> length(t)),
+                                       'sum') AS DOUBLE)
+                     / len({_T}) AS mean_word_len
+            FROM documents
+        )
+        SELECT doc_id, n_tokens, frac_dup_words, top_bigram_frac,
+               mean_word_len,
+               frac_dup_words <= 0.55 AND top_bigram_frac <= 0.10 AS keep
+        FROM m
+    """,
     "text_ngram_stats": f"""
         WITH tok AS (
             SELECT unnest({_T}) AS token FROM documents

@@ -93,6 +93,34 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
+def write_sorted_layout(
+    df: DataFrame,
+    dest_path: str,
+    sort_col: str,
+    n_files: int,
+) -> None:
+    """Range-partitioned, sorted-within-file parquet layout — the
+    data-skipping write path (1-D Z-order).
+
+    ``repartitionByRange`` gives each output file a disjoint value
+    range of *sort_col* (sampled range boundaries, so skew in the
+    sort key still yields balanced files); ``sortWithinPartitions``
+    then makes every parquet row group's min/max tight. A later scan
+    with a predicate on *sort_col* prunes to the one file + row group
+    that can contain it — at 100 TB the difference between a full
+    scan and reading one footer. The disjoint-ranges property is
+    asserted from the parquet footers in tests/test_sources.py.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(dest_path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

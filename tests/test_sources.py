@@ -122,3 +122,40 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
         spark.read.parquet(dest).exceptAll(docs).count() == 0
         and docs.exceptAll(spark.read.parquet(dest)).count() == 0
     )
+
+
+def test_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
+    """write_sorted_layout must give each file a disjoint sort-key
+    range with tight row-group min/max stats (the data-skipping
+    property), verified straight from the parquet footers."""
+    import pyarrow.parquet as pq
+
+    from aichemy_data_pipelines_spark.sources.formats import (
+        write_sorted_layout,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    dest = str(tmp_path / "sorted")
+    write_sorted_layout(orders, dest, "o_orderkey", n_files=8)
+
+    ranges = []
+    for name in os.listdir(dest):
+        if not name.endswith(".parquet"):
+            continue
+        meta = pq.ParquetFile(os.path.join(dest, name)).metadata
+        idx = meta.schema.names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            assert st is not None and st.has_min_max
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges must be disjoint"
+    # and a point-lookup scan prunes + returns the right row
+    key = ranges[3][0]
+    got = spark.read.parquet(dest).where(F.col("o_orderkey") == key)
+    assert got.count() == orders.where(F.col("o_orderkey") == key).count()
