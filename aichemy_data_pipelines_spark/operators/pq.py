@@ -1,0 +1,212 @@
+"""Product quantization (PQ) for the embedding store: split each
+64-dim vector into M=4 subspaces of 16 dims, train a K=4-centroid
+codebook per subspace with the same deterministic k-means used by the
+IVF coarse quantizer (operators/ivf.py), and encode every vector as
+M small codes — the FAISS-PQ storage/ANN tier (IVF = routing, SQ8 =
+linear compression, PQ = codebook compression; together the standard
+triad).
+
+Compression: 4 codes × 2 bits of codebook id here (toy K; production
+K=256 → 4 bytes/vector vs 256 — a 64× cut). ADC search then scores
+candidates from M table lookups instead of a 64-dim dot product.
+
+Determinism (same recipe as ivf.py, so even TRAINING is
+oracle-checked): seeds are the K vectors with smallest md5(vec_id);
+assignment minimizes the exact-decimal L2² (computed as
+``d(a,a) - 2·d(a,b) + d(b,b)`` from portable decimal dots, rounded to
+8dp, ties to the lower code); one unrolled Lloyd step recomputes
+centroids as exact-decimal 6dp means.
+
+Scale: training is sample-sized (seeds + one groupBy per Lloyd step);
+codebooks are M×K rows — a broadcast literal. Encoding is the only
+corpus-scale stage: per (vector, subspace) a K-way broadcast scoring
++ one bounded groupBy(vec_id) to reassemble codes (M values per key).
+At 100 TB the codebooks ship as literals and encoding is a pure map
+over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.vectors import (
+    spark_dot_exact,
+    sql_dot_exact,
+)
+
+_M = 4  # subspaces
+_SUBDIM = 16  # dims per subspace (64-dim embeddings)
+_K = 4  # centroids per sub-codebook
+
+
+def _subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long form (vec_id, label, s, sub): one row per subspace slice."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_M - 1}), "
+                f"s -> slice(embedding, s * {_SUBDIM} + 1, {_SUBDIM}))"
+            )
+        ).alias("s", "sub"),
+    )
+
+
+def _d2(a: str, b: str) -> str:
+    """Portable L2² from three exact-decimal dots (see module doc)."""
+    return (
+        f"round({spark_dot_exact(a, a)} - 2 * {spark_dot_exact(a, b)} "
+        f"+ {spark_dot_exact(b, b)}, 8)"
+    )
+
+
+def _assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Min-L2 code per (vec_id, s), ties to the lower code id."""
+    w = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
+    return (
+        subs.join(F.broadcast(cents), "s")
+        .withColumn("d2", F.expr(_d2("sub", "cent")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "label", "s", "sub", F.col("cid").alias("code"))
+    )
+
+
+def _mean_cents(assign: DataFrame) -> DataFrame:
+    """Per-(subspace, code) 6dp exact-decimal mean centroids."""
+    dims = assign.select(
+        "s", "code", F.posexplode("sub").alias("pos", "x")
+    )
+    per_dim = dims.groupBy("s", "code", "pos").agg(
+        F.round(
+            F.expr(
+                "cast(sum(cast(cast(x as double) as decimal(18,12))) as double)"
+            )
+            / F.count("*"),
+            6,
+        ).alias("c")
+    )
+    return per_dim.groupBy("s", F.col("code").alias("cid")).agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, c))), p -> p.c)"
+        ).alias("cent")
+    )
+
+
+def embeddings_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the M sub-codebooks (deterministic k-means, 1 Lloyd
+    step) and encode every vector as its M PQ codes.
+
+    Output: (vec_id, label, codes array<int> of length M).
+    """
+    subs = _subs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_K)
+        .select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
+            "vec_id",
+        )
+    )
+    cent0 = (
+        subs.join(seeds, "vec_id")
+        .select(
+            "s",
+            "cid",
+            F.expr("transform(sub, x -> round(cast(x as double), 6))").alias(
+                "cent"
+            ),
+        )
+    )
+    cents = _mean_cents(_assign(subs, cent0))
+    coded = _assign(subs, cents)
+    return coded.groupBy("vec_id", "label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(s, code))), "
+            "p -> p.code)"
+        ).alias("codes")
+    )
+
+
+QUERIES = {"embeddings_pq_encode": embeddings_pq_encode}
+
+
+def _sql_d2() -> str:
+    return (
+        f"round({sql_dot_exact('xa', 'xa')} - 2 * {sql_dot_exact('xa', 'xb')} "
+        f"+ {sql_dot_exact('xb', 'xb')}, 8)"
+    )
+
+
+def _sql_assign_ctes(cent: str, out: str) -> str:
+    """Emit ``{out}(vec_id, s, code)`` assigning each subvector to its
+    min-L2 centroid in ``{cent}(s, cid, cent)``."""
+    return f"""{out}_x AS (
+            SELECT sb.vec_id, sb.s, c.cid,
+                   unnest(sb.sub) AS xa, unnest(c.cent) AS xb
+            FROM subs sb JOIN {cent} c ON sb.s = c.s
+        ), {out}_d AS (
+            SELECT vec_id, s, cid, {_sql_d2()} AS d2
+            FROM {out}_x GROUP BY vec_id, s, cid
+        ), {out} AS (
+            SELECT vec_id, s, cid AS code FROM (
+                SELECT vec_id, s, cid,
+                       row_number() OVER (PARTITION BY vec_id, s
+                                          ORDER BY d2, cid) AS rk
+                FROM {out}_d) t
+            WHERE rk = 1
+        )"""
+
+
+_SQL_MEAN_CTES = """m_p AS (
+            SELECT a.s, a.code AS cid, x.pos,
+                   round(CAST(SUM(CAST(CAST(x.val AS DOUBLE)
+                                       AS DECIMAL(18,12))) AS DOUBLE)
+                         / COUNT(*), 6) AS c
+            FROM a1 a JOIN (
+                SELECT vec_id, s,
+                       unnest(list_transform(sub,
+                              (v, i) -> {'pos': i - 1, 'val': v})) AS x
+                FROM subs) sb ON sb.vec_id = a.vec_id AND sb.s = a.s
+            GROUP BY a.s, a.code, x.pos
+        ), cent1 AS (
+            SELECT s, cid, list(c ORDER BY pos) AS cent FROM m_p
+            GROUP BY s, cid
+        )"""
+
+
+ORACLE = {
+    "embeddings_pq_encode": f"""
+        WITH subs AS (
+            SELECT vec_id, label, s,
+                   embedding[s * {_SUBDIM} + 1 : s * {_SUBDIM} + {_SUBDIM}]
+                     AS sub
+            FROM embeddings,
+                 unnest([{", ".join(str(s) for s in range(_M))}]) AS t(s)
+        ), seeds AS (
+            SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
+            FROM embeddings ORDER BY h LIMIT {_K}
+        ), seedids AS (
+            SELECT row_number() OVER (ORDER BY h) - 1 AS cid, vec_id
+            FROM seeds
+        ), cent0 AS (
+            SELECT sb.s, sd.cid,
+                   list_transform(sb.sub,
+                                  x -> round(CAST(x AS DOUBLE), 6)) AS cent
+            FROM seedids sd JOIN subs sb ON sb.vec_id = sd.vec_id
+        ), {_sql_assign_ctes("cent0", "a1")},
+        {_SQL_MEAN_CTES},
+        {_sql_assign_ctes("cent1", "a2")}
+        SELECT e.vec_id, e.label, list(a.code ORDER BY a.s) AS codes
+        FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
+        GROUP BY e.vec_id, e.label
+    """,
+}

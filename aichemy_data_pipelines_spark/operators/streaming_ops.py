@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.streaming.watch import (
+    stream_enrich_counts,
     stream_sessionize,
     stream_tumbling_counts,
     stream_user_running_totals,
@@ -66,13 +67,27 @@ def streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(spark, stream_enrich_counts, sf_dir)
+
+
 QUERIES = {
+    "streaming_enriched_segments": streaming_enriched_segments,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_session_window": streaming_session_window,
     "streaming_user_totals": streaming_user_totals,
 }
 
 ORACLE = {
+    "streaming_enriched_segments": """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        JOIN customer
+          ON user_id % (SELECT COUNT(*) FROM customer) + 1 = c_custkey
+        GROUP BY c_mktsegment
+    """,
     "streaming_tumbling_window": """
         SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                  AS window_start,

@@ -93,6 +93,30 @@ def bucketed_join(
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Opaque-binary ingestion via Spark's ``binaryFile`` source —
+    the entry point for multimodal corpora (images/audio/video land
+    as files; this turns a directory into a DataFrame of
+    (path, modificationTime, length, content) with content as a
+    `binary` column ready for multimodal/codecs.py's `mapInPandas`
+    decode stage).
+
+    Scale: listing is distributed and incremental-friendly (pair with
+    the streaming file source in streaming/watch.py for tailing);
+    pushdown on path/length happens BEFORE content is read, so a
+    `length < N` guard never fetches oversized payloads. Binary
+    content is never parsed JVM-side — it flows straight to Arrow.
+    """
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)
+
+
 def write_sorted_layout(
     df: DataFrame,
     dest_path: str,

@@ -253,3 +253,50 @@ def stream_user_running_totals(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_enrich_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_enrich",
+) -> None:
+    """Stream-static broadcast join: enrich the event stream with the
+    ``customer`` dimension (market segment), then aggregate counts and
+    exact-cents sums per segment.
+
+    The static side is re-resolvable per micro-batch (Spark re-plans
+    the join each trigger, so a refreshed dim table is picked up) and
+    broadcast — the canonical dimension-enrichment shape: NO shuffle
+    of the stream side for the join; the only stateful shuffle is the
+    5-key segment aggregate.
+
+    Events carry no customer key, so the join key is derived
+    deterministically (user_id spread over the customer keyspace) —
+    the oracle builds the identical key.
+    """
+    from aichemy_data_pipelines_spark.catalog import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    n_cust = cust.count()  # bounded scalar: sizes the derived join key
+    ev = load_events_stream(spark, sf_dir).withColumn(
+        "c_custkey", F.col("user_id") % n_cust + 1
+    )
+    joined = ev.join(F.broadcast(cust), "c_custkey")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        (
+            F.expr("sum(cast(round(value * 100) as bigint))") / 100.0
+        ).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

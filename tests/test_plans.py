@@ -83,3 +83,37 @@ def test_dedup_clusters_restores_shuffle_partitions(spark):
         assert spark.conf.get("spark.sql.shuffle.partitions") == sentinel
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """With broadcast off (the 100 TB fact-fact case), Spark's runtime
+    bloom-filter injection must add a might_contain semi-filter on the
+    big probe side of a selective join — rows are dropped at the scan
+    instead of being shuffled. Results must equal the unfiltered join."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.catalog import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").where(
+        "o_orderpriority = '1-URGENT'"
+    )
+    want = li.join(o, li.l_orderkey == o.o_orderkey).count()
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower(), phys
+        assert j.count() == want
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

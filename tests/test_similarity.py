@@ -160,3 +160,19 @@ def test_quantize_int8_invariants(spark):
     maxs = [max(r.codes[i] for r in rows) for i in range(64)]
     assert all(m == 0 for m in mins)
     assert all(m == 255 for m in maxs)
+
+
+def test_pq_encode_uses_full_codebooks(spark):
+    from aichemy_data_pipelines_spark.operators.pq import _K, _M, embeddings_pq_encode
+
+    rows = embeddings_pq_encode(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert len(r.codes) == _M
+        assert all(0 <= c < _K for c in r.codes)
+    # every subspace's codebook is fully used (no dead centroids) and
+    # codes actually discriminate (no constant column)
+    for s in range(_M):
+        used = {r.codes[s] for r in rows}
+        assert used == set(range(_K))

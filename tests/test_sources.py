@@ -159,3 +159,27 @@ def test_sorted_layout_has_disjoint_file_ranges(spark, tmp_path):
     key = ranges[3][0]
     got = spark.read.parquet(dest).where(F.col("o_orderkey") == key)
     assert got.count() == orders.where(F.col("o_orderkey") == key).count()
+
+
+def test_read_binary_dir_roundtrip(spark, tmp_path):
+    """binaryFile ingestion: bytes written to disk come back exactly,
+    with glob filtering and a size guard that prunes before read."""
+    from aichemy_data_pipelines_spark.sources.formats import read_binary_dir
+
+    payloads = {
+        f"doc{i}.bin": bytes(range(i, i + 32)) for i in range(3)
+    }
+    (tmp_path / "noise.txt").write_text("not a payload")
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+
+    df = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 3
+    got = {os.path.basename(r.path): bytes(r.content) for r in rows}
+    assert got == payloads
+    assert all(r.length == 32 for r in rows)
+    # metadata-only predicate works without touching content
+    assert read_binary_dir(spark, str(tmp_path), glob="*.bin").where(
+        "length > 1000"
+    ).count() == 0
