@@ -136,7 +136,83 @@ def embeddings_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"embeddings_pq_encode": embeddings_pq_encode}
+_N_QUERIES = 10
+_ADC_TOP_K = 3
+
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) search over the PQ
+    codes: each query precomputes an M×K distance table against the
+    sub-codebooks; a candidate's approximate L2² is then the SUM of M
+    table lookups — no full-dimension arithmetic per pair.
+
+    Scale: the distance tables are |Q|×M×K rows (tiny, broadcast);
+    the corpus-side work is an equi-join of the code table (M rows
+    per vector, integer keys) with the broadcast tables + a bounded
+    groupBy — exactly how a 100 TB PQ index serves queries. Exact
+    re-rank of the ADC top-k (ivf.py's shape) is the optional tail.
+
+    Output: (query_id, rk, cand_id, adc_d2), rk by ascending ADC
+    distance, ties to lower cand_id.
+    """
+    subs = _subs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_K)
+        .select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
+            "vec_id",
+        )
+    )
+    cent0 = subs.join(seeds, "vec_id").select(
+        "s",
+        "cid",
+        F.expr("transform(sub, x -> round(cast(x as double), 6))").alias(
+            "cent"
+        ),
+    )
+    cents = _mean_cents(_assign(subs, cent0))
+    codes = _assign(subs, cents).select("vec_id", "s", "code")
+
+    # per-query M×K distance table (broadcast)
+    dtab = (
+        subs.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "s", "sub")
+        .join(F.broadcast(cents), "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("cid").alias("code"),
+            F.expr(_d2("sub", "cent")).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "cand_id")
+    return (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .join(F.broadcast(dtab), ["s", "code"])
+        .where(F.col("query_id") != F.col("cand_id"))
+        .groupBy("query_id", "cand_id")
+        # integer-1e8ths sum: the M components are 8dp-rounded, so
+        # scaling to bigint makes the sum exact and order-independent
+        .agg(
+            F.expr(
+                "sum(cast(round(d2 * 100000000) as bigint)) / 100000000"
+            ).alias("adc_d2")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _ADC_TOP_K)
+        .select("query_id", "rk", "cand_id", "adc_d2")
+    )
+
+
+QUERIES = {
+    "embeddings_pq_encode": embeddings_pq_encode,
+    "ann_pq_adc_topk": ann_pq_adc_topk,
+}
 
 
 def _sql_d2() -> str:
@@ -183,9 +259,8 @@ _SQL_MEAN_CTES = """m_p AS (
         )"""
 
 
-ORACLE = {
-    "embeddings_pq_encode": f"""
-        WITH subs AS (
+# shared training chain: subs → seeds → cent0 → a1 (Lloyd) → cent1
+_PQ_TRAIN_CTES = f"""subs AS (
             SELECT vec_id, label, s,
                    embedding[s * {_SUBDIM} + 1 : s * {_SUBDIM} + {_SUBDIM}]
                      AS sub
@@ -203,7 +278,38 @@ ORACLE = {
                                   x -> round(CAST(x AS DOUBLE), 6)) AS cent
             FROM seedids sd JOIN subs sb ON sb.vec_id = sd.vec_id
         ), {_sql_assign_ctes("cent0", "a1")},
-        {_SQL_MEAN_CTES},
+        {_SQL_MEAN_CTES}"""
+
+
+ORACLE = {
+    "ann_pq_adc_topk": f"""
+        WITH {_PQ_TRAIN_CTES},
+        {_sql_assign_ctes("cent1", "a2")},
+        dtab_x AS (
+            SELECT sb.vec_id AS query_id, sb.s, c.cid AS code,
+                   unnest(sb.sub) AS xa, unnest(c.cent) AS xb
+            FROM subs sb JOIN cent1 c ON sb.s = c.s
+            WHERE sb.vec_id < {_N_QUERIES}
+        ), dtab AS (
+            SELECT query_id, s, code, {_sql_d2()} AS d2
+            FROM dtab_x GROUP BY query_id, s, code
+        ), adc AS (
+            SELECT d.query_id, a.vec_id AS cand_id,
+                   SUM(CAST(round(d.d2 * 100000000) AS BIGINT))
+                     / 100000000 AS adc_d2
+            FROM a2 a JOIN dtab d ON d.s = a.s AND d.code = a.code
+            WHERE d.query_id <> a.vec_id
+            GROUP BY d.query_id, a.vec_id
+        )
+        SELECT query_id, rk, cand_id, adc_d2 FROM (
+            SELECT query_id, cand_id, adc_d2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, cand_id) AS rk
+            FROM adc) t
+        WHERE rk <= {_ADC_TOP_K}
+    """,
+    "embeddings_pq_encode": f"""
+        WITH {_PQ_TRAIN_CTES},
         {_sql_assign_ctes("cent1", "a2")}
         SELECT e.vec_id, e.label, list(a.code ORDER BY a.s) AS codes
         FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id

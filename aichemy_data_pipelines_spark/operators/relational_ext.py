@@ -214,7 +214,45 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance by partial-aggregate algebra:
+    the pre-cutoff BASE aggregate and the newly-arrived DELTA
+    partition aggregate are merged by re-aggregating their
+    (count, sum) partials — the base data is never re-scanned.
+    Averages derive from merged partials at read time (avg is not
+    re-aggregable; count+sum are).
+
+    At 100 TB this is THE nightly-rollup pattern: the base agg is a
+    stored table of keyspace size; each increment touches only the
+    new partition. Here both sides derive from the same table split
+    on a date cutoff so the DuckDB oracle (one full aggregate) proves
+    the merge algebra exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.expr(f"sum({dec('o_totalprice')})").alias("_psum"),
+        )
+
+    base = partial(orders.where("o_orderdate < timestamp '1999-01-01'"))
+    delta = partial(orders.where("o_orderdate >= timestamp '1999-01-01'"))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n_orders"),
+            F.expr(sum_to_double("sum(_psum)")).alias("sum_price"),
+            (
+                F.expr(sum_to_double("sum(_psum)")) / F.sum("n")
+            ).alias("avg_price"),
+        )
+    )
+
+
 QUERIES = {
+    "orders_incremental_agg": orders_incremental_agg,
     "orders_merge_upsert": orders_merge_upsert,
     "orders_pivot_status": orders_pivot_status,
     "orders_cube": orders_cube,
@@ -234,6 +272,13 @@ _SQL_REV = (
 )
 
 ORACLE = {
+    "orders_incremental_agg": f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               {_SQL_SUM_PRICE} AS sum_price,
+               {_SQL_SUM_PRICE} / COUNT(*) AS avg_price
+        FROM orders GROUP BY o_orderpriority
+    """,
     "orders_merge_upsert": """
         WITH t AS (
             SELECT o_orderkey,

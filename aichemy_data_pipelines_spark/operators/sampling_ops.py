@@ -59,9 +59,56 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: sample the corpus down to a target
+    mixture (here: equal doc share per source at half the corpus
+    size) with hash-deterministic acceptance — the data-mixing stage
+    that sets training-set domain weights.
+
+    Per source: acceptance threshold (ppm, exact integer arithmetic)
+    ``min(1e6, budget_per_source * 1e6 / n_i)``; a doc is kept iff
+    ``hash(doc_id) % 1e6 < thr``. Deterministic, engine-portable, and
+    stable under corpus growth (existing docs never flip).
+
+    Output: (source, n_docs, accept_ppm, n_sampled) — the audit view.
+
+    Scale: one tiny per-source count, thresholds broadcast back, then
+    a pure-map filter + one bounded agg. No corpus-scale shuffle —
+    the filter runs at scan time.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("n_total"), F.count("*").alias("n_sources")
+    )
+    thr = (
+        counts.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "accept_ppm",
+            F.expr(
+                "least(cast(1000000 as bigint), "
+                "(n_total div (2 * n_sources)) * 1000000 div n_docs)"
+            ),
+        )
+        .select("source", "n_docs", "accept_ppm")
+    )
+    h = F.expr(f"{spark_hash64('cast(doc_id as string)', seed=13)} % 1000000")
+    return (
+        docs.join(F.broadcast(thr), "source")
+        .withColumn("_h", h)
+        .groupBy("source", "n_docs", "accept_ppm")
+        .agg(
+            F.sum(F.expr("cast(_h < accept_ppm as bigint)")).alias(
+                "n_sampled"
+            )
+        )
+    )
+
+
 QUERIES = {
     "sample_split": sample_split,
     "sample_stratified": sample_stratified,
+    "corpus_mixture_sample": corpus_mixture_sample,
 }
 
 _H = sql_hash64("CAST(doc_id AS VARCHAR)")
@@ -87,5 +134,24 @@ ORACLE = {
                                       ORDER BY ({_H7}), doc_id) AS pick_rank
             FROM documents) t
         WHERE pick_rank <= {_PER_SOURCE_K}
+    """,
+    "corpus_mixture_sample": f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), totals AS (
+            SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM counts
+        ), thr AS (
+            SELECT source, n_docs,
+                   least(CAST(1000000 AS BIGINT),
+                         (n_total // (2 * n_sources)) * 1000000 // n_docs)
+                     AS accept_ppm
+            FROM counts, totals
+        )
+        SELECT d.source, t.n_docs, t.accept_ppm,
+               CAST(SUM(CASE WHEN ({sql_hash64("CAST(doc_id AS VARCHAR)", seed=13)})
+                                  % 1000000 < t.accept_ppm
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM documents d JOIN thr t ON d.source = t.source
+        GROUP BY d.source, t.n_docs, t.accept_ppm
     """,
 }

@@ -468,7 +468,44 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sequential ML features — the feature-engineering
+    window stage of a training pipeline: event index, previous value,
+    seconds since previous event, rolling mean of the prior ≤5 values
+    (exact integer-cents sum, one FP division).
+
+    Scale: one shuffle on user_id (the natural high-cardinality key),
+    then every feature is computed in a single window pass over each
+    partition; rolling state is O(frame) per row. This is the shape
+    feature backfills run at corpus scale.
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "_cents", F.expr("cast(round(value * 100) as bigint)")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = w.rowsBetween(-5, -1)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("seq"),
+        (F.lag("_cents").over(w) / 100.0).alias("prev_value"),
+        (
+            (
+                F.expr("unix_micros(ts)")
+                - F.lag(F.expr("unix_micros(ts)")).over(w)
+            )
+            / 1000000.0
+        ).alias("secs_since_prev"),
+        F.when(
+            F.count("*").over(wprev) > 0,
+            F.sum("_cents").over(wprev)
+            / (F.count("*").over(wprev) * 100.0),
+        ).alias("rolling_mean5"),
+    )
+
+
 QUERIES = {
+    "events_lag_features": events_lag_features,
     "events_gapfill_hourly": events_gapfill_hourly,
     "events_moving_avg": events_moving_avg,
     "events_tumbling_window": events_tumbling_window,
@@ -490,6 +527,22 @@ _SQL_SUM_VALUE = (
 )
 
 ORACLE = {
+    "events_lag_features": """
+        SELECT event_id, user_id,
+               row_number() OVER w AS seq,
+               lag(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0
+                 AS prev_value,
+               (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0
+                 AS secs_since_prev,
+               CASE WHEN COUNT(*) OVER wp > 0
+                    THEN SUM(CAST(round(value * 100) AS BIGINT)) OVER wp
+                         / (COUNT(*) OVER wp * 100.0)
+               END AS rolling_mean5
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wp AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    """,
     "events_gapfill_hourly": """
         WITH hourly AS (
             SELECT date_trunc('hour', ts) AS h, event_type,

@@ -145,6 +145,57 @@ def write_sorted_layout(
     )
 
 
+def write_zorder_layout(
+    df: DataFrame,
+    dest_path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """2-D Z-order (Morton) parquet layout: interleave the bits of
+    two normalized sort keys so each output file covers a compact
+    RECTANGLE of the (a, b) value space — min/max skipping then works
+    for predicates on EITHER column, where a plain 1-D sort only
+    skips on its lead column.
+
+    Normalization maps each key to a ``bits``-bit grid via global
+    min/max (two bounded scalars, collected once); the Morton code is
+    a pure-JVM bit-interleave expression inside codegen. The
+    bounding-box tightening vs a round-robin layout is asserted from
+    parquet footers in tests/test_sources.py.
+    """
+    from pyspark.sql import functions as F
+
+    lo_a, hi_a, lo_b, hi_b = df.selectExpr(
+        f"min({col_a})", f"max({col_a})", f"min({col_b})", f"max({col_b})"
+    ).first()
+    gmax = (1 << bits) - 1
+
+    def grid(col: str, lo: float, hi: float) -> str:
+        span = max(hi - lo, 1)
+        return (
+            f"cast(floor((cast({col} as double) - {lo}) * {gmax} / {span}) "
+            f"as bigint)"
+        )
+
+    ga, gb = grid(col_a, lo_a, hi_a), grid(col_b, lo_b, hi_b)
+    morton = " + ".join(
+        f"(((_ga >> {i}) & 1) << {2 * i}) + (((_gb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    (
+        df.withColumn("_ga", F.expr(ga))
+        .withColumn("_gb", F.expr(gb))
+        .withColumn("_z", F.expr(morton))
+        .repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_ga", "_gb", "_z")
+        .write.mode("overwrite")
+        .parquet(dest_path)
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src_path: str,

@@ -183,3 +183,49 @@ def test_read_binary_dir_roundtrip(spark, tmp_path):
     assert read_binary_dir(spark, str(tmp_path), glob="*.bin").where(
         "length > 1000"
     ).count() == 0
+
+
+def test_zorder_layout_tightens_both_dims(spark, tmp_path):
+    """Z-order files must cover compact rectangles: the mean product
+    of per-file normalized (orderkey-range × partkey-range) must be
+    far below a round-robin layout's (~1.0 per file)."""
+    import pyarrow.parquet as pq
+
+    from aichemy_data_pipelines_spark.sources.formats import (
+        write_zorder_layout,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "rr")
+    write_zorder_layout(li, zdir, "l_orderkey", "l_partkey", n_files=8)
+    li.repartition(8).write.parquet(rdir)
+
+    def mean_box_area(path):
+        spans = {}
+        for c in ("l_orderkey", "l_partkey"):
+            vals = []
+            for name in os.listdir(path):
+                if not name.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(path, name)).metadata
+                idx = meta.schema.names.index(c)
+                st = [
+                    meta.row_group(g).column(idx).statistics
+                    for g in range(meta.num_row_groups)
+                ]
+                vals.append(
+                    (min(s.min for s in st), max(s.max for s in st))
+                )
+            glo = min(v[0] for v in vals)
+            ghi = max(v[1] for v in vals)
+            spans[c] = [(hi - lo) / max(ghi - glo, 1) for lo, hi in vals]
+        return sum(
+            a * b for a, b in zip(spans["l_orderkey"], spans["l_partkey"])
+        ) / len(spans["l_orderkey"])
+
+    z_area, rr_area = mean_box_area(zdir), mean_box_area(rdir)
+    assert z_area < 0.5 * rr_area, (z_area, rr_area)
+    # layout preserves content
+    assert spark.read.parquet(zdir).count() == li.count()
