@@ -226,9 +226,62 @@ def _dedup_clusters_star_inner(
     )
 
 
+_PR_ITERS = 3
+_PR_SCALE = 100_000_000  # ranks in integer 1e-8ths — exact, portable
+_PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
+_PR_BASE = 15_000_000  # (1 - d) * scale
+
+
+def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the LSH candidate-pair graph — ranks
+    the 'canonical' documents inside near-duplicate neighborhoods
+    (high-degree hubs of boilerplate score high; useful as a keep-one
+    tiebreaker and a template-detector).
+
+    ALL arithmetic is integer: ranks are scaled to 1e-8ths,
+    contributions use floor division by degree, damping is
+    ``base + 85·sum // 100``. Floating-point PageRank is
+    summation-order-dependent and therefore not engine-comparable;
+    integer PageRank is bit-exact in any engine — which is how this
+    iterative algorithm gets a full value-checked oracle (unrolled to
+    the same 3 iterations in SQL).
+
+    Scale: per iteration one equi-join (edges ⋈ ranks on src) + one
+    agg on dst — the standard distributed PageRank shape; iterations
+    are a driver loop. Degrees/dangling handling: the candidate graph
+    is symmetrized so every node has degree ≥ 1.
+    """
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = deg.select("src", F.lit(_PR_SCALE).cast("bigint").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("src"),
+            F.expr(f"{_PR_BASE} + ({_PR_DAMP_NUM} * s) div 100").alias(
+                "rank"
+            ),
+        )
+    return ranks.select(F.col("src").alias("doc_id"), "rank")
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
+    "docs_pagerank": docs_pagerank,
 }
 
 _SQL_CLUSTERS = f"""
@@ -289,9 +342,39 @@ _SQL_CLUSTERS = f"""
           ON c.cluster_id = s.cluster_id
     """
 
+def _sql_pr_iter(prev: str, out: str) -> str:
+    return f"""{out} AS (
+            SELECT e.dst AS src,
+                   {_PR_BASE} + ({_PR_DAMP_NUM} *
+                       SUM(r.rank // d.deg)) // 100 AS rank
+            FROM edges e
+            JOIN {prev} r ON r.src = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        )"""
+
+
+_SQL_PAGERANK = f"""
+        WITH pairs AS ({_SQL_LSH_PAIRS}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), deg AS (
+            SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT src, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg
+        ), {_sql_pr_iter("r0", "r1")},
+        {_sql_pr_iter("r1", "r2")},
+        {_sql_pr_iter("r2", "r3")}
+        SELECT src AS doc_id, rank FROM r3
+"""
+
+
 ORACLE = {
     "dedup_clusters": _SQL_CLUSTERS,
     # identical contract — the star variant must produce the very same
     # components, so it shares the recursive-CTE oracle
     "dedup_clusters_star": _SQL_CLUSTERS,
+    "docs_pagerank": _SQL_PAGERANK,
 }

@@ -185,11 +185,78 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel, composed from the shipped
+    stages: quality gate (Gopher-style repetition filter) → eval
+    holdout → benchmark decontamination → near-dup keep-one — with a
+    per-source audit of every drop reason and the final token yield.
+
+    This is the "one query a corpus owner runs" view: each gate is
+    counted independently (flags, not sequential subtraction, so the
+    numbers don't depend on gate order) and ``n_final`` applies the
+    conjunction.
+
+    Scale: each stage keeps its own optimal shape (pure-map quality,
+    broadcast decontam, equi-join dedup); the funnel adds only
+    doc_id-keyed left joins of flag tables + one tiny agg on source.
+    """
+    from aichemy_data_pipelines_spark.operators.textops import (
+        text_repetition_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.expr(SPARK_TOKENS)).alias("ws")
+    )
+    quality = text_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    contam = decontam_ngram_overlap(spark, sf_dir).select(
+        "doc_id", F.lit(True).alias("contam")
+    )
+    keep1 = dedup_keep_one(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("dedup_keep")
+    )
+    flags = (
+        docs.join(quality, "doc_id", "left")
+        .join(contam, "doc_id", "left")
+        .join(keep1, "doc_id", "left")
+        .select(
+            "source",
+            "ws",
+            F.coalesce("q_keep", F.lit(False)).alias("q_keep"),
+            (F.col("doc_id") % _EVAL_MOD == 0).alias("is_eval"),
+            F.coalesce("contam", F.lit(False)).alias("contam"),
+            (F.coalesce("dedup_keep", F.lit(1)) == 1).alias("dedup_keep"),
+        )
+        .withColumn(
+            "final",
+            F.col("q_keep")
+            & ~F.col("is_eval")
+            & ~F.col("contam")
+            & F.col("dedup_keep"),
+        )
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_raw"),
+        F.sum(F.expr("cast(not q_keep as bigint)")).alias("n_fail_quality"),
+        F.sum(F.expr("cast(is_eval as bigint)")).alias("n_eval_heldout"),
+        F.sum(F.expr("cast(contam as bigint)")).alias("n_contaminated"),
+        F.sum(F.expr("cast(not dedup_keep as bigint)")).alias(
+            "n_dup_dropped"
+        ),
+        F.sum(F.expr("cast(final as bigint)")).alias("n_final"),
+        F.sum(F.expr("case when final then ws else 0 end")).alias(
+            "final_ws_tokens"
+        ),
+    )
+
+
 QUERIES = {
     "dedup_keep_one": dedup_keep_one,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "docs_distinct_terms": docs_distinct_terms,
     "corpus_token_budget": corpus_token_budget,
+    "corpus_curation_funnel": corpus_curation_funnel,
 }
 
 from aichemy_data_pipelines_spark.operators.textops import _BPE_RE_SQL  # noqa: E402
@@ -252,3 +319,46 @@ ORACLE = {
         WHERE rk <= {_TOP_TERMS}
     """,
 }
+
+from aichemy_data_pipelines_spark.operators import textops as _textops  # noqa: E402
+
+# The funnel oracle composes the already-verified stage oracles as
+# derived tables (DuckDB allows WITH/WITH RECURSIVE inside them), so
+# the end-to-end numbers are checked against the same per-stage
+# definitions the individual queries verify.
+ORACLE["corpus_curation_funnel"] = f"""
+        WITH flags AS (
+            SELECT d.source, d.doc_id, len({_T}) AS ws,
+                   COALESCE(q.keep, FALSE) AS q_keep,
+                   d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
+                   c.doc_id IS NOT NULL AS contam,
+                   COALESCE(k.keep, 1) = 1 AS dedup_keep
+            FROM documents d
+            LEFT JOIN ({_textops.ORACLE["text_repetition_filter"]}) q
+              ON q.doc_id = d.doc_id
+            LEFT JOIN ({ORACLE["decontam_ngram_overlap"]}) c
+              ON c.doc_id = d.doc_id
+            LEFT JOIN ({ORACLE["dedup_keep_one"]}) k
+              ON k.doc_id = d.doc_id
+        ), fin AS (
+            SELECT *,
+                   q_keep AND NOT is_eval AND NOT contam AND dedup_keep
+                     AS final
+            FROM flags
+        )
+        SELECT source,
+               COUNT(*) AS n_raw,
+               CAST(SUM(CASE WHEN NOT q_keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_fail_quality,
+               CAST(SUM(CASE WHEN is_eval THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_eval_heldout,
+               CAST(SUM(CASE WHEN contam THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_contaminated,
+               CAST(SUM(CASE WHEN NOT dedup_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_dropped,
+               CAST(SUM(CASE WHEN final THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_final,
+               CAST(SUM(CASE WHEN final THEN ws ELSE 0 END) AS BIGINT)
+                 AS final_ws_tokens
+        FROM fin GROUP BY source
+"""

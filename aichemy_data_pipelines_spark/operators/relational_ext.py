@@ -251,7 +251,46 @@ def orders_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 history build: collapse a
+    change stream into versioned validity windows
+    (effective_from/effective_to/is_current) — the warehouse pattern
+    for tracking dimension attributes over time.
+
+    The change stream is each customer's order priority observed at
+    order dates (the natural per-customer attribute timeline in this
+    schema). Consecutive identical values collapse into one version;
+    `lead()` closes each window at the next change.
+
+    Scale: one shuffle on the dimension key, two window passes —
+    history builds are embarrassingly parallel per key; no joins.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    stream = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        F.col("o_orderpriority").alias("attr"),
+    ).withColumn("_prev", F.lag("attr").over(w))
+    changes = stream.where(
+        F.col("_prev").isNull() | (F.col("attr") != F.col("_prev"))
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.row_number().over(wc).alias("version"),
+        "attr",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format(F.lead("o_orderdate").over(wc), "yyyy-MM-dd").alias(
+            "effective_to"
+        ),
+        F.lead("o_orderdate").over(wc).isNull().alias("is_current"),
+    )
+
+
 QUERIES = {
+    "customer_scd2": customer_scd2,
     "orders_incremental_agg": orders_incremental_agg,
     "orders_merge_upsert": orders_merge_upsert,
     "orders_pivot_status": orders_pivot_status,
@@ -272,6 +311,28 @@ _SQL_REV = (
 )
 
 ORACLE = {
+    "customer_scd2": """
+        WITH stream AS (
+            SELECT o_custkey, o_orderdate, o_orderkey,
+                   o_orderpriority AS attr,
+                   lag(o_orderpriority) OVER w AS prev
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ), changes AS (
+            SELECT * FROM stream WHERE prev IS NULL OR attr <> prev
+        )
+        SELECT o_custkey AS custkey,
+               row_number() OVER wc AS version,
+               attr,
+               strftime(o_orderdate, '%Y-%m-%d') AS effective_from,
+               strftime(lead(o_orderdate) OVER wc, '%Y-%m-%d')
+                 AS effective_to,
+               lead(o_orderdate) OVER wc IS NULL AS is_current
+        FROM changes
+        WINDOW wc AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+    """,
     "orders_incremental_agg": f"""
         SELECT o_orderpriority,
                COUNT(*) AS n_orders,

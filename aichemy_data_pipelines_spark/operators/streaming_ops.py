@@ -26,6 +26,7 @@ from aichemy_data_pipelines_spark.streaming.watch import (
     stream_enrich_counts,
     stream_sessionize,
     stream_tumbling_counts,
+    stream_upsert_ledger,
     stream_user_running_totals,
 )
 
@@ -71,7 +72,27 @@ def streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, stream_enrich_counts, sf_dir)
 
 
+def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the foreachBatch incremental-ledger sink (fresh ledger +
+    checkpoint) and return the ledger contents; sum exposed in whole
+    units like the stateful twin."""
+    ledger = tempfile.mkdtemp(prefix="ledger_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_upsert_")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        stream_upsert_ledger(spark, sf_dir, ledger, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.read.parquet(ledger).select(
+        "user_id",
+        "n_events",
+        (F.col("cents") / 100.0).alias("sum_value"),
+    )
+
+
 QUERIES = {
+    "streaming_upsert_totals": streaming_upsert_totals,
     "streaming_enriched_segments": streaming_enriched_segments,
     "streaming_tumbling_window": streaming_tumbling_window,
     "streaming_session_window": streaming_session_window,
@@ -79,6 +100,11 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_upsert_totals": """
+        SELECT user_id, COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events GROUP BY user_id
+    """,
     "streaming_enriched_segments": """
         SELECT c_mktsegment,
                COUNT(*) AS n_events,

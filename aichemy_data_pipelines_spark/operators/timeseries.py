@@ -439,17 +439,22 @@ def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.expr("sum(cast(round(value * 100) as bigint))").alias("_cents"),
     )
-    bounds = hourly.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-    spine = (
-        hourly.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
-            "event_type",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("interval 1 hour"))
-            ).alias("h"),
-        )
+    # ONE tiny agg yields bounds AND the type domain (1 row), so the
+    # spine explodes from it without re-aggregating events for a
+    # distinct() and again for bounds — one corpus-scale agg total
+    # for the spine side instead of three
+    stats = hourly.agg(
+        F.min("h").alias("lo"),
+        F.max("h").alias("hi"),
+        F.collect_set("event_type").alias("types"),
+    )
+    spine = stats.select(
+        F.explode("types").alias("event_type"), "lo", "hi"
+    ).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias(
+            "h"
+        ),
     )
     w = (
         Window.partitionBy("event_type")

@@ -94,17 +94,25 @@ def stream_convert(
     q.awaitTermination()
 
 
-def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def load_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Parquet streaming source over the events table (ts arrives as
     int64 nanos — same legacy-conf handling as catalog.load_table)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file-stream source requires a DIRECTORY; select the events
     # table out of the SF dir with a glob filter
-    raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
+        "pathGlobFilter", glob
     )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    raw = reader.parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -295,6 +303,67 @@ def stream_enrich_counts(
         agg.writeStream.format("memory")
         .queryName(table_name)
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_upsert_ledger(
+    spark: SparkSession,
+    src_dir: str,
+    ledger_dir: str,
+    checkpoint_dir: str,
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """``foreachBatch`` incremental-ledger sink — THE production
+    streaming-upsert pattern: each micro-batch computes its partial
+    (count, integer-cents sum) per user and MERGES it into a parquet
+    ledger by partial-aggregate algebra (same algebra as
+    operators/relational_ext.orders_incremental_agg), instead of
+    holding unbounded per-user state in the state store.
+
+    Exactly-once: the checkpoint tracks consumed files; the merge
+    materializes (localCheckpoint) before overwriting the ledger path
+    it just read — the read-then-overwrite hazard of every
+    foreachBatch upsert.
+
+    Scale: ledger size = keyspace (users), not events; each
+    micro-batch shuffles only its own partials + the keyspace-sized
+    ledger. State-store-free, so state never outgrows the watermark.
+    """
+    import os as _os
+
+    ev = load_events_stream(
+        spark, src_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
+    ).select("user_id", "value")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.expr("sum(cast(round(value * 100) as bigint))").alias(
+                "cents"
+            ),
+        )
+        if _os.path.exists(_os.path.join(ledger_dir, "_SUCCESS")):
+            base = batch_df.sparkSession.read.parquet(ledger_dir)
+            part = (
+                base.unionByName(part)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("cents").alias("cents"),
+                )
+            )
+        # materialize BEFORE overwriting the path we just read
+        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            ledger_dir
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -7,6 +7,7 @@ import os
 
 from pyspark.sql import functions as F
 
+from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.operators.timeseries import (
     events_sessionize,
     events_tumbling_window,
@@ -123,3 +124,51 @@ def test_stream_convert_backpressure_multiple_batches(spark, tmp_path):
     # re-drain: nothing reprocessed
     stream_convert(spark, str(watch), out, ckpt, max_files_per_trigger=2)
     assert spark.read.parquet(out).count() == 7
+
+
+def test_stream_upsert_ledger_multibatch_equals_batch(spark, tmp_path):
+    """foreachBatch incremental ledger: 3 micro-batches of partials
+    merged by partial-agg algebra must equal the one-shot batch agg,
+    and a re-drain must be a no-op (exactly-once via checkpoint)."""
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        stream_upsert_ledger,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    # split the feed into 3 files -> maxFilesPerTrigger=1 -> 3 batches
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).toPandas().assign(
+            ts=lambda d: d.ts.astype("int64")
+        ).to_parquet(str(src / f"events_{i}.parquet"))
+    ledger = str(tmp_path / "ledger")
+    ckpt = str(tmp_path / "ckpt")
+    stream_upsert_ledger(
+        spark, str(src), ledger, ckpt,
+        glob="*.parquet", max_files_per_trigger=1,
+    )
+    got = {
+        r.user_id: (r.n_events, r.cents)
+        for r in spark.read.parquet(ledger).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("sum(cast(round(value * 100) as bigint))").alias("c"),
+        )
+        .collect()
+    }
+    assert got == want
+    # exactly-once: re-drain sees no new files, ledger unchanged
+    stream_upsert_ledger(
+        spark, str(src), ledger, ckpt,
+        glob="*.parquet", max_files_per_trigger=1,
+    )
+    got2 = {
+        r.user_id: (r.n_events, r.cents)
+        for r in spark.read.parquet(ledger).collect()
+    }
+    assert got2 == want
