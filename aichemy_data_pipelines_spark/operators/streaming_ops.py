@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.streaming.watch import (
+    stream_click_attribution,
+    stream_dedup_keys,
     stream_enrich_counts,
     stream_sessionize,
     stream_tumbling_counts,
@@ -91,7 +93,17 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(spark, stream_click_attribution, sf_dir)
+
+
+def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(spark, stream_dedup_keys, sf_dir)
+
+
 QUERIES = {
+    "streaming_click_attribution": streaming_click_attribution,
+    "streaming_dedup_keys": streaming_dedup_keys,
     "streaming_upsert_totals": streaming_upsert_totals,
     "streaming_enriched_segments": streaming_enriched_segments,
     "streaming_tumbling_window": streaming_tumbling_window,
@@ -100,6 +112,20 @@ QUERIES = {
 }
 
 ORACLE = {
+    "streaming_click_attribution": """
+        SELECT c.event_id AS click_id,
+               p.event_id AS purchase_id,
+               c.user_id
+        FROM events c
+        JOIN events p
+          ON p.user_id = c.user_id
+         AND p.ts > c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+    "streaming_dedup_keys": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     "streaming_upsert_totals": """
         SELECT user_id, COUNT(*) AS n_events,
                SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value

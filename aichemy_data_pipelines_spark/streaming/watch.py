@@ -310,6 +310,118 @@ def stream_enrich_counts(
     q.awaitTermination()
 
 
+def stream_click_attribution(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_attrib",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """STREAM-STREAM inner join with a time-range condition — the
+    Structured Streaming feature the other drains don't exercise:
+    clicks joined to purchases by the same user within the following
+    30 minutes (ad-attribution shape).
+
+    Both sides carry event-time watermarks; with the range condition
+    Spark derives the state-retention horizon for each side (a click
+    can stop waiting once the purchase watermark passes
+    click_ts + 30 min), so join state is bounded — the production
+    requirement for unbounded streams.
+
+    Output is the raw matched pairs (append mode — stream-stream
+    joins emit matches as both sides arrive), which is a
+    deterministic SET and therefore hash-checkable against the batch
+    self-join oracle.
+
+    Scale: state is keyed by user_id; the join shuffles both streams
+    on the key once and retains only the watermark horizon. Skewed
+    hot users bound the per-key state linearly in their in-horizon
+    events, not in stream length.
+    """
+    clicks = (
+        load_events_stream(
+            spark, sf_dir, glob=glob,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        load_events_stream(
+            spark, sf_dir, glob=glob,
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        [
+            clicks.user_id == purchases.p_user_id,
+            purchases.purchase_ts > clicks.click_ts,
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr("interval 30 minutes"),
+        ],
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_dedup_keys(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_dedup",
+) -> None:
+    """Streaming deduplication via ``dropDuplicatesWithinWatermark``
+    — the streaming twin of events_dedup_latest's idempotency ledger:
+    the first event per (user_id, event_type) passes, later ones are
+    dropped, and the dedup state is EVICTED once the watermark passes
+    (unlike plain dropDuplicates, whose state grows forever).
+
+    Only the key columns are emitted: *which* row survives a
+    streaming dedup is arrival-order-dependent, but the surviving KEY
+    SET is exactly the distinct key set — deterministic and
+    hash-checkable against ``SELECT DISTINCT``.
+
+    Scale: state = one entry per in-horizon key, sharded by the key
+    shuffle — the canonical exactly-once event-ingest front door at
+    100 TB/day (state bounded by keys/hour, not events/hour).
+    """
+    ev = load_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    deduped = ev.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_upsert_ledger(
     spark: SparkSession,
     src_dir: str,

@@ -172,3 +172,63 @@ def test_stream_upsert_ledger_multibatch_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(ledger).collect()
     }
     assert got2 == want
+
+
+def test_stream_stream_join_across_microbatches(spark, tmp_path):
+    """Stream-stream join state must survive micro-batch boundaries:
+    events split time-sequentially into 3 files (maxFilesPerTrigger=1
+    -> 3 batches), so click->purchase pairs spanning a boundary only
+    match if the click side's join state is retained until the
+    purchase arrives. Result must equal the batch self-join."""
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        stream_click_attribution,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    lo, hi = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    span = (hi - lo) / 3
+    src = tmp_path / "evsrc"
+    src.mkdir()
+    # time-ordered thirds: watermark advances monotonically between
+    # batches (unordered splits would drop late rows by design)
+    for i in range(3):
+        cut_lo = lo + i * span
+        cut_hi = hi if i == 2 else lo + (i + 1) * span
+        part = ev.where(
+            (F.col("ts") >= cut_lo)
+            & (F.col("ts") < cut_hi if i < 2 else F.col("ts") <= cut_hi)
+        )
+        part.toPandas().assign(
+            ts=lambda d: d.ts.astype("int64")
+        ).to_parquet(str(src / f"events_{i}.parquet"))
+
+    stream_click_attribution(
+        spark, str(src), str(tmp_path / "ckpt"),
+        table_name="t_attrib3", glob="*.parquet", max_files_per_trigger=1,
+    )
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.table("t_attrib3").collect()
+    }
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("pts"),
+    )
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in c.join(
+            p,
+            (c.user_id == p.p_user_id)
+            & (p.pts > c.cts)
+            & (p.pts <= c.cts + F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert want and got == want
