@@ -1,0 +1,187 @@
+"""IVF-PQ: the composed FAISS-style ANN index — IVF k-means lists
+route each query to nprobe inverted lists (operators/ivf.py), and
+candidates inside the probed lists are scored by PQ asymmetric
+distance (operators/pq.py) instead of full-dimension arithmetic.
+
+This is the shape a 100 TB vector store actually serves: the coarse
+quantizer bounds WHICH vectors are touched (N·nprobe/K of the
+corpus), PQ bounds the COST per touched vector (M table lookups on
+int codes, the raw vectors never leave storage). Both training
+chains are the deterministic k-means recipes of the component
+modules, so even the composed index is oracle-checked end-to-end.
+
+Scale: probes and the per-query M×K distance tables are tiny
+broadcasts; the corpus-side work is two bounded equi-joins
+(list_id fanout N·nprobe/K, then code join fanout M rows/candidate)
+and one bounded groupBy. No full-dimension dot product touches the
+corpus at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
+from aichemy_data_pipelines_spark.operators import ivf as _ivf
+from aichemy_data_pipelines_spark.operators import pq as _pq
+
+_N_QUERIES = 10
+_NPROBE = 2
+_TOP_K = 3
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nprobe=2 IVF routing + PQ-ADC scoring, top-3 per query.
+
+    Output: (query_id, rk, cand_id, adc_d2), rk by ascending ADC
+    distance, ties to lower cand_id; the query itself is excluded.
+    """
+    # --- IVF side: trained lists + per-query probe set -------------
+    cents, lists = _ivf._kmeans(spark, sf_dir)
+    e = _ivf.load_table(spark, sf_dir, "embeddings")
+    qnorm = f"sqrt({spark_dot_exact('qv', 'qv')})"
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cdot = spark_dot_exact("qv", "centroid")
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "list_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "c_cos", F.round(F.expr(f"{cdot} / (({qnorm}) * ({cnorm}))"), 8)
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .where(F.col("prk") <= _NPROBE)
+        .select("query_id", "list_id")
+    )
+
+    # --- PQ side: trained codebooks, corpus codes, query tables ----
+    subs = _pq._subs(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_pq._K)
+        .select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
+            "vec_id",
+        )
+    )
+    cent0 = subs.join(seeds, "vec_id").select(
+        "s",
+        "cid",
+        F.expr("transform(sub, x -> round(cast(x as double), 6))").alias(
+            "cent"
+        ),
+    )
+    pq_cents = _pq._mean_cents(_pq._assign(subs, cent0))
+    codes = _pq._assign(subs, pq_cents).select(
+        F.col("vec_id").alias("cand_id"), "s", "code"
+    )
+    dtab = (
+        subs.where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "s", "sub")
+        .join(F.broadcast(pq_cents), "s")
+        .select(
+            "query_id",
+            "s",
+            F.col("cid").alias("code"),
+            F.expr(_pq._d2("sub", "cent")).alias("d2"),
+        )
+    )
+
+    # --- compose: probed candidates scored by ADC ------------------
+    cand = (
+        F.broadcast(probes)
+        .join(lists.select("vec_id", "list_id"), "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "cand_id")
+    return (
+        cand.join(codes, "cand_id")
+        .join(F.broadcast(dtab), ["query_id", "s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.expr(
+                "sum(cast(round(d2 * 100000000) as bigint)) / 100000000"
+            ).alias("adc_d2")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "rk", "cand_id", "adc_d2")
+    )
+
+
+QUERIES = {"ann_ivf_pq_topk": ann_ivf_pq_topk}
+
+# IVF training chain with i-prefixed CTE names so it can share one
+# WITH clause with the PQ training chain (both canonically use
+# seeds/cent0/a1/cent1).
+_IVF_CTES = f"""iseeds AS (
+            SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding
+            FROM embeddings ORDER BY h LIMIT {_ivf._N_LISTS}
+        ), icent0 AS (
+            SELECT row_number() OVER (ORDER BY h) AS list_id,
+                   list_transform(embedding,
+                                  x -> round(CAST(x AS DOUBLE), 6)) AS centroid
+            FROM iseeds
+        ), {_ivf._sql_assign_ctes('icent0', 'ia1')},
+        {_ivf._sql_mean_ctes('ia1', 'icent1')},
+        {_ivf._sql_assign_ctes('icent1', 'ia2')},
+        {_ivf._sql_mean_ctes('ia2', 'icent2')},
+        {_ivf._sql_assign_ctes('icent2', 'ilists')}"""
+
+ORACLE = {
+    "ann_ivf_pq_topk": f"""
+        WITH {_IVF_CTES},
+        {_pq._PQ_TRAIN_CTES},
+        {_pq._sql_assign_ctes("cent1", "a2")},
+        qc AS (
+            SELECT q.vec_id AS query_id, cv.list_id,
+                   unnest(q.embedding) AS xa, unnest(cv.centroid) AS xb
+            FROM embeddings q, icent2 cv WHERE q.vec_id < {_N_QUERIES}
+        ), qscore AS (
+            SELECT query_id, list_id,
+                   {_ivf._sql_pair_cos('xa', 'xb')} AS c_cos
+            FROM qc GROUP BY query_id, list_id
+        ), probes AS (
+            SELECT query_id, list_id FROM (
+                SELECT query_id, list_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c_cos DESC, list_id) AS prk
+                FROM qscore) t
+            WHERE prk <= {_NPROBE}
+        ), dtab_x AS (
+            SELECT sb.vec_id AS query_id, sb.s, c.cid AS code,
+                   unnest(sb.sub) AS xa, unnest(c.cent) AS xb
+            FROM subs sb JOIN cent1 c ON sb.s = c.s
+            WHERE sb.vec_id < {_N_QUERIES}
+        ), dtab AS (
+            SELECT query_id, s, code, {_pq._sql_d2()} AS d2
+            FROM dtab_x GROUP BY query_id, s, code
+        ), cand AS (
+            SELECT p.query_id, l.vec_id AS cand_id
+            FROM probes p JOIN ilists l ON l.list_id = p.list_id
+            WHERE p.query_id <> l.vec_id
+        ), adc AS (
+            SELECT c.query_id, c.cand_id,
+                   SUM(CAST(round(d.d2 * 100000000) AS BIGINT))
+                     / 100000000 AS adc_d2
+            FROM cand c
+            JOIN a2 a ON a.vec_id = c.cand_id
+            JOIN dtab d ON d.query_id = c.query_id
+                       AND d.s = a.s AND d.code = a.code
+            GROUP BY c.query_id, c.cand_id
+        )
+        SELECT query_id, rk, cand_id, adc_d2 FROM (
+            SELECT query_id, cand_id, adc_d2,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc_d2, cand_id) AS rk
+            FROM adc) t
+        WHERE rk <= {_TOP_K}
+    """,
+}

@@ -289,7 +289,49 @@ def customer_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-spend decile summary WITHOUT a global sort: exact
+    percentile cutoffs (p10..p90) are computed in one aggregate,
+    broadcast as a 9-element literal, and every customer is binned
+    by counting cutoffs below its spend — a pure map.
+
+    A naive NTILE(10) OVER (ORDER BY spend) funnels the whole table
+    through ONE window task; this two-pass cutoff form is the shape
+    that survives 100 TB (tiny agg -> broadcast -> map + 10-row agg).
+    Cutoffs are 6dp-rounded so the Spark/DuckDB interpolations agree;
+    customer spends are 2-decimal, so no spend lands within 1e-6 of a
+    rounded cutoff except when the interpolation hits a data point
+    exactly — which both engines compute exactly (frac = 0).
+
+    Output: (decile, n_customers, decile_spend, min_spend, max_spend).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.expr(
+            f"cast(sum({dec('o_totalprice')}) as decimal(38,6))"
+        ).alias("spend_dec")
+    )
+    spend = spend.withColumn("spend", F.col("spend_dec").cast("double"))
+    qs = ", ".join(f"{q / 10:.1f}" for q in range(1, 10))
+    cuts = spend.agg(
+        F.expr(
+            f"transform(percentile(spend, array({qs})), c -> round(c, 6))"
+        ).alias("cs")
+    )
+    binned = spend.crossJoin(F.broadcast(cuts)).select(
+        "spend_dec",
+        (F.expr("size(filter(cs, c -> spend > c))") + 1).alias("decile"),
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.expr(sum_to_double("sum(spend_dec)")).alias("decile_spend"),
+        F.expr("cast(min(spend_dec) as double)").alias("min_spend"),
+        F.expr("cast(max(spend_dec) as double)").alias("max_spend"),
+    )
+
+
 QUERIES = {
+    "orders_spend_deciles": orders_spend_deciles,
     "customer_scd2": customer_scd2,
     "orders_incremental_agg": orders_incremental_agg,
     "orders_merge_upsert": orders_merge_upsert,
@@ -311,6 +353,31 @@ _SQL_REV = (
 )
 
 ORACLE = {
+    "orders_spend_deciles": """
+        WITH spend AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6)) AS spend_dec
+            FROM orders GROUP BY o_custkey
+        ), cuts AS (
+            SELECT list_transform(
+                       quantile_cont(CAST(spend_dec AS DOUBLE),
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                       c -> round(c, 6)) AS cs
+            FROM spend
+        ), binned AS (
+            SELECT s.spend_dec,
+                   1 + len(list_filter(c.cs,
+                           x -> CAST(s.spend_dec AS DOUBLE) > x)) AS decile
+            FROM spend s, cuts c
+        )
+        SELECT decile, COUNT(*) AS n_customers,
+               CAST(CAST(SUM(spend_dec) AS DECIMAL(38,6)) AS DOUBLE)
+                 AS decile_spend,
+               CAST(MIN(spend_dec) AS DOUBLE) AS min_spend,
+               CAST(MAX(spend_dec) AS DOUBLE) AS max_spend
+        FROM binned GROUP BY decile
+    """,
     "customer_scd2": """
         WITH stream AS (
             SELECT o_custkey, o_orderdate, o_orderkey,

@@ -136,3 +136,42 @@ def test_star_components_match_and_converge_fast(spark):
     )
     assert star == simple
     assert iters and iters[0] <= 6, f"star CC took {iters} rounds"
+
+
+def test_exact_substring_pairs_share_verbatim_windows(spark):
+    """Every reported pair must genuinely share >= _MIN_SHARED
+    distinct 12-token windows — re-derived in pure Python from the
+    raw text (independent of both engines' hash/join machinery)."""
+    import re
+
+    from aichemy_data_pipelines_spark.operators.substring_dedup import (
+        _MIN_SHARED,
+        _WIN,
+        dedup_exact_substring,
+    )
+
+    rows = dedup_exact_substring(spark, SF_SMOKE).collect()
+    assert rows, "expected shared-span pairs in the synthetic corpus"
+    con = duckdb.connect()
+    texts = dict(
+        con.sql(
+            "SELECT doc_id, text FROM "
+            f"read_parquet('{SF_SMOKE}/documents.parquet')"
+        ).fetchall()
+    )
+
+    def windows(doc_id: int) -> set[str]:
+        toks = re.split(r"\s+", texts[doc_id].strip().lower())
+        return {
+            " ".join(toks[i : i + _WIN])
+            for i in range(len(toks) - _WIN + 1)
+        }
+
+    for r in rows:
+        shared = windows(r.doc_a) & windows(r.doc_b)
+        assert len(shared) == r.n_shared_windows >= _MIN_SHARED, (
+            r.doc_a,
+            r.doc_b,
+            r.n_shared_windows,
+            len(shared),
+        )

