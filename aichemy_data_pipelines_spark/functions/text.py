@@ -52,3 +52,28 @@ def spark_stopword_hits(tokens: str, words: tuple[str, ...]) -> str:
 def sql_stopword_hits(tokens: str, words: tuple[str, ...]) -> str:
     arr = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({tokens}, t -> list_contains([{arr}], t)))"
+
+
+def exploded_shingles(df, n: int, out: str = "s"):
+    """(doc_id, <out>) rows of word n-gram shingles via INDEX explode.
+
+    Spark's Generate re-evaluates its child expression once per
+    OUTPUT row, so ``explode(<built shingle array>)`` re-builds the
+    whole array per emitted shingle — O(len²) string work per
+    document (measured 3-4x slower end-to-end at sf0.1). Exploding
+    the integer index sequence and building ONE shingle per emitted
+    row keeps it O(len).
+
+    *df* must already carry ``doc_id`` and ``tokens`` with
+    ``size(tokens) >= n`` enforced.
+    """
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "doc_id",
+        "tokens",
+        F.explode(F.expr(f"sequence(0, size(tokens) - {n})")).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr(f"concat_ws(' ', slice(tokens, i + 1, {n}))").alias(out),
+    )

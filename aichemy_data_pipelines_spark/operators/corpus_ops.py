@@ -30,7 +30,7 @@ from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.functions.text import (
     SPARK_TOKENS,
     SQL_TOKENS,
-    spark_shingles,
+    exploded_shingles,
     sql_shingles,
 )
 from aichemy_data_pipelines_spark.operators.clustering import (
@@ -89,18 +89,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + one agg on doc_id; no corpus-sized shuffle of shingles.
     The explode is distinct-shingles only (bounded by doc length).
     """
-    d = (
+    d = exploded_shingles(
         load_table(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
-        .where(F.size("tokens") >= _DECON_N)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(f"array_distinct({spark_shingles('tokens', _DECON_N)})")
-            ).alias("sh"),
-        )
-    )
+        .where(F.size("tokens") >= _DECON_N),
+        _DECON_N,
+        "sh",
+    ).distinct()
     ev = d.where(F.col("doc_id") % _EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_id"), "sh"
     )

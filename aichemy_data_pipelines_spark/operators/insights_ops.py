@@ -1,0 +1,328 @@
+"""Commerce / behavior analytics: market-basket co-purchase pairs,
+RFM customer segmentation, year-over-year growth, and user
+event-transition (Markov) matrices.
+
+These are the canonical "insight" queries a warehouse team layers on
+the TPC-H-shaped core — each is expressed so the corpus-scale table
+shuffles at most once and every secondary input is a broadcast:
+
+* ``parts_copurchase`` — self-equi-join of lineitem on l_orderkey:
+  fanout per order is bounded by basket size (≤ 7 items → ≤ 21
+  pairs), so the pair stream is a small constant factor of the scan;
+  the (part_a, part_b) agg is map-side combinable. The first stage
+  of any association-rule / item-item recommender pipeline.
+* ``customer_rfm`` — recency/frequency/monetary scores: one groupBy
+  per customer, then quartile binning against BROADCAST percentile
+  cutoffs (same global-sort-free trick as orders_spend_deciles).
+* ``orders_yoy_growth`` — monthly revenue with a 12-month lag
+  window; the window runs over the ~already-aggregated~ month
+  series (≤ a few hundred rows regardless of corpus size), so the
+  single-partition window is bounded by the calendar, not the data.
+* ``events_markov_transitions`` — per-user lag(event_type) over
+  (ts, event_id), then a transition-count/probability matrix:
+  one user_id shuffle, bounded 5×5 output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.money import dec, sum_to_double
+
+_MIN_CO_ORDERS = 2
+
+
+def parts_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs bought together in >= _MIN_CO_ORDERS orders:
+    (part_a, part_b, n_orders), part_a < part_b."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .where(F.col("n_orders") >= _MIN_CO_ORDERS)
+    )
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order
+    vs the dataset's max order date), frequency (order count), and
+    monetary (exact-decimal total spend), each scored 1-4 against
+    broadcast quartile cutoffs (4 = best: most recent / most
+    frequent / highest spend).
+
+    Output: (custkey, r_days, f_orders, m_spend, r_score, f_score,
+    m_score).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    rfm = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("f_orders"),
+            F.expr(
+                f"cast(sum({dec('o_totalprice')}) as decimal(38,6))"
+            ).alias("m_dec"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            "custkey",
+            F.datediff("ref_date", "last_order").alias("r_days"),
+            "f_orders",
+            "m_dec",
+            F.col("m_dec").cast("double").alias("m_spend"),
+        )
+    )
+    qs = "array(0.25, 0.5, 0.75)"
+    cuts = rfm.agg(
+        F.expr(
+            f"transform(percentile(cast(r_days as double), {qs}), "
+            "c -> round(c, 6))"
+        ).alias("rc"),
+        F.expr(
+            f"transform(percentile(cast(f_orders as double), {qs}), "
+            "c -> round(c, 6))"
+        ).alias("fc"),
+        F.expr(
+            f"transform(percentile(m_spend, {qs}), c -> round(c, 6))"
+        ).alias("mc"),
+    )
+    return rfm.crossJoin(F.broadcast(cuts)).select(
+        "custkey",
+        "r_days",
+        "f_orders",
+        F.col("m_dec").cast("double").alias("m_spend"),
+        # recent = small r_days = high score
+        (4 - F.expr("size(filter(rc, c -> r_days > c))")).alias("r_score"),
+        (1 + F.expr("size(filter(fc, c -> f_orders > c))")).alias("f_score"),
+        (1 + F.expr("size(filter(mc, c -> m_spend > c))")).alias("m_score"),
+    )
+
+
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order revenue with year-over-year growth: the lag-12
+    window runs on the aggregated month series (bounded by the
+    calendar), growth is one deterministic FP divide of two exact
+    decimal sums, rounded to 6dp.
+
+    Output: (year, month, revenue, yoy_growth) — yoy_growth NULL for
+    the first year.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+    ).agg(
+        F.expr(f"cast(sum({dec('o_totalprice')}) as decimal(38,6))").alias(
+            "rev_dec"
+        )
+    )
+    w = Window.orderBy("year", "month")
+    return monthly.select(
+        "year",
+        "month",
+        F.col("rev_dec").cast("double").alias("revenue"),
+        F.round(
+            (
+                F.col("rev_dec").cast("double")
+                - F.lag("rev_dec", 12).over(w).cast("double")
+            )
+            / F.lag("rev_dec", 12).over(w).cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix: counts of
+    (prev_type -> event_type) steps and the row-normalized
+    probability, 6dp.
+
+    Output: (prev_type, next_type, n, p).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = steps.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by revenue share:
+    cumulative-share class A (top 80% of revenue), B (next 15%),
+    C (tail 5%), plus per-class part counts and revenue.
+
+    Scale: the corpus-sized work is ONE map-side-combined agg on
+    l_partkey; the cumulative window then runs over the aggregated
+    part list — 0.01% of lineitem's cardinality (at extreme part
+    counts: a range-partitioned sort, still no corpus shuffle). All
+    shares are exact-decimal sums divided once, 6dp-rounded, so the
+    class boundaries are engine-identical.
+
+    Output: (abc_class, n_parts, class_revenue).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.expr(
+            f"cast(sum({dec('l_extendedprice')} * {dec('1 - l_discount')}) "
+            "as decimal(38,6))"
+        ).alias("rev_dec")
+    )
+    w = Window.orderBy(F.desc("rev_dec"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = rev.agg(
+        F.expr("cast(sum(rev_dec) as decimal(38,6))").alias("total_dec")
+    )
+    classed = (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share",
+            F.round(
+                F.sum("rev_dec")
+                .over(w)
+                .cast("decimal(38,6)")
+                .cast("double")
+                / F.col("total_dec").cast("double"),
+                6,
+            ),
+        )
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_share") <= 0.8, "A")
+            .when(F.col("cum_share") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.expr(sum_to_double("sum(rev_dec)")).alias("class_revenue"),
+    )
+
+
+QUERIES = {
+    "parts_abc_analysis": parts_abc_analysis,
+    "parts_copurchase": parts_copurchase,
+    "customer_rfm": customer_rfm,
+    "orders_yoy_growth": orders_yoy_growth,
+    "events_markov_transitions": events_markov_transitions,
+}
+
+ORACLE = {
+    "parts_abc_analysis": """
+        WITH rev AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+                            * CAST(1 - l_discount AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6)) AS rev_dec
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+            SELECT CAST(SUM(rev_dec) AS DECIMAL(38,6)) AS total_dec FROM rev
+        ), classed AS (
+            SELECT rev_dec,
+                   round(CAST(CAST(SUM(rev_dec) OVER (
+                             ORDER BY rev_dec DESC, l_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW)
+                          AS DECIMAL(38,6)) AS DOUBLE)
+                         / CAST((SELECT total_dec FROM tot) AS DOUBLE),
+                         6) AS cum_share
+            FROM rev
+        )
+        SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class,
+               COUNT(*) AS n_parts,
+               CAST(CAST(SUM(rev_dec) AS DECIMAL(38,6)) AS DOUBLE)
+                 AS class_revenue
+        FROM classed GROUP BY 1
+    """,
+    "parts_copurchase": f"""
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(DISTINCT a.l_orderkey) AS n_orders
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(DISTINCT a.l_orderkey) >= {_MIN_CO_ORDERS}
+    """,
+    "customer_rfm": """
+        WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+        rfm AS (
+            SELECT o_custkey AS custkey,
+                   date_diff('day', MAX(o_orderdate),
+                             (SELECT ref_date FROM ref)) AS r_days,
+                   COUNT(*) AS f_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6)) AS m_dec
+            FROM orders GROUP BY o_custkey
+        ), cuts AS (
+            SELECT
+              list_transform(quantile_cont(CAST(r_days AS DOUBLE),
+                  [0.25, 0.5, 0.75]), c -> round(c, 6)) AS rc,
+              list_transform(quantile_cont(CAST(f_orders AS DOUBLE),
+                  [0.25, 0.5, 0.75]), c -> round(c, 6)) AS fc,
+              list_transform(quantile_cont(CAST(m_dec AS DOUBLE),
+                  [0.25, 0.5, 0.75]), c -> round(c, 6)) AS mc
+            FROM rfm
+        )
+        SELECT r.custkey, r.r_days, r.f_orders,
+               CAST(r.m_dec AS DOUBLE) AS m_spend,
+               4 - len(list_filter(c.rc, x -> r.r_days > x)) AS r_score,
+               1 + len(list_filter(c.fc, x -> r.f_orders > x)) AS f_score,
+               1 + len(list_filter(c.mc,
+                       x -> CAST(r.m_dec AS DOUBLE) > x)) AS m_score
+        FROM rfm r, cuts c
+    """,
+    "orders_yoy_growth": """
+        WITH monthly AS (
+            SELECT EXTRACT(year FROM o_orderdate) AS year,
+                   EXTRACT(month FROM o_orderdate) AS month,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                        AS DECIMAL(38,6)) AS rev_dec
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT year, month, CAST(rev_dec AS DOUBLE) AS revenue,
+               round((CAST(rev_dec AS DOUBLE)
+                      - CAST(lag(rev_dec, 12) OVER w AS DOUBLE))
+                     / CAST(lag(rev_dec, 12) OVER w AS DOUBLE),
+                     6) AS yoy_growth
+        FROM monthly
+        WINDOW w AS (ORDER BY year, month)
+    """,
+    "events_markov_transitions": """
+        WITH steps AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events
+        ), counts AS (
+            SELECT prev_type, next_type, COUNT(*) AS n
+            FROM steps WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n,
+               round(CAST(n AS DOUBLE)
+                     / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+        FROM counts
+    """,
+}

@@ -40,7 +40,7 @@ from aichemy_data_pipelines_spark.functions.hashing import (
 from aichemy_data_pipelines_spark.functions.text import (
     SPARK_TOKENS,
     SQL_TOKENS,
-    spark_shingles,
+    exploded_shingles,
     sql_shingles,
 )
 
@@ -57,15 +57,13 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows: (doc_a, doc_b, n_shared_windows), doc_a < doc_b.
     """
     d = (
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
-        .where(F.size("toks") >= _WIN)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(f"array_distinct({spark_shingles('toks', _WIN)})")
-            ).alias("sh"),
+        exploded_shingles(
+            load_table(spark, sf_dir, "documents")
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
+            .where(F.size("tokens") >= _WIN),
+            _WIN,
+            "sh",
         )
         .select("doc_id", F.expr(spark_hash64("sh")).alias("h"))
         .distinct()
