@@ -263,6 +263,129 @@ def stream_user_running_totals(
     q.awaitTermination()
 
 
+def stream_session_flush(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_session_flush",
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Expiring-state sessionization via ``EventTimeTimeout``: a
+    per-user session accumulator that EMITS a row only when the
+    event-time watermark passes ``last_event + gap`` — the state-
+    eviction pattern stream_user_running_totals documents as the
+    production configuration (watch.py's NoTimeout totals grow state
+    forever; this one provably releases it).
+
+    Mechanics per micro-batch: arriving events extend the user's
+    open session (exact integer-cents sum, min/max event time) and
+    re-arm the timeout at ``session_end + gap``; when a later batch
+    advances the watermark past that deadline, Spark invokes the
+    function with ``state.hasTimedOut`` and NO rows — the closed
+    session is emitted and the state removed. Sessions still open
+    when the source dries up are intentionally NOT emitted (they
+    have not ended — a restart resumes them from the checkpoint).
+
+    Scale: state is (4 longs) × live users, and eviction bounds
+    "live" to the gap window — the property that lets a 100 TB
+    stream run for months without state growth.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (
+        load_events_stream(
+            spark,
+            src_dir,
+            glob="*.parquet",
+            max_files_per_trigger=max_files_per_trigger,
+        )
+        .withWatermark("ts", watermark)
+        .select("user_id", "ts", "value")
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start_us", LongType()),
+            StructField("session_end_us", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+        ]
+    )
+    gap_ms = gap_minutes * 60 * 1000
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start_us, end_us, n, cents = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [end_us],
+                    "n_events": [n],
+                    "sum_cents": [cents],
+                }
+            )
+            return
+        start_us, end_us, n, cents = (
+            state.get if state.exists else (None, None, 0, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            lo, hi = int(us.min()), int(us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((start_us, end_us, n, cents))
+        # re-arm eviction: must stay ahead of the current watermark
+        deadline_ms = max(
+            end_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1
+        )
+        state.setTimeoutTimestamp(deadline_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": pd.Series([], dtype="int64"),
+                "session_start_us": pd.Series([], dtype="int64"),
+                "session_end_us": pd.Series([], dtype="int64"),
+                "n_events": pd.Series([], dtype="int64"),
+                "sum_cents": pd.Series([], dtype="int64"),
+            }
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_enrich_counts(
     spark: SparkSession,
     sf_dir: str,

@@ -175,3 +175,20 @@ def test_exact_substring_pairs_share_verbatim_windows(spark):
             r.n_shared_windows,
             len(shared),
         )
+
+
+def test_fast_minhash_recall_matches_portable(spark):
+    """The xxhash64 fast path has no DuckDB oracle; pin its
+    semantics instead — it must recover every true Jaccard>=0.8
+    pair, exactly like the portable md5 family."""
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_minhash_lsh_fast,
+    )
+
+    truth = _true_pairs(0.8)
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh_fast(spark, SF_SMOKE).collect()
+    }
+    missed = truth - fast
+    assert not missed, f"fast LSH missed true near-dups: {sorted(missed)[:10]}"

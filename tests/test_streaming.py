@@ -232,3 +232,46 @@ def test_stream_stream_join_across_microbatches(spark, tmp_path):
         ).collect()
     }
     assert want and got == want
+
+
+def test_session_flush_evicts_state_on_watermark(spark, tmp_path):
+    """EventTimeTimeout eviction: sessions whose gap deadline falls
+    behind the advancing watermark must flush exactly once with exact
+    totals; the still-open tail session must NOT be emitted."""
+    import pandas as pd
+
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        stream_session_flush,
+    )
+
+    base = 1_700_000_000_000_000_000  # ns epoch, stable
+    h = 3_600 * 1_000_000_000
+    rows = [
+        # user 1: two events at t0..t0+5min  (flushes)
+        (1, 1, base, "view", 1.25),
+        (2, 1, base + 5 * 60 * 1_000_000_000, "click", 2.50),
+        # user 2: one event at t0 (flushes)
+        (3, 2, base, "view", 10.00),
+        # user 3: very late event — advances the watermark far past
+        # users 1/2's deadlines, but its own session stays open
+        (4, 3, base + 10 * h, "view", 5.00),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    # three time-ordered files -> three micro-batches
+    for i, sl in enumerate((rows[:2], rows[2:3], rows[3:])):
+        pd.DataFrame(
+            sl, columns=["event_id", "user_id", "ts", "event_type", "value"]
+        ).assign(props="{}").to_parquet(str(src / f"ev_{i}.parquet"))
+    stream_session_flush(
+        spark, str(src), str(tmp_path / "ckpt"), "sess_flush_t"
+    )
+    got = {
+        r.user_id: (r.n_events, r.sum_cents, r.session_start_us, r.session_end_us)
+        for r in spark.sql("SELECT * FROM sess_flush_t").collect()
+    }
+    us = base // 1000
+    assert got == {
+        1: (2, 375, us, us + 5 * 60 * 1_000_000),
+        2: (1, 1000, us, us),
+    }, got
