@@ -74,6 +74,15 @@ FRAME_SCHEMA = StructType(
     ]
 )
 
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("chunk_hash", StringType()),
+        StructField("byte_sum", LongType()),
+    ]
+)
+
 _MIMES = ("image/png", "audio/wav", "video/mp4")
 
 
@@ -165,6 +174,49 @@ def frame_sample(media: DataFrame, every: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+def audio_chunks(media: DataFrame, win: int = 8, hop: int = 4) -> DataFrame:
+    """Overlapping-window chunking for audio payloads — the STFT-
+    style framing every audio feature pipeline starts with: window
+    ``win`` bytes, hop ``hop`` (50% overlap at the defaults), one
+    media row → k chunk rows, still map-side. A real pipeline would
+    window PCM samples and FFT each window; the windowing fan-out
+    and Arrow batch shape are identical.
+
+    Emits (doc_id, chunk_idx, chunk_hash, byte_sum): the hash is md5
+    over the window's HEX encoding and byte_sum the exact integer sum
+    of its bytes — both recomputable from hex arithmetic in DuckDB,
+    so the whole stage stays oracle-checked.
+    """
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "chunk_idx": [],
+                "chunk_hash": [],
+                "byte_sum": [],
+            }
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                if mime != "audio/wav":
+                    continue
+                b = bytes(payload)
+                for ci, start in enumerate(range(0, len(b) - win + 1, hop)):
+                    w = b[start : start + win]
+                    out["doc_id"].append(doc_id)
+                    out["chunk_idx"].append(ci)
+                    out["chunk_hash"].append(
+                        hashlib.md5(w.hex().encode()).hexdigest()
+                    )
+                    out["byte_sum"].append(sum(w))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(chunk, CHUNK_SCHEMA)
 
 
 def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:

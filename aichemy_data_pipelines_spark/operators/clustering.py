@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.operators.dedup import (
     _SQL_LSH_PAIRS,
+    dedup_minhash_lsh,
     dedup_ngram_jaccard,
 )
 
@@ -278,9 +279,65 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("src").alias("doc_id"), "rank")
 
 
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph: edges,
+    wedges (paths of length 2, Σ d·(d-1)/2), triangles, and the
+    global clustering coefficient 3T/W — the standard shape metric
+    that tells template-cluster graphs (dense, coeff→1) from chained
+    false-positive graphs (sparse, coeff→0).
+
+    Scale: the classic two-join triangle enumeration over edges
+    ordered doc_a < doc_b — each triangle counted exactly once; join
+    fanout is bounded by per-node candidate degree (already bounded
+    by the LSH banding), never all-pairs. Degrees/wedges are one agg.
+
+    Output: one row (n_edges, n_wedges, n_triangles, clustering_coeff).
+    """
+    e = dedup_minhash_lsh(spark, sf_dir)
+    deg = (
+        e.select(F.col("doc_a").alias("v"))
+        .unionAll(e.select(F.col("doc_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    counts = deg.agg(
+        F.expr("sum(d * (d - 1) div 2)").alias("n_wedges")
+    )
+    edges = e.agg(F.count("*").alias("n_edges"))
+    tri = (
+        e.alias("e1")
+        .join(
+            e.alias("e2"),
+            F.col("e1.doc_b") == F.col("e2.doc_a"),
+        )
+        .join(
+            e.alias("e3"),
+            (F.col("e1.doc_a") == F.col("e3.doc_a"))
+            & (F.col("e2.doc_b") == F.col("e3.doc_b")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return (
+        edges.crossJoin(counts)
+        .crossJoin(tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.round(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                ),
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
     "dedup_clusters_star": dedup_clusters_star,
+    "dedup_graph_triangles": dedup_graph_triangles,
     "docs_pagerank": docs_pagerank,
 }
 
@@ -376,5 +433,29 @@ ORACLE = {
     # identical contract — the star variant must produce the very same
     # components, so it shares the recursive-CTE oracle
     "dedup_clusters_star": _SQL_CLUSTERS,
+    "dedup_graph_triangles": f"""
+        WITH e AS ({_SQL_LSH_PAIRS}),
+        deg AS (
+            SELECT v, COUNT(*) AS d FROM (
+                SELECT doc_a AS v FROM e
+                UNION ALL SELECT doc_b AS v FROM e) _u
+            GROUP BY v
+        ), w AS (
+            SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        ), ne AS (
+            SELECT COUNT(*) AS n_edges FROM e
+        ), tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e1.doc_b = e2.doc_a
+            JOIN e e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b
+        )
+        SELECT ne.n_edges, w.n_wedges, tri.n_triangles,
+               CASE WHEN w.n_wedges > 0
+                    THEN round(3.0 * tri.n_triangles / w.n_wedges, 6)
+               END AS clustering_coeff
+        FROM ne, w, tri
+    """,
     "docs_pagerank": _SQL_PAGERANK,
 }

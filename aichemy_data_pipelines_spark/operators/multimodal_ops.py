@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from aichemy_data_pipelines_spark.multimodal.codecs import (
+    audio_chunks,
     decode_features,
     frame_sample,
     synthetic_media,
@@ -24,6 +25,8 @@ from aichemy_data_pipelines_spark.multimodal.codecs import (
 _FRAME_EVERY = 4
 _FRAME_BYTES = 4
 _PAYLOAD_BYTES = 32
+_CHUNK_WIN = 8
+_CHUNK_HOP = 4
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -38,9 +41,19 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(synthetic_media(spark, sf_dir), every=_FRAME_EVERY)
 
 
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STFT-style overlapping-window chunking over audio payloads
+    (win=8 bytes, hop=4) through the Arrow mapInPandas path; hashes
+    and exact byte sums recomputed by the oracle from hex arithmetic."""
+    return audio_chunks(
+        synthetic_media(spark, sf_dir), win=_CHUNK_WIN, hop=_CHUNK_HOP
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
+    "multimodal_audio_chunks": multimodal_audio_chunks,
 }
 
 # byte i of the payload, recomputed from the md5 hex strings
@@ -56,7 +69,26 @@ _FRAME_IDXS = ", ".join(
     for i in range(0, _PAYLOAD_BYTES // _FRAME_BYTES, _FRAME_EVERY)
 )
 
+_CHUNK_IDXS = ", ".join(
+    str(i)
+    for i in range(
+        len(range(0, _PAYLOAD_BYTES - _CHUNK_WIN + 1, _CHUNK_HOP))
+    )
+)
+
 ORACLE = {
+    "multimodal_audio_chunks": f"""
+        SELECT doc_id,
+               CAST(c AS INTEGER) AS chunk_idx,
+               md5(substr({_HEX}, c * {_CHUNK_HOP * 2} + 1,
+                          {_CHUNK_WIN * 2})) AS chunk_hash,
+               CAST(list_aggregate(list_transform(range(0, {_CHUNK_WIN}),
+                    b -> ('0x' || substr({_HEX},
+                          c * {_CHUNK_HOP * 2} + b * 2 + 1, 2))::BIGINT),
+                    'sum') AS BIGINT) AS byte_sum
+        FROM documents, unnest([{_CHUNK_IDXS}]) AS t(c)
+        WHERE doc_id % 3 = 1
+    """,
     "multimodal_frames": f"""
         SELECT doc_id,
                CAST(f AS INTEGER) AS frame_idx,

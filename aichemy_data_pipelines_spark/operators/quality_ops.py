@@ -97,8 +97,30 @@ def dq_value_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_K_ANON = 5
+
+
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the customer quasi-identifier tuple
+    (nation, market segment): group sizes plus an at-risk flag for
+    groups smaller than k=5 — the privacy gate a dataset release
+    runs before publishing joinable attributes.
+
+    Scale: one map-side-combined agg on the quasi-identifier key
+    (bounded cardinality: |nations| × |segments|).
+
+    Output: (c_nationkey, c_mktsegment, k, at_risk).
+    """
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("k"),
+        (F.count("*") < _K_ANON).cast("int").alias("at_risk"),
+    )
+
+
 QUERIES = {
     "dq_orphan_check": dq_orphan_check,
+    "dq_k_anonymity": dq_k_anonymity,
     "dq_null_profile": dq_null_profile,
     "dq_value_ranges": dq_value_ranges,
 }
@@ -143,6 +165,11 @@ def _value_ranges_sql() -> str:
 
 
 ORACLE = {
+    "dq_k_anonymity": f"""
+        SELECT c_nationkey, c_mktsegment, COUNT(*) AS k,
+               CASE WHEN COUNT(*) < {_K_ANON} THEN 1 ELSE 0 END AS at_risk
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    """,
     "dq_orphan_check": """
         SELECT 'lineitem.l_orderkey->orders' AS relationship,
                (SELECT COUNT(*) FROM lineitem

@@ -332,6 +332,48 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click conversion-latency histogram in 10-minute buckets
+    (integer microsecond division — exact in both engines), using the
+    same bounded conditional-MIN passes as events_funnel (never
+    per-user arrays).
+
+    Scale: two user_id aggs sharing one hash partitioning; the
+    histogram agg is bounded by the bucket count.
+
+    Output: (bucket_10min, n_users).
+    """
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros("ts")
+    et = F.col("event_type")
+    views = ev.groupBy("user_id").agg(
+        F.min(F.when(et == "view", us)).alias("t_view")
+    )
+    clicks = (
+        ev.select("user_id", et.alias("event_type"), us.alias("us"))
+        .join(views, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("us") > F.col("t_view")),
+                    F.col("us"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    return (
+        clicks.where(F.col("t_click").isNotNull())
+        .select(
+            F.expr("(t_click - t_view) div 600000000").alias("bucket_10min")
+        )
+        .groupBy("bucket_10min")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
 def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily purchase revenue with a running cumulative total.
 
@@ -523,6 +565,7 @@ QUERIES = {
     "events_rollup": events_rollup,
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
+    "events_conversion_latency": events_conversion_latency,
     "events_running_total": events_running_total,
     "events_json_props": events_json_props,
 }
@@ -693,6 +736,25 @@ ORACLE = {
                round(quantile_cont(value, 0.99), 6) AS p99,
                COUNT(*) AS n
         FROM events GROUP BY event_type
+    """,
+    "events_conversion_latency": """
+        WITH v AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+                     AS t_view
+            FROM events GROUP BY user_id
+        ), c AS (
+            SELECT e.user_id, MAX(v.t_view) AS t_view,
+                   MIN(CASE WHEN e.event_type = 'click'
+                            AND epoch_us(e.ts) > v.t_view
+                            THEN epoch_us(e.ts) END) AS t_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            GROUP BY e.user_id
+        )
+        SELECT (t_click - t_view) // 600000000 AS bucket_10min,
+               COUNT(*) AS n_users
+        FROM c WHERE t_click IS NOT NULL
+        GROUP BY 1
     """,
     "events_funnel": """
         WITH v AS (
