@@ -244,7 +244,71 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval scoring: fixed query terms, k1/b at the classic
+# defaults. The idf factor is the log-free "odds" form
+# (N - df + 0.5) / (df + 0.5) — Robertson's idf WITHOUT the log —
+# because ln() is libm-dependent and would break cross-engine value
+# equality; the ranking it induces is monotonically identical for a
+# fixed df. All inputs (tf, df, dl, N, Σdl) are exact integers, so
+# the score is one deterministic FP expression, 6dp-rounded.
+_BM25_TERMS = ("spark", "join", "stream")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, term) BM25 components + score for the fixed query
+    terms: (doc_id, term, tf, dl, df, score).
+
+    Scale: tf/dl are per-row HOF counts (pure map); df and the
+    average doc length are one tiny agg broadcast back — the corpus
+    shuffles nothing. This is the scoring half of a distributed
+    search engine; the posting-list join shape is dedup's equi-join.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "tokens", F.size("tokens").alias("dl")
+    )
+    terms = F.array(*[F.lit(t) for t in _BM25_TERMS])
+    tf_rows = (
+        d.select(
+            "doc_id",
+            "tokens",
+            "dl",
+            F.explode(terms).alias("term"),
+        )
+        .withColumn("tf", F.expr("size(filter(tokens, t -> t = term))"))
+        .drop("tokens")
+        .where(F.col("tf") > 0)
+    )
+    stats = tf_rows.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = d.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    # e-notation keeps every literal a DOUBLE in both engines (a bare
+    # 0.5 parses as DECIMAL in each, but the implicit decimal→double
+    # promotion points differ and shift the last ulp)
+    score = (
+        "round(((n_docs - df + 0.5e0) / (df + 0.5e0)) * "
+        f"(tf * {_BM25_K1 + 1}e0) / "
+        f"(tf + {_BM25_K1}e0 * ({1 - _BM25_B}e0 + {_BM25_B}e0 "
+        "* dl * n_docs / sum_dl)), 6)"
+    )
+    return (
+        tf_rows.join(F.broadcast(stats), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "dl",
+            "df",
+            F.expr(score).alias("score"),
+        )
+    )
+
+
 QUERIES = {
+    "text_bm25_scores": text_bm25_scores,
     "text_repetition_filter": text_repetition_filter,
     "text_ngram_stats": text_ngram_stats,
     "text_stats_by_lang": text_stats_by_lang,
@@ -256,6 +320,30 @@ QUERIES = {
 
 _T = SQL_TOKENS
 
+_SQL_BM25 = f"""
+    WITH d AS (
+        SELECT doc_id, {_T} AS tokens, len({_T}) AS dl FROM documents
+    ), tf AS (
+        SELECT doc_id, dl, term,
+               len(list_filter(tokens, t -> t = term)) AS tf
+        FROM d, unnest([{', '.join(f"'{t}'" for t in _BM25_TERMS)}])
+               AS q(term)
+    ), tfpos AS (
+        SELECT * FROM tf WHERE tf > 0
+    ), stats AS (
+        SELECT term, COUNT(*) AS df FROM tfpos GROUP BY term
+    ), corpus AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+        FROM d
+    )
+    SELECT t.doc_id, t.term, t.tf, t.dl, s.df,
+           round(((c.n_docs - s.df + 0.5e0) / (s.df + 0.5e0)) *
+                 (t.tf * {_BM25_K1 + 1}e0) /
+                 (t.tf + {_BM25_K1}e0 * ({1 - _BM25_B}e0 + {_BM25_B}e0
+                  * t.dl * c.n_docs / c.sum_dl)), 6) AS score
+    FROM tfpos t JOIN stats s USING (term), corpus c
+"""
+
 _hits = {lang: sql_stopword_hits(_T, w) for lang, w in STOPWORDS.items()}
 _pred_cases = " ".join(
     f"WHEN {_hits[lang]} = greatest({', '.join(_hits[x] for x in STOPWORDS)}) "
@@ -264,6 +352,7 @@ _pred_cases = " ".join(
 )
 
 ORACLE = {
+    "text_bm25_scores": _SQL_BM25,
     "text_repetition_filter": f"""
         WITH m AS (
             SELECT doc_id,

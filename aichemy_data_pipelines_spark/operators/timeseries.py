@@ -332,6 +332,37 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``F.session_window`` in BATCH mode (30-minute gap),
+    with an oracle that independently encodes ITS boundary rule: a
+    new session starts when the inter-event gap is >= the window gap
+    (window end = last_ts + gap, EXCLUSIVE) — unlike the lag-based
+    events_sessionize, which breaks only on gaps STRICTLY greater.
+    Having both oracle-checked pins the exact-gap boundary difference
+    the streaming twin documents (streaming/watch.py), instead of
+    leaving it as a comment.
+
+    Scale: one user_id shuffle; session assembly is per-key state.
+
+    Output: (user_id, start_us, end_us, n_events, cents).
+    """
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr("sum(cast(round(value * 100) as bigint))").alias("cents"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("session_window.start").alias("start_us"),
+            F.unix_micros("session_window.end").alias("end_us"),
+            "n_events",
+            "cents",
+        )
+    )
+
+
 def events_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """View→click conversion-latency histogram in 10-minute buckets
     (integer microsecond division — exact in both engines), using the
@@ -566,6 +597,7 @@ QUERIES = {
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
     "events_conversion_latency": events_conversion_latency,
+    "events_session_window_batch": events_session_window_batch,
     "events_running_total": events_running_total,
     "events_json_props": events_json_props,
 }
@@ -736,6 +768,32 @@ ORACLE = {
                round(quantile_cont(value, 0.99), 6) AS p99,
                COUNT(*) AS n
         FROM events GROUP BY event_type
+    """,
+    "events_session_window_batch": """
+        WITH s AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), g AS (
+            SELECT user_id, ts, value,
+                   SUM(brk) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS sid
+            FROM s
+        )
+        SELECT user_id,
+               MIN(epoch_us(ts)) AS start_us,
+               MAX(epoch_us(ts)) + 1800000000 AS end_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM g
+        GROUP BY user_id, sid
     """,
     "events_conversion_latency": """
         WITH v AS (
