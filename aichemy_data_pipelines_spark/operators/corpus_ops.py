@@ -247,8 +247,29 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-dup rate from the keep-one verdicts — the
+    first chart in any dedup report: which ingestion sources are
+    flooding the corpus with duplicates.
+
+    Scale: inherits the dedup stack; the report itself is one
+    bounded-cardinality agg on source.
+
+    Output: (source, n_docs, n_dropped, dup_rate).
+    """
+    v = dedup_keep_one(spark, sf_dir)
+    return v.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(1 - F.col("keep")).alias("n_dropped"),
+        F.round(F.sum(1 - F.col("keep")) / F.count("*"), 6).alias(
+            "dup_rate"
+        ),
+    )
+
+
 QUERIES = {
     "dedup_keep_one": dedup_keep_one,
+    "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
     "decontam_ngram_overlap": decontam_ngram_overlap,
     "docs_distinct_terms": docs_distinct_terms,
     "corpus_token_budget": corpus_token_budget,
@@ -266,6 +287,20 @@ ORACLE = {
                CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS keep
         FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
     """,
+    "corpus_dup_rate_by_source": f"""
+        WITH clusters AS ({{_SQL_CLUSTERS}}),
+        v AS (
+            SELECT c.doc_id, d.source,
+                   CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END
+                     AS keep
+            FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(1 - keep) AS BIGINT) AS n_dropped,
+               round(CAST(SUM(1 - keep) AS DOUBLE) / COUNT(*), 6)
+                 AS dup_rate
+        FROM v GROUP BY source
+    """.format(_SQL_CLUSTERS=_SQL_CLUSTERS),
     "decontam_ngram_overlap": f"""
         WITH toks AS (
             SELECT doc_id, {_T} AS tokens FROM documents

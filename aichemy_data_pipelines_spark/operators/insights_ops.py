@@ -219,7 +219,48 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-30-day actives, and the DAU/MAU
+    stickiness ratio per day — the product-analytics staple.
+
+    Scale: the day spine (bounded by the calendar) broadcasts against
+    the per-day distinct user sets; the trailing-window distinct is a
+    range join on day index + one countDistinct per spine day. At
+    extreme scale the MAU side becomes the merged daily HLL sketches
+    (events_hll_rollup) — this is the exact twin.
+
+    Output: (day, dau, mau, stickiness).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    days = ev.select("d").distinct().select(F.col("d").alias("day"))
+    dau = ev.groupBy(F.col("d").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    mau = (
+        F.broadcast(days)
+        .join(
+            ev,
+            (F.col("d") <= F.col("day"))
+            & (F.col("d") >= F.date_sub(F.col("day"), 29)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+    )
+
+
 QUERIES = {
+    "events_dau_mau": events_dau_mau,
     "parts_abc_analysis": parts_abc_analysis,
     "parts_copurchase": parts_copurchase,
     "customer_rfm": customer_rfm,
@@ -228,6 +269,24 @@ QUERIES = {
 }
 
 ORACLE = {
+    "events_dau_mau": """
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS d, user_id FROM events
+        ), days AS (
+            SELECT DISTINCT d AS day FROM ev
+        ), dau AS (
+            SELECT d AS day, COUNT(DISTINCT user_id) AS dau
+            FROM ev GROUP BY d
+        ), mau AS (
+            SELECT days.day, COUNT(DISTINCT ev.user_id) AS mau
+            FROM days JOIN ev
+              ON ev.d <= days.day AND ev.d >= days.day - INTERVAL 29 DAY
+            GROUP BY days.day
+        )
+        SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+               round(CAST(dau.dau AS DOUBLE) / mau.mau, 6) AS stickiness
+        FROM dau JOIN mau ON dau.day = mau.day
+    """,
     "parts_abc_analysis": """
         WITH rev AS (
             SELECT l_partkey,
