@@ -31,6 +31,28 @@ _NPROBE = 2
 _TOP_K = 3
 
 
+def _probe_lists(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(query_id, list_id) nprobe routing — the exact probe set the
+    composed index searches; exposed so tests can assert the ADC
+    candidates' lists are contained in it."""
+    qnorm = f"sqrt({spark_dot_exact('qv', 'qv')})"
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cdot = spark_dot_exact("qv", "centroid")
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "list_id")
+    return (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "c_cos", F.round(F.expr(f"{cdot} / (({qnorm}) * ({cnorm}))"), 8)
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .where(F.col("prk") <= _NPROBE)
+        .select("query_id", "list_id")
+    )
+
+
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nprobe=2 IVF routing + PQ-ADC scoring, top-3 per query.
 
@@ -40,22 +62,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- IVF side: trained lists + per-query probe set -------------
     cents, lists = _ivf._kmeans(spark, sf_dir)
     e = _ivf.load_table(spark, sf_dir, "embeddings")
-    qnorm = f"sqrt({spark_dot_exact('qv', 'qv')})"
-    q = e.where(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
-    )
-    cdot = spark_dot_exact("qv", "centroid")
-    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
-    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "list_id")
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "c_cos", F.round(F.expr(f"{cdot} / (({qnorm}) * ({cnorm}))"), 8)
-        )
-        .withColumn("prk", F.row_number().over(wq))
-        .where(F.col("prk") <= _NPROBE)
-        .select("query_id", "list_id")
-    )
+    probes = _probe_lists(e, cents)
 
     # --- PQ side: trained codebooks, corpus codes, query tables ----
     subs = _pq._subs(spark, sf_dir).repartition(

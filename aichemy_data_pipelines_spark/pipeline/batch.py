@@ -205,7 +205,7 @@ class WatchConvertPipeline:
         ext = "mzML" if cfg.fmt.lower() == "mzml" else "mzXML"
         gz = ".gz" if cfg.gzip_out else ""
         out_root = cfg.output_dir
-        prev = self._attempts_map()
+        runs = self._with_prev_attempts(runs)
 
         def do_convert(batches):
             import gzip as gzmod
@@ -221,7 +221,7 @@ class WatchConvertPipeline:
                     now_iso = datetime.now(timezone.utc).strftime(
                         "%Y-%m-%d %H:%M:%S"
                     )
-                    attempts = prev.get((r.base, r.plate_rel), 0) + 1
+                    attempts = r.prev_attempts + 1
                     outdir = os.path.join(out_root, r.plate_rel)
                     os.makedirs(outdir, exist_ok=True)
                     outfile = os.path.join(
@@ -379,16 +379,32 @@ class WatchConvertPipeline:
             return None
         return self.spark.read.parquet(self._ledger_path)
 
-    def _attempts_map(self) -> dict:
+    def _with_prev_attempts(self, runs: DataFrame) -> DataFrame:
+        """Ledger attempt counts joined onto the batch as a column.
+
+        The all-time ledger never materializes on the driver (it grows
+        with total run history forever): the ledger is first SEMI-
+        filtered by the bounded discovery batch (broadcast ≤ max_map
+        keys, map-side, before any shuffle), the surviving rows —
+        ≤ max_map keys' worth — are aggregated, and that tiny result
+        is broadcast back onto the batch as a left join. Per-cycle
+        ledger cost is one pruned scan; nothing unbounded crosses the
+        driver.
+        """
         led = self._read_ledger()
         if led is None:
-            return {}
-        rows = (
-            led.groupBy("base", "plate_rel")
-            .agg(F.max("attempts").alias("attempts"))
-            .collect()
+            return runs.withColumn("prev_attempts", F.lit(0))
+        keys = runs.select("base", "plate_rel")
+        prev = (
+            led.join(F.broadcast(keys), ["base", "plate_rel"], "left_semi")
+            .groupBy("base", "plate_rel")
+            .agg(F.max("attempts").alias("prev_attempts"))
         )
-        return {(r.base, r.plate_rel): r.attempts for r in rows}
+        return runs.join(
+            F.broadcast(prev), ["base", "plate_rel"], "left"
+        ).withColumn(
+            "prev_attempts", F.coalesce("prev_attempts", F.lit(0))
+        )
 
     def _append_ledger(self, converted: DataFrame) -> None:
         converted.select(

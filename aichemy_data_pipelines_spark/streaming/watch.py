@@ -279,14 +279,24 @@ def stream_session_flush(
     production configuration (watch.py's NoTimeout totals grow state
     forever; this one provably releases it).
 
-    Mechanics per micro-batch: arriving events extend the user's
-    open session (exact integer-cents sum, min/max event time) and
-    re-arm the timeout at ``session_end + gap``; when a later batch
+    Mechanics per micro-batch: the user's batch rows are sorted by
+    event time and SPLIT on gaps ``>= gap`` — matching the batch
+    twin ``events_session_window_batch``'s boundary rule (new
+    session when ``t >= prev_end + gap``) even when several
+    sessions' worth of events land in one micro-batch, and when the
+    first new event gaps away from the carried open-session state.
+    Sessions closed by an intra-batch gap are emitted immediately;
+    only the single still-open tail session stays in state, with the
+    timeout re-armed at ``session_end + gap``. When a later batch
     advances the watermark past that deadline, Spark invokes the
     function with ``state.hasTimedOut`` and NO rows — the closed
     session is emitted and the state removed. Sessions still open
     when the source dries up are intentionally NOT emitted (they
     have not ended — a restart resumes them from the checkpoint).
+    Cents use half-away-from-zero rounding (``floor(v*100+0.5)`` on
+    non-negative money values) to match Spark/DuckDB ``round()`` —
+    pandas' ``Series.round`` is banker's rounding and would diverge
+    on exact half-cents.
 
     Scale: state is (4 longs) × live users, and eviction bounds
     "live" to the gap window — the property that lets a 100 TB
@@ -323,50 +333,74 @@ def stream_session_flush(
         ]
     )
     gap_ms = gap_minutes * 60 * 1000
+    gap_us = gap_ms * 1000
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
-        if state.hasTimedOut:
-            start_us, end_us, n, cents = state.get
-            state.remove()
-            yield pd.DataFrame(
+        def frame(sessions):
+            return pd.DataFrame(
                 {
-                    "user_id": [key[0]],
-                    "session_start_us": [start_us],
-                    "session_end_us": [end_us],
-                    "n_events": [n],
-                    "sum_cents": [cents],
+                    "user_id": pd.Series(
+                        [key[0]] * len(sessions), dtype="int64"
+                    ),
+                    "session_start_us": pd.Series(
+                        [s[0] for s in sessions], dtype="int64"
+                    ),
+                    "session_end_us": pd.Series(
+                        [s[1] for s in sessions], dtype="int64"
+                    ),
+                    "n_events": pd.Series(
+                        [s[2] for s in sessions], dtype="int64"
+                    ),
+                    "sum_cents": pd.Series(
+                        [s[3] for s in sessions], dtype="int64"
+                    ),
                 }
             )
+
+        if state.hasTimedOut:
+            closed = state.get
+            state.remove()
+            yield frame([closed])
             return
-        start_us, end_us, n, cents = (
-            state.get if state.exists else (None, None, 0, 0)
-        )
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            lo, hi = int(us.min()), int(us.max())
-            start_us = lo if start_us is None else min(start_us, lo)
-            end_us = hi if end_us is None else max(end_us, hi)
-            n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
-        state.update((start_us, end_us, n, cents))
+
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        cur = state.get if state.exists else None  # (start,end,n,cents)
+        closed: list[tuple[int, int, int, int]] = []
+        if parts:
+            batch = pd.concat(parts, ignore_index=True)
+            us = (batch["ts"].astype("int64") // 1000).to_numpy()  # ns->us
+            # half-away-from-zero cents (values are non-negative money)
+            cents = np.floor(
+                batch["value"].to_numpy(dtype="float64") * 100.0 + 0.5
+            ).astype("int64")
+            order = np.argsort(us, kind="stable")
+            for t, c in zip(us[order].tolist(), cents[order].tolist()):
+                if cur is not None and t - cur[1] >= gap_us:
+                    closed.append(cur)
+                    cur = None
+                if cur is None:
+                    cur = (t, t, 1, c)
+                else:
+                    cur = (
+                        min(cur[0], t),
+                        max(cur[1], t),
+                        cur[2] + 1,
+                        cur[3] + c,
+                    )
+        if cur is None:
+            # no rows and no timeout: nothing to do (state untouched)
+            yield frame([])
+            return
+        state.update(cur)
         # re-arm eviction: must stay ahead of the current watermark
         deadline_ms = max(
-            end_us // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1
+            cur[1] // 1000 + gap_ms, state.getCurrentWatermarkMs() + 1
         )
         state.setTimeoutTimestamp(deadline_ms)
-        yield pd.DataFrame(
-            {
-                "user_id": pd.Series([], dtype="int64"),
-                "session_start_us": pd.Series([], dtype="int64"),
-                "session_end_us": pd.Series([], dtype="int64"),
-                "n_events": pd.Series([], dtype="int64"),
-                "sum_cents": pd.Series([], dtype="int64"),
-            }
-        )
+        yield frame(closed)
 
     agg = ev.groupBy("user_id").applyInPandasWithState(
         update,

@@ -72,8 +72,13 @@ def test_oracle_parity(spark, name):
     s_rows = [tuple(r) for r in sdf.collect()]
 
     if name not in _ORACLE:
-        # rows-only contract: must run and be deterministic
-        assert len(s_rows) >= 0
+        # rows-only contract: must run AND be deterministic — build a
+        # second independent plan and require identical results
+        sdf2 = _QUERIES[name](spark, SF_SMOKE)
+        s_rows2 = [tuple(r) for r in sdf2.collect()]
+        sc1, sv1 = _normalize(s_cols, s_rows)
+        sc2, sv2 = _normalize(sdf2.columns, s_rows2)
+        assert sc1 == sc2 and sv1 == sv2, f"{name}: non-deterministic"
         return
 
     con = _duck(SF_SMOKE)

@@ -185,11 +185,7 @@ def test_ivfpq_candidates_come_from_probed_lists(spark):
     from collections import defaultdict
 
     from aichemy_data_pipelines_spark.operators.ivfpq import ann_ivf_pq_topk
-    from aichemy_data_pipelines_spark.operators.ivf import (
-        _NPROBE,
-        _kmeans,
-        ann_ivf_topk,
-    )
+    from aichemy_data_pipelines_spark.operators.ivf import _NPROBE, _kmeans
 
     out = ann_ivf_pq_topk(spark, SF_SMOKE).collect()
     assert out
@@ -201,20 +197,20 @@ def test_ivfpq_candidates_come_from_probed_lists(spark):
         dists = [r.adc_d2 for r in rs]
         assert dists == sorted(dists)
 
-    # routing: candidates must live in lists the IVF query also
-    # probes — recompute the (deterministic) assignment
-    _, lists = _kmeans(spark, SF_SMOKE)
+    # routing: every ADC candidate must live in a list the query's
+    # nprobe routing actually probes — recompute the (deterministic)
+    # probe sets from the trained quantizer and assert containment
+    from aichemy_data_pipelines_spark.catalog import load_table
+    from aichemy_data_pipelines_spark.operators.ivfpq import _probe_lists
+
+    cents, lists = _kmeans(spark, SF_SMOKE)
     list_of = {r.vec_id: r.list_id for r in lists.collect()}
-    ivf_cands = {
-        (r.query_id, list_of[r.cand_id])
-        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
-    }
+    e = load_table(spark, SF_SMOKE, "embeddings")
     probed = defaultdict(set)
-    for q, lid in ivf_cands:
-        probed[q].add(lid)
+    for r in _probe_lists(e, cents).collect():
+        probed[r.query_id].add(r.list_id)
     for r in out:
-        assert list_of[r.cand_id] in probed[r.query_id] or True
-        # the strict check: ADC candidates' lists ⊆ nprobe lists
+        assert list_of[r.cand_id] in probed[r.query_id]
     qlists = defaultdict(set)
     for r in out:
         qlists[r.query_id].add(list_of[r.cand_id])

@@ -275,3 +275,57 @@ def test_session_flush_evicts_state_on_watermark(spark, tmp_path):
         1: (2, 375, us, us + 5 * 60 * 1_000_000),
         2: (1, 1000, us, us),
     }, got
+
+
+def test_session_flush_splits_on_event_time_gaps(spark, tmp_path):
+    """Gap-boundary parity with events_session_window_batch: events
+    separated by >= gap must form SEPARATE sessions even when they
+    arrive in the same micro-batch (intra-batch split) or when the
+    first new event gaps away from the carried open-session state
+    (cross-batch split) — not merge into one mega-session."""
+    import pandas as pd
+
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        stream_session_flush,
+    )
+
+    base = 1_700_000_000_000_000_000  # ns epoch, stable
+    m = 60 * 1_000_000_000  # one minute in ns
+    h = 60 * m
+    batch1 = [
+        # user 1: TWO sessions' worth in ONE micro-batch (55min gap)
+        (1, 1, base, "view", 1.25),
+        (2, 1, base + 5 * m, "click", 2.50),
+        (3, 1, base + 60 * m, "view", 4.00),
+        (4, 1, base + 62 * m, "click", 0.75),
+        # user 2: session A opens and is carried in state
+        (5, 2, base, "view", 10.00),
+    ]
+    batch2 = [
+        # user 2: first new event gaps 60min past the carried state
+        (6, 2, base + 60 * m, "view", 3.00),
+    ]
+    batch3 = [
+        # watermark mover: flushes every still-open tail via timeout
+        (7, 9, base + 10 * h, "view", 5.00),
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, sl in enumerate((batch1, batch2, batch3)):
+        pd.DataFrame(
+            sl, columns=["event_id", "user_id", "ts", "event_type", "value"]
+        ).assign(props="{}").to_parquet(str(src / f"ev_{i}.parquet"))
+    stream_session_flush(
+        spark, str(src), str(tmp_path / "ckpt"), "sess_split_t"
+    )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.sum_cents)
+        for r in spark.sql("SELECT * FROM sess_split_t").collect()
+    }
+    us, mu = base // 1000, 60 * 1_000_000
+    assert got == {
+        (1, us, us + 5 * mu, 2, 375),  # intra-batch split, emitted early
+        (1, us + 60 * mu, us + 62 * mu, 2, 475),  # tail, timeout-flushed
+        (2, us, us, 1, 1000),  # cross-batch split on carried state
+        (2, us + 60 * mu, us + 60 * mu, 1, 300),  # tail, timeout-flushed
+    }, got
