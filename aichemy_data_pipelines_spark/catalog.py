@@ -50,18 +50,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # are defined in UTC. Runtime-settable, cheap, idempotent.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-        # outright. Read nanos as int64 (runtime-settable legacy conf,
-        # works on any caller-provided session) and floor-convert to a
-        # µs timestamp — the exact truncation DuckDB applies when it
-        # casts TIMESTAMP_NS to its µs TIMESTAMP, so both engines see
-        # identical instants.
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        raw = spark.read.parquet(table_path(sf_dir, name))
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _load_events(spark, table_path(sf_dir, name))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Events with ``ts`` normalized to a (UTC) µs TimestampType.
+
+    The generator has shipped ``ts`` as parquet TIMESTAMP(NANOS) in
+    some rounds and plain TIMESTAMP(MICROS, isAdjustedToUTC=false) in
+    others, so adapt to the footer instead of assuming either:
+
+    - int64 nanos (read via the runtime-settable ``nanosAsLong``
+      legacy conf — Spark 4 refuses TIMESTAMP(NANOS) outright without
+      it): floor-divide to µs, the same truncation DuckDB applies
+      casting TIMESTAMP_NS → TIMESTAMP, so both engines see identical
+      instants.
+    - TIMESTAMP_NTZ (µs, not UTC-adjusted): cast to TimestampType;
+      with the session zone pinned to UTC above this is a pure
+      relabeling of the same wall-clock values, matching DuckDB's
+      naive TIMESTAMP reading bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

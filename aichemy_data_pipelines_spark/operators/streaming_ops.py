@@ -86,7 +86,11 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_upsert_ledger(spark, sf_dir, ledger, ckpt)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.read.parquet(ledger).select(
+    from aichemy_data_pipelines_spark.pipeline.atomic import (
+        AtomicParquetTable,
+    )
+
+    return AtomicParquetTable(ledger).read(spark).select(
         "user_id",
         "n_events",
         (F.col("cents") / 100.0).alias("sum_value"),

@@ -175,9 +175,9 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``last(..., ignorenulls=True)`` — linear, one shuffle, and the
     exact plan a streaming state op would use.
 
-    Scale: partition by user_id; for a calendar-scale fact stream,
-    bucket by (user_id, day) and seed each day with the previous
-    day's tail to keep windows bounded.
+    Scale: partition by user_id; for a calendar-scale fact stream use
+    :func:`events_asof_join_bucketed` — (user_id, day) buckets seeded
+    with the prior days' tail keep window state bounded.
     """
     ev = _events(spark, sf_dir).where(
         F.col("event_type").isin("click", "purchase")
@@ -198,6 +198,80 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", _TS_FMT).alias("purchase_ts"),
         "last_click_id",
         (F.unix_micros("ts") - F.col("last_click_us")).alias("since_click_us"),
+    )
+
+
+def events_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, (user_id, day)-bucketed scale variant.
+
+    Same result as :func:`events_asof_join`, different plan. The plain
+    variant's window spans a user's ENTIRE history, so per-task state
+    grows with per-user history — fine for bounded histories, wrong
+    for a calendar-scale fact stream. Here window state is bounded by
+    one user-DAY and history crosses bucket boundaries through a
+    compact seed table:
+
+    1. per (user_id, day): latest click of the day — a plain agg, one
+       row per user-day (orders of magnitude smaller than events);
+    2. the "previous days' tail" seed: running ``last`` over each
+       user's day sequence shifted one row back
+       (``rowsBetween(unboundedPreceding, -1)``) — an unbounded window
+       but over the COMPACT user-day table, so cheap at any scale;
+    3. seed joined back on (user_id, day) — a key the events already
+       shuffle on for the bucket window, so it stays co-located;
+    4. intra-day last-click-forward, coalesced with the seed.
+    """
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isin("click", "purchase"))
+        .withColumn("day", F.date_trunc("day", "ts"))
+    )
+    day_tail = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "day")
+        .agg(
+            F.max(
+                F.struct(
+                    F.unix_micros("ts").alias("us"),
+                    F.col("event_id").alias("id"),
+                )
+            ).alias("tail")
+        )
+    )
+    spine = ev.select("user_id", "day").distinct()
+    wdays = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seeds = (
+        spine.join(day_tail, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("tail", ignorenulls=True).over(wdays).alias("seed"),
+        )
+    )
+    wb = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_us = F.when(F.col("event_type") == "click", F.unix_micros("ts"))
+    enriched = (
+        ev.join(seeds, ["user_id", "day"], "left")
+        .withColumn("intra_id", F.last(click_id, ignorenulls=True).over(wb))
+        .withColumn("intra_us", F.last(click_us, ignorenulls=True).over(wb))
+    )
+    return enriched.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", _TS_FMT).alias("purchase_ts"),
+        F.coalesce("intra_id", F.col("seed.id")).alias("last_click_id"),
+        (
+            F.unix_micros("ts") - F.coalesce("intra_us", F.col("seed.us"))
+        ).alias("since_click_us"),
     )
 
 
@@ -592,6 +666,7 @@ QUERIES = {
     "events_topk_per_user": events_topk_per_user,
     "events_dedup_latest": events_dedup_latest,
     "events_asof_join": events_asof_join,
+    "events_asof_join_bucketed": events_asof_join_bucketed,
     "events_range_join": events_range_join,
     "events_rollup": events_rollup,
     "events_percentiles": events_percentiles,
@@ -725,6 +800,27 @@ ORACLE = {
         WHERE rk = 1
     """,
     "events_asof_join": f"""
+        WITH ce AS (
+            SELECT *, last_value(CASE WHEN event_type = 'click' THEN event_id END
+                                 IGNORE NULLS)
+                          OVER w AS last_click_id,
+                      last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END
+                                 IGNORE NULLS)
+                          OVER w AS last_click_us
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id AS purchase_id, user_id,
+               strftime(ts, '{_SQL_TS_FMT}') AS purchase_ts,
+               last_click_id,
+               epoch_us(ts) - last_click_us AS since_click_us
+        FROM ce WHERE event_type = 'purchase'
+    """,
+    # the bucketed variant is result-identical by construction — same
+    # oracle; the equality test pins Spark-vs-Spark plan equivalence.
+    "events_asof_join_bucketed": f"""
         WITH ce AS (
             SELECT *, last_value(CASE WHEN event_type = 'click' THEN event_id END
                                  IGNORE NULLS)

@@ -1,0 +1,164 @@
+"""Atomic manifest-commit protocol for parquet ledgers and sinks.
+
+Plain ``df.write.mode("append"/"overwrite").parquet(path)`` is not
+crash-atomic: the Hadoop committer moves task files into the target
+during job commit, so a crash mid-commit leaves a TORN directory — a
+subset of new part-files visible next to old ones (append) or a
+half-deleted table (overwrite). For the pipeline's ledgers that means
+a crashed cycle could double-count or lose attempt history.
+
+This module is the minimal transactional-table fix (the Delta/Iceberg
+log idea, reduced to what a single-writer ledger needs):
+
+Layout::
+
+    root/
+      data/v0000000001-<uuid>/   one immutable parquet dir per commit
+      manifest-0000000001.json   {"version": 1, "dirs": [...]}
+
+Protocol per commit:
+
+1. write the new data dir (readers never look at unlisted dirs, so a
+   crash here leaves an invisible orphan — reclaim with ``vacuum``);
+2. write ``manifest-<v+1>`` to a temp name, ``flush`` + ``fsync``;
+3. publish via ``os.link(tmp, final)`` — atomic, and *create-new*
+   semantics (unlike ``rename``, which silently replaces): if another
+   writer published ``v+1`` first this raises, the orphan data dir
+   stays invisible, and the caller can simply re-run (single-writer
+   is the supported mode; the link gives conflict *detection*, not
+   serialization);
+4. ``fsync`` the root directory so the link itself is durable.
+
+Readers resolve ``max(version)`` and read exactly the listed dirs, so
+every read observes a complete commit or the previous one — never a
+torn mix. ``append`` lists old dirs + the new one; ``overwrite``
+lists only the new one (old dirs stay on disk until ``vacuum``, which
+also makes overwrite time-travel-friendly for free).
+
+Scale: the manifest holds directory names, not file names — O(commits)
+bytes, independent of data size. On HDFS/S3A, swap ``os.link`` for
+the store's conditional-put; the protocol is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published this version first; re-run to retry."""
+
+
+class AtomicParquetTable:
+    def __init__(self, root: str):
+        self.root = root
+
+    # -- manifest resolution ----------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, f"manifest-{version:010d}.json")
+
+    def _latest_version(self) -> int:
+        """0 = no commits yet."""
+        if not os.path.isdir(self.root):
+            return 0
+        best = 0
+        for name in os.listdir(self.root):
+            if name.startswith("manifest-") and name.endswith(".json"):
+                try:
+                    best = max(best, int(name[len("manifest-"):-len(".json")]))
+                except ValueError:
+                    continue
+        return best
+
+    def version(self) -> int:
+        return self._latest_version()
+
+    def current_dirs(self) -> list[str]:
+        v = self._latest_version()
+        if v == 0:
+            return []
+        with open(self._manifest_path(v)) as f:
+            m = json.load(f)
+        return [os.path.join(self.root, d) for d in m["dirs"]]
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        dirs = self.current_dirs()
+        if not dirs:
+            return None
+        return spark.read.parquet(*dirs)
+
+    # -- commits -----------------------------------------------------------
+    def _write_data(self, df: DataFrame, version: int) -> str:
+        rel = os.path.join("data", f"v{version:010d}-{uuid.uuid4().hex[:8]}")
+        df.write.parquet(os.path.join(self.root, rel))
+        return rel
+
+    def _publish(self, version: int, rel_dirs: list[str]) -> None:
+        final = self._manifest_path(version)
+        tmp = os.path.join(
+            self.root, f".manifest-{version:010d}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        try:
+            os.write(
+                fd,
+                json.dumps({"version": version, "dirs": rel_dirs}).encode(),
+            )
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        try:
+            os.link(tmp, final)  # atomic create-new publish
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentWriteError(
+                f"{final} already published by another writer"
+            ) from None
+        os.unlink(tmp)
+        dfd = os.open(self.root, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def _commit(self, df: DataFrame, keep_old: bool) -> int:
+        os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
+        v = self._latest_version()
+        prev_rel = []
+        if keep_old and v:
+            with open(self._manifest_path(v)) as f:
+                prev_rel = json.load(f)["dirs"]
+        new_rel = self._write_data(df, v + 1)
+        self._publish(v + 1, prev_rel + [new_rel])
+        return v + 1
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit(df, keep_old=True)
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(df, keep_old=False)
+
+    # -- maintenance --------------------------------------------------------
+    def vacuum(self) -> list[str]:
+        """Delete data dirs not referenced by the CURRENT manifest
+        (crashed-commit orphans, pre-overwrite versions) and stale
+        manifest temp files. Safe whenever no writer is mid-commit."""
+        data_root = os.path.join(self.root, "data")
+        if not os.path.isdir(data_root):
+            return []
+        live = {os.path.relpath(d, self.root) for d in self.current_dirs()}
+        removed = []
+        for name in sorted(os.listdir(data_root)):
+            rel = os.path.join("data", name)
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_root, name))
+                removed.append(rel)
+        for name in os.listdir(self.root):
+            if name.startswith(".manifest-") and name.endswith(".tmp"):
+                os.unlink(os.path.join(self.root, name))
+        return removed

@@ -374,10 +374,16 @@ class WatchConvertPipeline:
     def _ledger_path(self) -> str:
         return os.path.join(self.cfg.output_dir, "_ledger.parquet")
 
+    @property
+    def _ledger_table(self):
+        from aichemy_data_pipelines_spark.pipeline.atomic import (
+            AtomicParquetTable,
+        )
+
+        return AtomicParquetTable(self._ledger_path)
+
     def _read_ledger(self) -> DataFrame | None:
-        if not os.path.exists(self._ledger_path):
-            return None
-        return self.spark.read.parquet(self._ledger_path)
+        return self._ledger_table.read(self.spark)
 
     def _with_prev_attempts(self, runs: DataFrame) -> DataFrame:
         """Ledger attempt counts joined onto the batch as a column.
@@ -394,6 +400,13 @@ class WatchConvertPipeline:
         led = self._read_ledger()
         if led is None:
             return runs.withColumn("prev_attempts", F.lit(0))
+        # Materialize the bounded batch ONCE before referencing it
+        # twice (broadcast keys + left side of the final join):
+        # without this the discovery binaryFile listing + agg +
+        # anti-join + orderBy/limit plan re-executes 2-3x per cycle —
+        # same lineage-cut rationale as run_once. ≤ max_map metadata
+        # rows, so eager checkpoint cost is trivial at any scale.
+        runs = runs.localCheckpoint(eager=True)
         keys = runs.select("base", "plate_rel")
         prev = (
             led.join(F.broadcast(keys), ["base", "plate_rel"], "left_semi")
@@ -407,10 +420,15 @@ class WatchConvertPipeline:
         )
 
     def _append_ledger(self, converted: DataFrame) -> None:
-        converted.select(
-            "base", "plate_rel", "status", "attempts", "duration_ms",
-            "converted_at",
-        ).write.mode("append").parquet(self._ledger_path)
+        # manifest-commit (pipeline/atomic.py): a crash mid-append can
+        # never leave a torn ledger — attempt history is all-or-nothing
+        # per cycle, so a re-run of the crashed cycle is idempotent.
+        self._ledger_table.append(
+            converted.select(
+                "base", "plate_rel", "status", "attempts", "duration_ms",
+                "converted_at",
+            )
+        )
 
     # -- one polling cycle ----------------------------------------------------
     def run_once(self, now_ms: int | None = None) -> dict:

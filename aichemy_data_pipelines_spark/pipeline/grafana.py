@@ -31,8 +31,24 @@ _DASH_UID = "aichemy-data-pipelines-spark"
 
 def panel_sql(ledger_path: str, cycles_path: str) -> dict[str, str]:
     """The five panel queries, DuckDB dialect, macro-free so they run
-    identically inside Grafana and in CI."""
-    led = f"read_parquet('{ledger_path}/*.parquet')"
+    identically inside Grafana and in CI.
+
+    Manifest-aware: a ledger written through pipeline/atomic.py
+    resolves to exactly its committed data dirs (crashed-commit
+    orphans invisible, same guarantee the Spark readers get); a plain
+    parquet dir keeps the one-glob form. Regenerate the dashboard
+    after commits (build_dashboard is cheap) or run vacuum so the
+    on-disk globs match the manifest."""
+    from aichemy_data_pipelines_spark.pipeline.atomic import (
+        AtomicParquetTable,
+    )
+
+    live = AtomicParquetTable(ledger_path).current_dirs()
+    if live:
+        globs = ", ".join(f"'{d}/*.parquet'" for d in live)
+        led = f"read_parquet([{globs}])"
+    else:
+        led = f"read_parquet('{ledger_path}/*.parquet')"
     return {
         "files_converted_24h": f"""
             SELECT COUNT(*) AS value FROM {led}

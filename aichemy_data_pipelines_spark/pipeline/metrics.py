@@ -49,6 +49,15 @@ class PipelineMetrics:
 
     # -- ledger-backed panels ---------------------------------------------
     def _ledger(self) -> DataFrame:
+        from aichemy_data_pipelines_spark.pipeline.atomic import (
+            AtomicParquetTable,
+        )
+
+        # manifest-aware read (only committed data dirs); fall back to
+        # a plain parquet read for pre-manifest ledger layouts
+        df = AtomicParquetTable(self.ledger_path).read(self.spark)
+        if df is not None:
+            return df
         return self.spark.read.parquet(self.ledger_path)
 
     def converted_last_24h(self, now: str | None = None) -> DataFrame:

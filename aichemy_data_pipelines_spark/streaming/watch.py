@@ -44,6 +44,9 @@ FILE_SCHEMA = StructType(
     ]
 )
 
+#: Historical fixed schema (ts = int64 nanos). Kept for callers that
+#: stream from pre-written nanos parquet; ``load_events_stream`` now
+#: probes the footer instead of assuming this shape.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -94,26 +97,66 @@ def stream_convert(
     q.awaitTermination()
 
 
+_DURATION_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1, "ms": 1,
+    "second": 1000, "seconds": 1000, "s": 1000,
+    "minute": 60_000, "minutes": 60_000, "min": 60_000, "mins": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000, "h": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000, "d": 86_400_000,
+    "week": 604_800_000, "weeks": 604_800_000,
+}
+
+
+def _parse_duration_ms(spec: str) -> int:
+    """Parse a Spark ``CalendarInterval``-style duration ('1 minute',
+    '2 hours', '30 seconds') into milliseconds — used to VALIDATE a
+    caller-supplied watermark before handing it to withWatermark."""
+    parts = spec.strip().lower().split()
+    if len(parts) != 2 or parts[1] not in _DURATION_UNIT_MS:
+        raise ValueError(f"unsupported duration spec: {spec!r}")
+    try:
+        n = float(parts[0])
+    except ValueError:
+        raise ValueError(f"unsupported duration spec: {spec!r}") from None
+    return int(n * _DURATION_UNIT_MS[parts[1]])
+
+
 def load_events_stream(
     spark: SparkSession,
     sf_dir: str,
     glob: str = "events.parquet",
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """Parquet streaming source over the events table (ts arrives as
-    int64 nanos — same legacy-conf handling as catalog.load_table)."""
+    """Parquet streaming source over the events table with ``ts``
+    normalized to a (UTC) µs TimestampType.
+
+    The file-stream source needs an explicit schema, and the generator
+    has shipped ``ts`` both as int64 nanos and as TIMESTAMP_NTZ across
+    rounds — so probe the footer with a one-off batch read (metadata
+    only, no data scan) and adapt, mirroring catalog._load_events."""
+    from pyspark.sql.types import TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    probed = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    )
     # the file-stream source requires a DIRECTORY; select the events
     # table out of the SF dir with a glob filter
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA).option(
-        "pathGlobFilter", glob
-    )
+    reader = spark.readStream.schema(probed).option("pathGlobFilter", glob)
     if max_files_per_trigger:
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )
     raw = reader.parquet(sf_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = probed["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    if isinstance(ts_type, TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def stream_tumbling_counts(
@@ -303,6 +346,25 @@ def stream_session_flush(
     stream run for months without state growth.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # Precondition (correctness, not tuning): eager emission of intra-
+    # batch-closed sessions assumes no in-watermark event can still
+    # belong to an emitted session. That holds iff watermark delay <=
+    # gap — a late event within the watermark is by definition < delay
+    # behind max(ts) seen; with delay <= gap it lands within the gap of
+    # the still-open tail session (kept in state), never inside an
+    # already-emitted one. A delay > gap (e.g. watermark='2 hours',
+    # gap_minutes=30) breaks that invariant, so refuse it.
+    delay_ms = _parse_duration_ms(watermark)
+    if delay_ms > gap_minutes * 60_000:
+        raise ValueError(
+            f"stream_session_flush requires watermark delay <= gap: "
+            f"got watermark={watermark!r} ({delay_ms} ms) > "
+            f"gap_minutes={gap_minutes} ({gap_minutes * 60_000} ms). "
+            "Either shrink the watermark or grow the gap; supporting "
+            "delay > gap needs closed sessions held in state until the "
+            "watermark passes their end+gap."
+        )
 
     ev = (
         load_events_stream(
@@ -594,17 +656,23 @@ def stream_upsert_ledger(
     operators/relational_ext.orders_incremental_agg), instead of
     holding unbounded per-user state in the state store.
 
-    Exactly-once: the checkpoint tracks consumed files; the merge
-    materializes (localCheckpoint) before overwriting the ledger path
-    it just read — the read-then-overwrite hazard of every
-    foreachBatch upsert.
+    Exactly-once: the checkpoint tracks consumed files; the merged
+    ledger commits through the manifest protocol (pipeline/atomic.py)
+    — the new version's data dir is written while readers still
+    resolve the old manifest, then one atomic link publishes it, so
+    neither a crash mid-write nor the read-then-overwrite hazard of a
+    plain foreachBatch upsert can tear the ledger. localCheckpoint
+    still cuts the read→write lineage cycle.
 
     Scale: ledger size = keyspace (users), not events; each
     micro-batch shuffles only its own partials + the keyspace-sized
     ledger. State-store-free, so state never outgrows the watermark.
     """
-    import os as _os
+    from aichemy_data_pipelines_spark.pipeline.atomic import (
+        AtomicParquetTable,
+    )
 
+    table = AtomicParquetTable(ledger_dir)
     ev = load_events_stream(
         spark, src_dir, glob=glob, max_files_per_trigger=max_files_per_trigger
     ).select("user_id", "value")
@@ -616,8 +684,8 @@ def stream_upsert_ledger(
                 "cents"
             ),
         )
-        if _os.path.exists(_os.path.join(ledger_dir, "_SUCCESS")):
-            base = batch_df.sparkSession.read.parquet(ledger_dir)
+        base = table.read(batch_df.sparkSession)
+        if base is not None:
             part = (
                 base.unionByName(part)
                 .groupBy("user_id")
@@ -626,10 +694,8 @@ def stream_upsert_ledger(
                     F.sum("cents").alias("cents"),
                 )
             )
-        # materialize BEFORE overwriting the path we just read
-        part.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            ledger_dir
-        )
+        table.overwrite(part.localCheckpoint(eager=True))
+        table.vacuum()
 
     q = (
         ev.writeStream.foreachBatch(merge)

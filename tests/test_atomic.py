@@ -1,0 +1,134 @@
+"""Crash-atomicity of the manifest-commit protocol (pipeline/atomic.py):
+a commit killed at ANY intermediate step leaves readers on the prior
+complete version, and a straight re-run converges to the right state."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from aichemy_data_pipelines_spark.pipeline.atomic import (
+    AtomicParquetTable,
+    ConcurrentWriteError,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame([(i,) for i in rows], "id long")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_append_overwrite_read_roundtrip(spark, tmp_path):
+    t = AtomicParquetTable(str(tmp_path / "t"))
+    assert t.read(spark) is None
+    assert t.append(_df(spark, [1, 2])) == 1
+    assert t.append(_df(spark, [3])) == 2
+    assert _ids(t.read(spark)) == [1, 2, 3]
+    assert t.overwrite(_df(spark, [9])) == 3
+    assert _ids(t.read(spark)) == [9]
+
+
+def test_kill_after_data_before_manifest(spark, tmp_path):
+    """Crash between writing the data dir and publishing the manifest:
+    the orphan dir must be invisible to readers, reclaimed by vacuum,
+    and a re-run of the same append must succeed and be complete."""
+    t = AtomicParquetTable(str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+
+    real_publish = t._publish
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(t, "_publish", lambda *a: (_ for _ in ()).throw(KeyboardInterrupt))
+        with pytest.raises(KeyboardInterrupt):
+            t.append(_df(spark, [2]))
+    # reader still sees only the committed version
+    assert _ids(t.read(spark)) == [1]
+    assert t.version() == 1
+    # orphan exists on disk until vacuumed
+    data = os.listdir(tmp_path / "t" / "data")
+    assert len(data) == 2
+    removed = t.vacuum()
+    assert len(removed) == 1
+    # re-run converges
+    t._publish = real_publish
+    t.append(_df(spark, [2]))
+    assert _ids(t.read(spark)) == [1, 2]
+
+
+def test_kill_mid_manifest_write(spark, tmp_path):
+    """A torn manifest TEMP file (crash during fsync) must never be
+    picked up: readers resolve only published manifest-N files."""
+    t = AtomicParquetTable(str(tmp_path / "t"))
+    t.append(_df(spark, [1]))
+    # simulate a torn temp left behind by a crashed writer
+    torn = tmp_path / "t" / ".manifest-0000000002.deadbeef.tmp"
+    torn.write_text('{"version": 2, "dirs": ["data/')
+    assert t.version() == 1
+    assert _ids(t.read(spark)) == [1]
+    t.vacuum()
+    assert not torn.exists()
+
+
+def test_concurrent_publish_detected(spark, tmp_path):
+    """Two writers racing to version N+1: the loser raises instead of
+    silently clobbering, and its data dir stays invisible."""
+    t1 = AtomicParquetTable(str(tmp_path / "t"))
+    t2 = AtomicParquetTable(str(tmp_path / "t"))
+    t1.append(_df(spark, [1]))
+
+    # t2 computes next version, then t1 publishes first
+    v = t2._latest_version()
+    rel = t2._write_data(_df(spark, [99]), v + 1)
+    t1.append(_df(spark, [2]))
+    with pytest.raises(ConcurrentWriteError):
+        t2._publish(v + 1, [rel])
+    assert _ids(t1.read(spark)) == [1, 2]
+    # loser retries cleanly at the next version
+    t2.append(_df(spark, [3]))
+    assert _ids(t1.read(spark)) == [1, 2, 3]
+
+
+def test_pipeline_cycle_crash_rerun_idempotent(spark, tmp_path):
+    """End-to-end: kill the batch pipeline mid-ledger-commit, re-run
+    the cycle, and the ledger holds exactly one row for the run (no
+    torn/partial state, no double count)."""
+    from aichemy_data_pipelines_spark.pipeline.batch import (
+        PipelineConfig,
+        WatchConvertPipeline,
+    )
+
+    rund = tmp_path / "watch" / "plate_A" / "run1.d"
+    rund.mkdir(parents=True)
+    (rund / "x.bin").write_bytes(b"payload")
+    cfg = PipelineConfig(
+        watch_dir=str(tmp_path / "watch"),
+        output_dir=str(tmp_path / "out"),
+        archive_dir=str(tmp_path / "arc"),
+        quiet_seconds=0,
+    )
+    pipe = WatchConvertPipeline(spark, cfg)
+
+    table = pipe._ledger_table
+    real_publish = AtomicParquetTable._publish
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(
+            AtomicParquetTable,
+            "_publish",
+            lambda self, *a: (_ for _ in ()).throw(KeyboardInterrupt),
+        )
+        with pytest.raises(KeyboardInterrupt):
+            pipe.run_once()
+    assert table.read(spark) is None  # nothing committed
+    # re-run: same cycle replays cleanly — the already-written output
+    # is detected (reference already_converted semantics), no double
+    # conversion, and the ledger ends with exactly one complete row
+    pipe.run_once()
+    led = table.read(spark)
+    rows = led.collect()
+    assert len(rows) == 1
+    assert rows[0].base == "run1"
+    assert rows[0].status in ("ok", "already_converted")

@@ -105,7 +105,11 @@ def test_failed_run_escalates_to_permanent_skip(pipe, spark):
     # after max_attempts failures the run is permanently skipped
     stats = pipe.run_once()
     assert stats["total"] == 0
-    led = spark.read.parquet(os.path.join(pipe.cfg.output_dir, "_ledger.parquet"))
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    led = AtomicParquetTable(
+        os.path.join(pipe.cfg.output_dir, "_ledger.parquet")
+    ).read(spark)
     bad = led.where(F.col("base") == "bad")
     assert bad.agg(F.max("attempts")).collect()[0][0] == pipe.cfg.max_attempts
 

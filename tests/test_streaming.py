@@ -329,3 +329,39 @@ def test_session_flush_splits_on_event_time_gaps(spark, tmp_path):
         (2, us, us, 1, 1000),  # cross-batch split on carried state
         (2, us + 60 * mu, us + 60 * mu, 1, 300),  # tail, timeout-flushed
     }, got
+
+
+def test_session_flush_rejects_watermark_wider_than_gap(spark, tmp_path):
+    """Eager emission of intra-batch-closed sessions is only sound
+    when watermark delay <= gap (an in-watermark late event can then
+    never belong to an already-emitted session). delay > gap must be
+    refused up front, not silently produce overlapping sessions."""
+    import pytest as _pytest
+
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        stream_session_flush,
+    )
+
+    with _pytest.raises(ValueError, match="watermark delay <= gap"):
+        stream_session_flush(
+            spark,
+            str(tmp_path),
+            str(tmp_path / "ckpt"),
+            gap_minutes=30,
+            watermark="2 hours",
+        )
+
+
+def test_parse_duration_ms():
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        _parse_duration_ms,
+    )
+
+    assert _parse_duration_ms("1 minute") == 60_000
+    assert _parse_duration_ms("2 hours") == 7_200_000
+    assert _parse_duration_ms("30 seconds") == 30_000
+    assert _parse_duration_ms("500 ms") == 500
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        _parse_duration_ms("fortnight")
