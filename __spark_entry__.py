@@ -58,10 +58,13 @@ def _suites():
 # never received a driver row.  This window lists, explicitly, the 50
 # queries that should receive rows THIS round (round 4): the whole
 # pipeline / streaming / corpus / PQ-IVF / quality / insights / export /
-# multimodal surface.  Everything not listed (already-attested suites +
-# 8 deferred simple ops: sample_split, sample_stratified,
+# multimodal surface, plus the three operators new this round
+# (events_asof_join_bucketed, text_bpe_tokencount,
+# multimodal_image_phash).  Everything not listed (already-attested
+# suites + deferred simple ops: sample_split, sample_stratified,
 # corpus_mixture_sample, dq_null_profile, dq_value_ranges,
-# part_price_histogram, events_anomaly_zscore, events_salted_distinct)
+# part_price_histogram, events_anomaly_zscore, events_salted_distinct,
+# events_decision_stump, events_linear_trend, orders_yoy_growth)
 # follows behind in suite order; rotate the window next round.
 _DRIVER_WINDOW = [
     # §2.3 pipeline parity
@@ -91,8 +94,10 @@ _DRIVER_WINDOW = [
     "orders_retention_cohorts", "compliance_delete_plan",
     # §2.7c insights + ML
     "events_dau_mau", "parts_abc_analysis", "parts_copurchase",
-    "customer_rfm", "orders_yoy_growth", "events_markov_transitions",
-    "events_decision_stump", "events_linear_trend",
+    "customer_rfm", "events_markov_transitions",
+    # new this round
+    "events_asof_join_bucketed", "text_bpe_tokencount",
+    "multimodal_image_phash",
     # §2.7 multimodal
     "multimodal_meta", "multimodal_frames", "multimodal_audio_chunks",
     # §2.7b relational tail

@@ -14,6 +14,7 @@ frame-sampling / resize stages.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.multimodal.codecs import (
     audio_chunks,
@@ -50,10 +51,117 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_BITS = 32
+_PHASH_BANDS = 4  # 8 bits each; hamming<=3 -> >=1 identical band
+_PHASH_MAX_HAMMING = 3
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash over the (fake-)decoded image bytes: bit i set
+    iff byte i is above the payload mean — the standard aHash, with
+    the 8x8 DCT grid stood in for by the 32 payload bytes.
+
+    Unlike the md5 'phash' in decode_features (identity fingerprint),
+    this is LOCALITY-PRESERVING: flipping k bytes flips at most k
+    bits, so near-identical images land within a small Hamming ball.
+    Pure JVM expressions (transform/aggregate over the byte array) —
+    no UDF, stays in whole-stage codegen, and integer-only math
+    (byte*32 > sum) so there is no FP mean to disagree across
+    engines.
+    """
+    return (
+        media.where(F.col("mime") == "image/png")
+        .withColumn(
+            "bytes",
+            F.expr(
+                "transform(sequence(0, 31), i -> "
+                "cast(conv(substr(hex(payload), i*2+1, 2), 16, 10) as bigint))"
+            ),
+        )
+        .withColumn(
+            "total", F.expr("aggregate(bytes, 0L, (acc, x) -> acc + x)")
+        )
+        .withColumn(
+            "ahash",
+            F.expr(
+                "aggregate(transform(bytes, (b, i) -> "
+                "if(b * 32 > total, shiftleft(1L, 31 - i), 0L)), "
+                "0L, (acc, x) -> acc + x)"
+            ),
+        )
+        .select("doc_id", "ahash")
+    )
+
+
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup audit over the image subset: per
+    image, its aHash and how many OTHER images sit within Hamming
+    distance 3 — the image leg of the dedup stack.
+
+    Plan shape (same as dedup_minhash_lsh): hash is a pure map; the
+    pair search is a BAND equi-join, never all-pairs — the 32-bit
+    hash splits into 4 x 8-bit bands, and hamming<=3 guarantees at
+    least one identical band (pigeonhole), so banding has perfect
+    recall at the threshold while random pairs collide on a band
+    with p ~ 4/256. Exact bit_count(xor) filter on candidates only.
+
+    Scale: shuffle on (band_idx, band_val) — bounded fanout per
+    bucket at any corpus size for non-degenerate hash distributions;
+    a pathological bucket (all-identical images) is exact-dup
+    territory, handled upstream by dedup_exact.
+    """
+    h = image_ahash(synthetic_media(spark, sf_dir))
+    bands = h.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_PHASH_BANDS - 1}), b -> "
+                f"named_struct('band', b, "
+                f"'val', shiftright(ahash, b * 8) & 255L))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", "bv.band", "bv.val")
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+        .where(
+            F.bit_count(F.expr("ha ^ hb")) <= F.lit(_PHASH_MAX_HAMMING)
+        )
+        .select("doc_a", "doc_b")
+    )
+    touch = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    counts = touch.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_near_dups")
+    )
+    return h.join(counts, "doc_id", "left").select(
+        "doc_id",
+        "ahash",
+        F.coalesce("n_near_dups", F.lit(0).cast("long")).alias(
+            "n_near_dups"
+        ),
+    )
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
     "multimodal_audio_chunks": multimodal_audio_chunks,
+    "multimodal_image_phash": multimodal_image_phash,
 }
 
 # byte i of the payload, recomputed from the md5 hex strings
@@ -77,6 +185,45 @@ _CHUNK_IDXS = ", ".join(
 )
 
 ORACLE = {
+    "multimodal_image_phash": f"""
+        WITH img AS (
+            SELECT doc_id,
+                   list_transform(range(0, 32),
+                       i -> ('0x' || substr({_HEX}, i * 2 + 1, 2))::BIGINT)
+                     AS bytes
+            FROM documents WHERE doc_id % 3 = 0
+        ), tot AS (
+            SELECT doc_id, bytes, list_aggregate(bytes, 'sum') AS total
+            FROM img
+        ), h AS (
+            SELECT doc_id,
+                   list_aggregate(list_transform(range(0, 32),
+                       i -> CASE WHEN bytes[i + 1] * 32 > total
+                                 THEN (1::BIGINT << (31 - i))
+                                 ELSE 0::BIGINT END), 'sum') AS ahash
+            FROM tot
+        ), bands AS (
+            SELECT doc_id, ahash, b AS band, (ahash >> (b * 8)) & 255 AS val
+            FROM h, unnest([0, 1, 2, 3]) AS t(b)
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            a.ahash AS ha, b.ahash AS hb
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+        ), close_pairs AS (
+            SELECT doc_a, doc_b FROM pairs
+            WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAMMING}
+        ), touch AS (
+            SELECT doc_a AS doc_id FROM close_pairs
+            UNION ALL
+            SELECT doc_b AS doc_id FROM close_pairs
+        ), counts AS (
+            SELECT doc_id, COUNT(*) AS n FROM touch GROUP BY doc_id
+        )
+        SELECT h.doc_id, h.ahash,
+               CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_near_dups
+        FROM h LEFT JOIN counts ON h.doc_id = counts.doc_id
+    """,
     "multimodal_audio_chunks": f"""
         SELECT doc_id,
                CAST(c AS INTEGER) AS chunk_idx,

@@ -76,3 +76,72 @@ def test_resize_is_explicitly_stubbed(spark):
         pytest.skip("PIL present; stub not applicable")
     with pytest.raises(NotImplementedError, match="PIL"):
         resize_image(synthetic_media(spark, SF_SMOKE), 64, 64)
+
+
+def _media_df(spark, rows):
+    """rows: [(doc_id, payload_bytes)] -> media frame (all images)."""
+    return spark.createDataFrame(
+        [(i, "image/png", bytearray(p), 64, 64) for i, p in rows],
+        "doc_id long, mime string, payload binary, declared_w int, declared_h int",
+    )
+
+
+def test_image_ahash_locality_and_recall(spark):
+    """Near-identical payloads (<=3 perturbed bytes) MUST pair up
+    (banding has pigeonhole-perfect recall at hamming<=3); unrelated
+    random payloads must not."""
+
+
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.operators.multimodal_ops import (
+        image_ahash,
+    )
+
+    # bimodal payload: the 10/200 margin around the mean absorbs the
+    # mean shift a few byte edits cause, so k edits -> exactly k bit
+    # flips (aHash locality is only guaranteed away from the mean)
+    base = bytes([10] * 16 + [200] * 16)
+    near = bytearray(base)
+    near[5] = 200  # one dark byte goes bright
+    near2 = bytearray(base)
+    for i in (1, 9, 22):
+        near2[i] = 200 if base[i] == 10 else 10
+    far = bytes([200] * 16 + [10] * 16)  # full inversion
+    rows = [(0, base), (1, bytes(near)), (2, bytes(near2)), (3, far)]
+
+    h = {r.doc_id: r.ahash for r in image_ahash(_media_df(spark, rows)).collect()}
+    def ham(a, b):
+        return bin(h[a] ^ h[b]).count("1")
+
+    # locality: k byte flips -> at most k bit flips
+    assert ham(0, 1) <= 1
+    assert ham(0, 2) <= 3
+    assert ham(0, 3) > 3  # random 32-bit hashes ~16 apart
+
+
+def test_multimodal_image_phash_counts(spark, tmp_path):
+    """End-to-end on a crafted corpus routed through synthetic_media:
+    exact-dup texts (identical payloads) count each other; singletons
+    report 0."""
+    from aichemy_data_pipelines_spark.operators.multimodal_ops import (
+        multimodal_image_phash,
+    )
+
+    # doc_id % 3 == 0 -> image mime; 0/3/6 share text, 9 is alone
+    rows = [
+        (0, "the quick brown fox", "en", "web", 19),
+        (3, "the quick brown fox", "en", "web", 19),
+        (6, "the quick brown fox", "en", "web", 19),
+        (9, "completely different text entirely", "en", "web", 34),
+        (1, "not an image", "en", "web", 12),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r.doc_id: r.n_near_dups
+        for r in multimodal_image_phash(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 2, 3: 2, 6: 2, 9: 0}
