@@ -192,3 +192,48 @@ def test_fast_minhash_recall_matches_portable(spark):
     }
     missed = truth - fast
     assert not missed, f"fast LSH missed true near-dups: {sorted(missed)[:10]}"
+
+
+def test_dedup_semantic_verdict_rule(spark):
+    """SemDeDup greedy keep-lowest-id: a vector is dropped iff some
+    LOWER-id vector in its k-means list sits at cosine >= tau —
+    verified against an independent brute-force recomputation."""
+    from decimal import Decimal
+
+    from aichemy_data_pipelines_spark.operators.ivf import _kmeans
+    from aichemy_data_pipelines_spark.operators.semdedup import (
+        _TAU,
+        dedup_semantic,
+    )
+
+    sf = SF_SMOKE
+    got = {r.vec_id: r for r in dedup_semantic(spark, sf).collect()}
+    assert len(got) == 500
+    _, lists = _kmeans(spark, sf)
+    rows = lists.collect()
+    by_list: dict[int, list] = {}
+    for r in rows:
+        by_list.setdefault(r.list_id, []).append(r)
+
+    def cos(a, b):
+        da = [Decimal(str(float(x))) for x in a]
+        db = [Decimal(str(float(x))) for x in b]
+        num = float(sum(x * y for x, y in zip(da, db)))
+        la = float(sum(x * x for x, x2 in zip(da, da)))
+        lb = float(sum(x * x for x, x2 in zip(db, db)))
+        return round(num / (la**0.5 * lb**0.5), 8)
+
+    import random
+
+    rng = random.Random(3)
+    for lid, members in by_list.items():
+        sample = rng.sample(members, min(8, len(members)))
+        for m in sample:
+            n_dups = sum(
+                1
+                for o in members
+                if o.vec_id < m.vec_id
+                and cos(m.embedding, o.embedding) >= _TAU
+            )
+            assert got[m.vec_id].n_sem_dups == n_dups, m.vec_id
+            assert got[m.vec_id].keep == (n_dups == 0)
