@@ -11,11 +11,15 @@ Usage (mirrors how a reference user would drive the Airflow DAG):
         [--sf-dir /root/testdata/sf0.01] [--limit 20]
 
     python -m aichemy_data_pipelines_spark.cli metrics --output-dir /data/mzML
+
+    python -m aichemy_data_pipelines_spark.cli corpus-build \
+        --sf-dir /root/testdata/sf0.01 --output-dir /data/corpus
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 
 
@@ -56,6 +60,16 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
+
+    cb = sub.add_parser(
+        "corpus-build",
+        help="build a versioned curated training corpus "
+        "(quality gate → decontam → dedup keep-one → atomic "
+        "sharded snapshot)",
+    )
+    cb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    cb.add_argument("--output-dir", required=True)
+    cb.add_argument("--shards", type=int, default=16)
 
     m = sub.add_parser("metrics", help="print pipeline metrics panels")
     m.add_argument("--output-dir", required=True)
@@ -107,6 +121,24 @@ def main(argv: list[str] | None = None) -> int:
         for i in range(args.cycles or 1):
             stats = pipe.run_once()
             print(f"cycle {i + 1}: {stats}")
+        return 0
+
+    if args.cmd == "corpus-build":
+        from aichemy_data_pipelines_spark.pipeline.corpus_build import (
+            CorpusBuildConfig,
+            CorpusBuildPipeline,
+        )
+
+        pipe = CorpusBuildPipeline(
+            spark,
+            CorpusBuildConfig(
+                sf_dir=args.sf_dir,
+                output_dir=args.output_dir,
+                n_shards=args.shards,
+            ),
+        )
+        stats = pipe.build_once()
+        print(json.dumps(stats))
         return 0
 
     if args.cmd == "query":

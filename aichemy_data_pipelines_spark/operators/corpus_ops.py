@@ -181,21 +181,13 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END curation funnel, composed from the shipped
-    stages: quality gate (Gopher-style repetition filter) → eval
-    holdout → benchmark decontamination → near-dup keep-one — with a
-    per-source audit of every drop reason and the final token yield.
-
-    This is the "one query a corpus owner runs" view: each gate is
-    counted independently (flags, not sequential subtraction, so the
-    numbers don't depend on gate order) and ``n_final`` applies the
-    conjunction.
-
-    Scale: each stage keeps its own optimal shape (pure-map quality,
-    broadcast decontam, equi-join dedup); the funnel adds only
-    doc_id-keyed left joins of flag tables + one tiny agg on source.
-    """
+def curation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdicts — the flag table every curation
+    consumer shares: (doc_id, source, ws, q_keep, is_eval, contam,
+    dedup_keep, final). Flags are independent (not sequential
+    subtraction), ``final`` is their conjunction. Used by
+    ``corpus_curation_funnel`` (audit agg) and the corpus-build
+    driver (pipeline/corpus_build.py, the materializing twin)."""
     from aichemy_data_pipelines_spark.operators.textops import (
         text_repetition_filter,
     )
@@ -212,11 +204,12 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep1 = dedup_keep_one(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("dedup_keep")
     )
-    flags = (
+    return (
         docs.join(quality, "doc_id", "left")
         .join(contam, "doc_id", "left")
         .join(keep1, "doc_id", "left")
         .select(
+            "doc_id",
             "source",
             "ws",
             F.coalesce("q_keep", F.lit(False)).alias("q_keep"),
@@ -232,7 +225,24 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("dedup_keep"),
         )
     )
-    return flags.groupBy("source").agg(
+
+
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel, composed from the shipped
+    stages: quality gate (Gopher-style repetition filter) → eval
+    holdout → benchmark decontamination → near-dup keep-one — with a
+    per-source audit of every drop reason and the final token yield.
+
+    This is the "one query a corpus owner runs" view: each gate is
+    counted independently (flags, not sequential subtraction, so the
+    numbers don't depend on gate order) and ``n_final`` applies the
+    conjunction.
+
+    Scale: each stage keeps its own optimal shape (pure-map quality,
+    broadcast decontam, equi-join dedup); the funnel adds only
+    doc_id-keyed left joins of flag tables + one tiny agg on source.
+    """
+    return curation_flags(spark, sf_dir).groupBy("source").agg(
         F.count("*").alias("n_raw"),
         F.sum(F.expr("cast(not q_keep as bigint)")).alias("n_fail_quality"),
         F.sum(F.expr("cast(is_eval as bigint)")).alias("n_eval_heldout"),
