@@ -142,6 +142,10 @@ def test_stream_upsert_ledger_multibatch_equals_batch(spark, tmp_path):
         ev.where(F.col("event_id") % 3 == i).toPandas().assign(
             ts=lambda d: d.ts.astype("int64")
         ).to_parquet(str(src / f"events_{i}.parquet"))
+    from aichemy_data_pipelines_spark.pipeline.atomic import (
+        AtomicParquetTable,
+    )
+
     ledger = str(tmp_path / "ledger")
     ckpt = str(tmp_path / "ckpt")
     stream_upsert_ledger(
@@ -150,7 +154,7 @@ def test_stream_upsert_ledger_multibatch_equals_batch(spark, tmp_path):
     )
     got = {
         r.user_id: (r.n_events, r.cents)
-        for r in spark.read.parquet(ledger).collect()
+        for r in AtomicParquetTable(ledger).read(spark).collect()
     }
     want = {
         r.user_id: (r.n, r.c)
@@ -169,7 +173,7 @@ def test_stream_upsert_ledger_multibatch_equals_batch(spark, tmp_path):
     )
     got2 = {
         r.user_id: (r.n_events, r.cents)
-        for r in spark.read.parquet(ledger).collect()
+        for r in AtomicParquetTable(ledger).read(spark).collect()
     }
     assert got2 == want
 
