@@ -369,3 +369,55 @@ def test_parse_duration_ms():
 
     with _pytest.raises(ValueError):
         _parse_duration_ms("fortnight")
+
+
+def test_tws_running_totals_equals_batch_and_v1(spark, tmp_path):
+    """transformWithStateInPandas (State V2) twin: same result as the
+    batch agg AND as the applyInPandasWithState implementation — the
+    proven migration path between the two stateful APIs. Skips where
+    protobuf (the State V2 worker protocol dependency) is absent."""
+    import pytest as _pytest
+
+    from aichemy_data_pipelines_spark.catalog import load_table
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        stream_user_running_totals,
+        stream_user_running_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError, match="protobuf"):
+            stream_user_running_totals_tws(
+                spark, SF_SMOKE, str(tmp_path / "ckpt_tws")
+            )
+        _pytest.skip("protobuf absent: State V2 worker cannot run here")
+
+    stream_user_running_totals_tws(
+        spark, SF_SMOKE, str(tmp_path / "ckpt_tws"), table_name="t_tws"
+    )
+    got = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.table("t_tws").collect()
+    }
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "cast(sum(cast(round(value * 100) as bigint)) as double) / 100"
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+    stream_user_running_totals(
+        spark, SF_SMOKE, str(tmp_path / "ckpt_v1"), table_name="t_v1"
+    )
+    v1 = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in spark.table("t_v1").collect()
+    }
+    assert got == v1
