@@ -69,7 +69,86 @@ def events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"events_hll_rollup": events_hll_rollup}
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_TOP_K = 20
+
+
+def events_heavy_hitters_cms(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-K users by event count, estimated through a COUNT-MIN
+    SKETCH (Cormode & Muthukrishnan 2005) built relationally:
+
+    1. sketch build — one pass over events: for each of d=4 depths,
+       bucket = portable_hash(depth:user) % w=1024, counted with one
+       groupBy (map-side combined). The whole sketch is d·w = 4096
+       rows — the megabytes-for-terabytes trade, same as the HLL
+       table above;
+    2. query — each candidate key probes its d buckets (broadcast
+       join against the sketch) and takes the MIN — the CMS
+       overestimate-only guarantee;
+    3. report — top-K by estimate, with the exact count alongside
+       (est >= exact ALWAYS; at test scale the exact side grounds
+       the oracle, at 100 TB you would keep only the sketch).
+
+    Candidate enumeration here is distinct-keys (fine when the key
+    space fits a scan); a true streaming heavy-hitter keeps a
+    candidate heap beside the sketch — the sketch table and probe
+    plan are identical either way.
+
+    Oracle: deterministic portable hashing makes every bucket, the
+    whole sketch, and therefore the estimates bit-reproducible in
+    DuckDB.
+    """
+    from aichemy_data_pipelines_spark.functions.hashing import spark_hash64
+
+    ev = load_table(spark, sf_dir, "events")
+    depths = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    hh = spark_hash64(
+        "concat(cast(j as string), ':', cast(user_id as string))"
+    )
+    bucketed = ev.select("user_id").select(
+        "user_id",
+        F.explode(F.expr(f"array({depths})")).alias("j"),
+    ).select(
+        "j", F.expr(f"abs({hh}) % {_CMS_WIDTH}").alias("bucket")
+    )
+    sketch = bucketed.groupBy("j", "bucket").agg(
+        F.count("*").alias("c")
+    )
+    keys = ev.select("user_id").distinct().select(
+        "user_id", F.explode(F.expr(f"array({depths})")).alias("j")
+    ).select(
+        "user_id",
+        "j",
+        F.expr(f"abs({hh}) % {_CMS_WIDTH}").alias("bucket"),
+    )
+    est = (
+        keys.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("n_exact"))
+    return (
+        est.join(exact, "user_id")
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(_CMS_TOP_K)
+        .select(
+            "user_id",
+            "est_count",
+            "n_exact",
+            (F.col("est_count") >= F.col("n_exact")).alias(
+                "overestimate_ok"
+            ),
+        )
+    )
+
+
+QUERIES = {
+    "events_hll_rollup": events_hll_rollup,
+    "events_heavy_hitters_cms": events_heavy_hitters_cms,
+}
 
 ORACLE = {
     "events_hll_rollup": """
@@ -80,3 +159,37 @@ ORACLE = {
         FROM events GROUP BY event_type
     """,
 }
+
+
+def _cms_oracle() -> str:
+    from aichemy_data_pipelines_spark.functions.hashing import sql_hash64
+
+    depths = ", ".join(str(j) for j in range(_CMS_DEPTH))
+    hh = sql_hash64(
+        "concat(cast(j as varchar), ':', cast(user_id as varchar))"
+    )
+    return f"""
+        WITH b AS (
+            SELECT j, abs({hh}) % {_CMS_WIDTH} AS bucket
+            FROM events, unnest([{depths}]) AS t(j)
+        ), sketch AS (
+            SELECT j, bucket, COUNT(*) AS c FROM b GROUP BY j, bucket
+        ), kb AS (
+            SELECT user_id, j, abs({hh}) % {_CMS_WIDTH} AS bucket
+            FROM (SELECT DISTINCT user_id FROM events),
+                 unnest([{depths}]) AS t(j)
+        ), est AS (
+            SELECT user_id, MIN(c) AS est_count
+            FROM kb JOIN sketch USING (j, bucket) GROUP BY user_id
+        ), exact AS (
+            SELECT user_id, COUNT(*) AS n_exact FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, est_count, n_exact,
+               est_count >= n_exact AS overestimate_ok
+        FROM est JOIN exact USING (user_id)
+        ORDER BY est_count DESC, user_id LIMIT {_CMS_TOP_K}
+    """
+
+
+ORACLE["events_heavy_hitters_cms"] = _cms_oracle()

@@ -79,3 +79,28 @@ def test_portable_hash_matches_duckdb(spark, strings):
             f"SELECT {sql_hash64('$1::VARCHAR')}", params=[s]
         ).fetchone()[0]
         assert got[s] == want, s
+
+
+def test_cms_heavy_hitters_overestimate_and_accuracy(spark):
+    """Count-min guarantee: estimate >= exact for EVERY key; and with
+    d=4, w=1024 over this keyspace the top-k estimates should be
+    near-exact (expected collision inflation ~ N/w per row)."""
+    from aichemy_data_pipelines_spark.operators.sketch_ops import (
+        events_heavy_hitters_cms,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = events_heavy_hitters_cms(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20  # k, or the whole (small) keyspace
+    assert all(r.overestimate_ok for r in rows)
+    assert all(r.est_count >= r.n_exact for r in rows)
+    # ranking by estimate is count-descending
+    ests = [r.est_count for r in rows]
+    assert ests == sorted(ests, reverse=True)
+    # accuracy: inflation bounded well under one expected-collision
+    # band (N/w * safety); exact equality is typical at this scale
+    n_total = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    )
+    for r in rows:
+        assert r.est_count - r.n_exact <= 3 * n_total / 1024
