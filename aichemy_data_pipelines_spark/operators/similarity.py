@@ -160,9 +160,61 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 3
+
+
+def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-corpus k-NN graph (k=3) over the LSH buckets — the
+    building block of graph-based dedup (connect the graph, then
+    clustering.py's connected components label it) and of SemDeDup-
+    style neighborhood analyses.
+
+    Unlike ``ann_lsh_topk`` (a small query set probing the corpus),
+    here EVERY vector is a query: the corpus explodes to its 5 probe
+    keys (rows 5×, vectors shared by reference) and self-joins on the
+    bucket key — candidate fanout 5·N²/2^bits, so at corpus scale the
+    plane count grows with log₂(N) to hold per-bucket density
+    constant; the plan (pure-map signature, one equi-join, per-key
+    top-k window) never changes. A pair meets on exactly one probe
+    offset, so no distinct is needed before the re-rank.
+
+    Edges are directed (a → its top-k); k-NN graphs are asymmetric by
+    nature. Recall vs the exact graph is the LSH trade, asserted in
+    tests/test_similarity.py.
+    """
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "sig", F.expr(_spark_signature("embedding"))
+    )
+    probes = ", ".join(f"int(sig ^ {x})" for x in _PROBE_XORS)
+    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
+    a = e.select(
+        "vec_id",
+        F.col("embedding").alias("va"),
+        F.expr(norm).alias("na"),
+        F.explode(F.expr(f"array({probes})")).alias("sig"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("vb"),
+        F.expr(norm).alias("nb"),
+        "sig",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nbr_id")
+    dot = spark_dot_exact("va", "vb")
+    return (
+        a.join(b, "sig")
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn("cosine", F.round(F.expr(f"{dot} / (na * nb)"), 8))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_K)
+        .select("vec_id", "rk", "nbr_id", "cosine")
+    )
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_knn_graph": ann_knn_graph,
 }
 
 
@@ -252,5 +304,34 @@ ORACLE = {
                                       ORDER BY cosine DESC, cand_id) AS rk
             FROM cos) t
         WHERE rk <= 3
+    """,
+    "ann_knn_graph": f"""
+        WITH {_sql_signature()},
+        probes AS (
+            SELECT vec_id,
+                   unnest([{', '.join(f'xor(sig, {x})' for x in _PROBE_XORS)}])
+                     AS probe
+            FROM sigs
+        ), pairs AS (
+            SELECT DISTINCT q.vec_id AS vec_id, c.vec_id AS nbr_id,
+                   q.embedding AS qv, c.embedding AS cv
+            FROM probes p
+            JOIN embeddings q ON q.vec_id = p.vec_id
+            JOIN sigs sc ON sc.sig = p.probe
+            JOIN embeddings c ON c.vec_id = sc.vec_id
+            WHERE q.vec_id <> c.vec_id
+        ), expl AS (
+            SELECT vec_id, nbr_id, unnest(qv) AS xa, unnest(cv) AS xb
+            FROM pairs
+        ), cos AS (
+            SELECT vec_id, nbr_id, {_sql_cosine('xa', 'xb')} AS cosine
+            FROM expl GROUP BY vec_id, nbr_id
+        )
+        SELECT vec_id, rk, nbr_id, cosine FROM (
+            SELECT vec_id, nbr_id, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, nbr_id) AS rk
+            FROM cos) t
+        WHERE rk <= {_KNN_K}
     """,
 }
