@@ -237,3 +237,35 @@ def test_dedup_semantic_verdict_rule(spark):
             )
             assert got[m.vec_id].n_sem_dups == n_dups, m.vec_id
             assert got[m.vec_id].keep == (n_dups == 0)
+
+
+def test_incremental_dedup_consistent_with_full_lsh(spark):
+    """Batch-vs-corpus incremental screening must agree with the full
+    all-pairs LSH restricted to (batch, corpus) pairs — the index cut
+    changes the plan, never the verdicts."""
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        _INCR_MOD,
+        dedup_incremental,
+        dedup_minhash_lsh,
+    )
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    expected: dict[int, int] = {}
+    for a, b in full:
+        a_new, b_new = a % _INCR_MOD == 0, b % _INCR_MOD == 0
+        if a_new and not b_new:
+            expected[a] = expected.get(a, 0) + 1
+        elif b_new and not a_new:
+            expected[b] = expected.get(b, 0) + 1
+
+    got = {
+        r.doc_id: r.n_corpus_matches
+        for r in dedup_incremental(spark, SF_SMOKE).collect()
+    }
+    assert len(got) == 50  # every batch doc gets a verdict
+    for doc_id, n in got.items():
+        assert n == expected.get(doc_id, 0), doc_id
+    assert any(n > 0 for n in got.values())  # some dups found
