@@ -65,7 +65,11 @@ def _suites():
 # corpus_mixture_sample, dq_null_profile, dq_value_ranges,
 # part_price_histogram, events_anomaly_zscore, events_salted_distinct,
 # events_decision_stump, events_linear_trend, orders_yoy_growth)
-# follows behind in suite order; rotate the window next round.
+# follows behind in suite order.  ROUND-5 ROTATION: put the still-
+# never-driver-checked set first — the 11 deferred ops above plus the
+# four added after this window froze (dedup_semantic,
+# events_heavy_hitters_cms, ann_knn_graph, dedup_incremental) — then
+# backfill with the r01-only-attested relational_ext queries.
 _DRIVER_WINDOW = [
     # §2.3 pipeline parity
     "pipeline_discover_pending", "pipeline_attempts_policy",

@@ -93,9 +93,17 @@ class AtomicParquetTable:
         return spark.read.parquet(*dirs)
 
     # -- commits -----------------------------------------------------------
-    def _write_data(self, df: DataFrame, version: int) -> str:
+    def _write_data(
+        self,
+        df: DataFrame,
+        version: int,
+        partition_by: list[str] | None = None,
+    ) -> str:
         rel = os.path.join("data", f"v{version:010d}-{uuid.uuid4().hex[:8]}")
-        df.write.parquet(os.path.join(self.root, rel))
+        w = df.write
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(os.path.join(self.root, rel))
         return rel
 
     def _publish(self, version: int, rel_dirs: list[str]) -> None:
@@ -126,22 +134,36 @@ class AtomicParquetTable:
         finally:
             os.close(dfd)
 
-    def _commit(self, df: DataFrame, keep_old: bool) -> int:
+    def _commit(
+        self,
+        df: DataFrame,
+        keep_old: bool,
+        partition_by: list[str] | None = None,
+    ) -> int:
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         v = self._latest_version()
         prev_rel = []
         if keep_old and v:
             with open(self._manifest_path(v)) as f:
                 prev_rel = json.load(f)["dirs"]
-        new_rel = self._write_data(df, v + 1)
+        new_rel = self._write_data(df, v + 1, partition_by)
         self._publish(v + 1, prev_rel + [new_rel])
         return v + 1
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit(df, keep_old=True)
+    def append(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        return self._commit(df, keep_old=True, partition_by=partition_by)
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df, keep_old=False)
+    def overwrite(
+        self, df: DataFrame, partition_by: list[str] | None = None
+    ) -> int:
+        """``partition_by``: hive-partition the version's data dir
+        (e.g. by export shard) — readers are unaffected (Spark
+        resolves partition dirs transparently), writers get
+        file-per-partition layout for downstream per-shard consumers.
+        """
+        return self._commit(df, keep_old=False, partition_by=partition_by)
 
     # -- maintenance --------------------------------------------------------
     def vacuum(self) -> list[str]:

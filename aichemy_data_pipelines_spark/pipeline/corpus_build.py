@@ -97,7 +97,11 @@ class CorpusBuildPipeline:
         # cut lineage once: both snapshots and the stats agg reuse the
         # verdict plan, which embeds the dedup/decontam join tree
         v = self.verdicts().localCheckpoint(eager=True)
-        ver_curated = self.curated.overwrite(self.curate(v))
+        # hive-partitioned by export shard: a tokenizer fleet reads
+        # its shard's directory without scanning the others
+        ver_curated = self.curated.overwrite(
+            self.curate(v), partition_by=["shard"]
+        )
         self.verdicts_table.overwrite(v)
         stats_row = (
             v.agg(

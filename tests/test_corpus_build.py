@@ -88,3 +88,18 @@ def test_crashed_build_leaves_previous_version(spark, pipe):
     # re-run converges
     s3 = pipe.build_once()
     assert s3["n_final"] == s1["n_final"]
+
+
+def test_curated_snapshot_is_shard_partitioned(spark, pipe):
+    import os
+
+    pipe.build_once()
+    data_dir = pipe.curated.current_dirs()[0]
+    shard_dirs = [
+        d for d in os.listdir(data_dir) if d.startswith("shard=")
+    ]
+    assert len(shard_dirs) > 1
+    # partition column round-trips through the reader
+    cur = pipe.curated.read(spark)
+    assert "shard" in cur.columns
+    assert cur.where(F.col("shard").isNull()).count() == 0
