@@ -192,7 +192,13 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the per-row quadratic bigram count is bounded by document
     token length, not corpus size.
     """
-    d = _docs(spark, sf_dir)
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+def repetition_metrics(d: DataFrame) -> DataFrame:
+    """The repetition gate over any frame with (doc_id, tokens) —
+    shared by the batch query above and streaming corpus ingestion
+    (streaming/corpus_ingest.py). Pure map, streamable."""
     bg = spark_shingles("tokens", 2)
     metrics = d.select(
         "doc_id",

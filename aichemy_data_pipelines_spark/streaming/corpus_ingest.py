@@ -1,0 +1,135 @@
+"""Streaming corpus ingestion — incremental curation of a document
+feed: each micro-batch is quality-gated, near-dup-screened against
+everything ACCEPTED SO FAR, and committed atomically.
+
+This is the streaming twin of pipeline/corpus_build.py, and the
+consumer of the incremental-dedup design (operators/dedup.
+dedup_incremental): the corpus is never re-shingled — the signature
+INDEX (one (doc_id, band, key) row per accepted doc per band) grows
+with the corpus, and each batch hashes only itself.
+
+Per micro-batch (foreachBatch, exactly-once via the checkpoint):
+
+1. quality gate — the Gopher repetition metrics
+   (operators/textops.repetition_metrics), pure map;
+2. within-batch dedup — band self-join, keep lowest doc_id
+   (first-arrival policy at batch granularity);
+3. corpus dedup — the batch's band keys (small side, broadcast)
+   against the persisted signature index; any collision drops the
+   new doc (keep-first-arrival across batches);
+4. commit — accepted docs append to the curated table AND their band
+   keys append to the signature index, both through the atomic
+   manifest protocol, so a crash between the two appends re-runs the
+   whole batch cleanly (the checkpoint only advances after the
+   foreachBatch returns).
+
+Docs too short to shingle (< 3 tokens) carry no bands: they pass
+dedup trivially (same contract as dedup_incremental) but still face
+the quality gate.
+
+Scale: the index is kilobytes per million docs and the only
+corpus-sized artifact; batch-side work is proportional to the batch.
+At 100 TB the index read becomes a bucketed table pinned by band —
+the join shape is unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.functions.text import SPARK_TOKENS
+from aichemy_data_pipelines_spark.operators.dedup import (
+    _SHINGLE_N,
+    _spark_band_keys,
+)
+from aichemy_data_pipelines_spark.operators.textops import (
+    repetition_metrics,
+)
+from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+
+def stream_corpus_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    curated = AtomicParquetTable(
+        os.path.join(output_dir, "curated.parquet")
+    )
+    sig_index = AtomicParquetTable(
+        os.path.join(output_dir, "sig_index.parquet")
+    )
+
+    probed = (
+        spark.read.option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    reader = (
+        spark.readStream.schema(probed.schema)
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    docs = reader.parquet(src_dir)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        # one materialization: quality, banding and both appends all
+        # reuse the batch (same lineage-cut rationale as run_once)
+        batch = batch_df.localCheckpoint(eager=True)
+        flags = repetition_metrics(
+            batch.withColumn("tokens", F.expr(SPARK_TOKENS))
+        )
+        passed = batch.join(
+            flags.where("keep").select("doc_id"), "doc_id"
+        )
+        shingled = passed.withColumn(
+            "tokens", F.expr(SPARK_TOKENS)
+        ).where(F.size("tokens") >= _SHINGLE_N)
+        bands = _spark_band_keys(shingled).localCheckpoint(eager=True)
+        # within-batch: keep first arrival (lowest doc_id) per collision
+        a, b = bands.alias("a"), bands.alias("b")
+        intra_dups = (
+            a.join(b, ["band", "key"])
+            .where(F.col("a.doc_id") > F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        # cross-batch: anything colliding with the accepted index
+        index = sig_index.read(sess)
+        if index is not None:
+            cross_dups = (
+                F.broadcast(bands)
+                .join(index.select("band", "key"), ["band", "key"])
+                .select("doc_id")
+                .distinct()
+            )
+            dups = intra_dups.unionByName(cross_dups).distinct()
+        else:
+            dups = intra_dups
+        accepted = passed.join(dups, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        curated.append(accepted)
+        acc_bands = bands.join(
+            accepted.select("doc_id"), "doc_id"
+        ).select("doc_id", "band", "key")
+        sig_index.append(acc_bands)
+
+    q = (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
