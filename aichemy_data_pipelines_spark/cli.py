@@ -14,12 +14,17 @@ Usage (mirrors how a reference user would drive the Airflow DAG):
 
     python -m aichemy_data_pipelines_spark.cli corpus-build \
         --sf-dir /root/testdata/sf0.01 --output-dir /data/corpus
+
+    python -m aichemy_data_pipelines_spark.cli corpus-ingest \
+        --src-dir /data/feed --output-dir /data/corpus \
+        --checkpoint-dir /data/corpus/_ckpt
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -70,6 +75,18 @@ def _build_parser() -> argparse.ArgumentParser:
     cb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     cb.add_argument("--output-dir", required=True)
     cb.add_argument("--shards", type=int, default=16)
+
+    ci = sub.add_parser(
+        "corpus-ingest",
+        help="stream a document feed into a curated corpus "
+        "(quality gate + first-arrival dedup vs the growing "
+        "signature index; exactly-once)",
+    )
+    ci.add_argument("--src-dir", required=True)
+    ci.add_argument("--output-dir", required=True)
+    ci.add_argument("--checkpoint-dir", required=True)
+    ci.add_argument("--glob", default="*.parquet")
+    ci.add_argument("--max-files-per-trigger", type=int, default=None)
 
     m = sub.add_parser("metrics", help="print pipeline metrics panels")
     m.add_argument("--output-dir", required=True)
@@ -139,6 +156,29 @@ def main(argv: list[str] | None = None) -> int:
         )
         stats = pipe.build_once()
         print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "corpus-ingest":
+        from aichemy_data_pipelines_spark.pipeline.atomic import (
+            AtomicParquetTable,
+        )
+        from aichemy_data_pipelines_spark.streaming.corpus_ingest import (
+            stream_corpus_ingest,
+        )
+
+        stream_corpus_ingest(
+            spark,
+            args.src_dir,
+            args.output_dir,
+            args.checkpoint_dir,
+            glob=args.glob,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+        cur = AtomicParquetTable(
+            os.path.join(args.output_dir, "curated.parquet")
+        ).read(spark)
+        n = 0 if cur is None else cur.count()
+        print(json.dumps({"curated_docs": n}))
         return 0
 
     if args.cmd == "query":
