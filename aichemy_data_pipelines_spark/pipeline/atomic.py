@@ -78,16 +78,31 @@ class AtomicParquetTable:
     def version(self) -> int:
         return self._latest_version()
 
-    def current_dirs(self) -> list[str]:
-        v = self._latest_version()
+    def current_dirs(self, version: int | None = None) -> list[str]:
+        v = self._latest_version() if version is None else version
         if v == 0:
             return []
-        with open(self._manifest_path(v)) as f:
+        path = self._manifest_path(v)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no manifest for version {v} at {path} "
+                "(vacuumed or never committed)"
+            )
+        with open(path) as f:
             m = json.load(f)
         return [os.path.join(self.root, d) for d in m["dirs"]]
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self.current_dirs()
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """Read the table at ``version`` (time travel), or the latest.
+
+        Old versions stay readable until ``vacuum`` — manifests are
+        never deleted, and an overwrite only unlists (not removes)
+        prior data dirs, so any un-vacuumed version resolves exactly
+        as it was committed.
+        """
+        dirs = self.current_dirs(version)
         if not dirs:
             return None
         return spark.read.parquet(*dirs)
@@ -180,7 +195,18 @@ class AtomicParquetTable:
             if rel not in live:
                 shutil.rmtree(os.path.join(data_root, name))
                 removed.append(rel)
+        latest = self._latest_version()
         for name in os.listdir(self.root):
             if name.startswith(".manifest-") and name.endswith(".tmp"):
                 os.unlink(os.path.join(self.root, name))
+            # superseded manifests go with their data: time travel is
+            # until-vacuum, and a missing manifest fails cleanly where
+            # a manifest with deleted dirs would fail inside Spark
+            elif name.startswith("manifest-") and name.endswith(".json"):
+                try:
+                    v = int(name[len("manifest-"):-len(".json")])
+                except ValueError:
+                    continue
+                if v < latest:
+                    os.unlink(os.path.join(self.root, name))
         return removed

@@ -132,3 +132,24 @@ def test_pipeline_cycle_crash_rerun_idempotent(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].base == "run1"
     assert rows[0].status in ("ok", "already_converted")
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """Every un-vacuumed version stays readable exactly as committed;
+    vacuum retires old versions' manifests AND data together, after
+    which time travel fails cleanly."""
+    t = AtomicParquetTable(str(tmp_path / "t"))
+    t.append(_df(spark, [1]))          # v1
+    t.append(_df(spark, [2]))          # v2 = {1,2}
+    t.overwrite(_df(spark, [9]))       # v3 = {9}
+    assert _ids(t.read(spark, version=1)) == [1]
+    assert _ids(t.read(spark, version=2)) == [1, 2]
+    assert _ids(t.read(spark, version=3)) == [9]
+    assert _ids(t.read(spark)) == [9]
+
+    t.vacuum()
+    assert _ids(t.read(spark)) == [9]
+    with pytest.raises(FileNotFoundError, match="vacuumed or never"):
+        t.read(spark, version=2)
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=99)
