@@ -104,3 +104,62 @@ def test_cms_heavy_hitters_overestimate_and_accuracy(spark):
     )
     for r in rows:
         assert r.est_count - r.n_exact <= 3 * n_total / 1024
+
+
+OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+        st.tuples(st.just("vacuum"), st.just([])),
+        st.tuples(st.just("crash_append"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(OPS)
+def test_atomic_table_matches_model(spark, tmp_path_factory, ops):
+    """Model check: any sequence of append/overwrite/vacuum — with
+    crashes injected before publish — leaves the table's visible
+    contents equal to a trivial in-memory model that ignores crashed
+    commits entirely."""
+    import pytest as _pytest
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import (
+        AtomicParquetTable,
+    )
+
+    root = tmp_path_factory.mktemp("atomic_model")
+    t = AtomicParquetTable(str(root / "t"))
+    model: list[int] = []
+
+    def df(rows):
+        return spark.createDataFrame([(i,) for i in rows], "id long")
+
+    for op, rows in ops:
+        if op == "append":
+            t.append(df(rows))
+            model.extend(rows)
+        elif op == "overwrite":
+            t.overwrite(df(rows))
+            model = list(rows)
+        elif op == "vacuum":
+            t.vacuum()
+        elif op == "crash_append":
+            with _pytest.MonkeyPatch.context() as mp:
+                mp.setattr(
+                    t,
+                    "_publish",
+                    lambda *a: (_ for _ in ()).throw(KeyboardInterrupt),
+                )
+                with _pytest.raises(KeyboardInterrupt):
+                    t.append(df(rows))
+        got = t.read(spark)
+        visible = sorted(r.id for r in got.collect()) if got is not None else []
+        assert visible == sorted(model), (op, rows)
