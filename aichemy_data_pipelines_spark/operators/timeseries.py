@@ -310,6 +310,69 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, day) TIME-WEIGHTED average of ``value`` — the
+    hypertable-style TWA: integrate the last-observation-carried-
+    forward step function between the day's first and last event and
+    divide by the covered span. An arithmetic mean over-weights
+    bursts; TWA weights each reading by how long it was current.
+
+    Determinism across engines: the integral is computed in EXACT
+    integers — 2-decimal values as cents (bigint) × µs durations —
+    summed (grouping-order-invariant), with ONE float division at the
+    end. A zero-span day (single event, or several at one instant)
+    has no integrable area; its TWA is defined as the MIN value of
+    the instant (deterministic under timestamp ties, unlike
+    "first").
+
+    Scale: one (user_id, day) window for the lead + one agg on the
+    same key — a single shuffle, state bounded by one user-day.
+    """
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+    )
+    stepped = ev.select(
+        "user_id",
+        "day",
+        F.unix_micros("ts").alias("us"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+        F.lead(F.unix_micros("ts")).over(w).alias("next_us"),
+    )
+    return (
+        stepped.groupBy("user_id", "day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("next_us").isNotNull(),
+                    F.col("cents") * (F.col("next_us") - F.col("us")),
+                )
+            ).alias("area"),
+            (F.max("us") - F.min("us")).alias("span_us"),
+            F.min("cents").alias("min_cents"),
+        )
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            F.when(
+                F.col("span_us") > 0,
+                F.round(
+                    F.col("area")
+                    / (F.col("span_us") * F.lit(100.0)),
+                    6,
+                ),
+            )
+            .otherwise(F.col("min_cents") / 100.0)
+            .alias("twa_value"),
+        )
+    )
+
+
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily × event-type ROLLUP (day totals + grand total).
 
@@ -669,6 +732,7 @@ QUERIES = {
     "events_asof_join_bucketed": events_asof_join_bucketed,
     "events_range_join": events_range_join,
     "events_rollup": events_rollup,
+    "events_time_weighted_avg": events_time_weighted_avg,
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
     "events_conversion_latency": events_conversion_latency,
@@ -849,6 +913,31 @@ ORACLE = {
         WHERE p.event_type = 'purchase' AND e.event_type = 'error'
           AND epoch_us(e.ts) > epoch_us(p.ts)
           AND epoch_us(e.ts) <= epoch_us(p.ts) + 1800000000
+    """,
+    "events_time_weighted_avg": """
+        WITH stepped AS (
+            SELECT user_id,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   epoch_us(ts) AS us,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id, date_trunc('day', ts)
+                       ORDER BY ts, event_id) AS next_us
+            FROM events
+        ), agg AS (
+            SELECT user_id, day,
+                   COUNT(*) AS n_events,
+                   SUM(CASE WHEN next_us IS NOT NULL
+                            THEN cents * (next_us - us) END) AS area,
+                   MAX(us) - MIN(us) AS span_us,
+                   MIN(cents) AS min_cents
+            FROM stepped GROUP BY user_id, day
+        )
+        SELECT user_id, day, n_events,
+               CASE WHEN span_us > 0
+                    THEN round(area / (span_us * 100.0), 6)
+                    ELSE min_cents / 100.0 END AS twa_value
+        FROM agg
     """,
     "events_rollup": f"""
         SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

@@ -62,3 +62,45 @@ def test_asof_bucketed_cross_day_seed(spark, tmp_path, monkeypatch):
         8: (None, None),       # no click ever
         11: (10, 18 * h_us + 30 * 60 * 1_000_000),  # latest of prior day
     }, got
+
+
+def test_time_weighted_avg_hand_computed(spark, tmp_path):
+    """TWA on a crafted step function: value 10.00 held for 3h, then
+    1.00 for 1h -> integral (10*3 + 1*1)/4 = 7.75, NOT the arithmetic
+    mean 5.5 (burst over-weighting is what TWA exists to fix).
+    Zero-span day -> min value of the instant."""
+    from aichemy_data_pipelines_spark.operators.timeseries import (
+        events_time_weighted_avg,
+    )
+
+    rows = [
+        # user 1: 10.00@00:00, 1.00@03:00, close 04:00 (value ignored
+        # for area, ends the span)
+        (1, "2024-02-01 00:00:00", 1, "click", 10.0, "{}"),
+        (2, "2024-02-01 03:00:00", 1, "click", 1.0, "{}"),
+        (3, "2024-02-01 04:00:00", 1, "click", 99.0, "{}"),
+        # user 2: single event -> twa = value
+        (4, "2024-02-01 12:00:00", 2, "click", 7.5, "{}"),
+        # user 3: two events at the SAME instant -> min value
+        (5, "2024-02-01 08:00:00", 3, "click", 9.0, "{}"),
+        (6, "2024-02-01 08:00:00", 3, "click", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    df.withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.parquet(
+        str(tmp_path / "events.parquet")
+    )
+    got = {
+        r.user_id: (r.n_events, r.twa_value)
+        for r in events_time_weighted_avg(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        1: (3, round((10.0 * 3 + 1.0 * 1) / 4, 6)),
+        2: (1, 7.5),
+        3: (2, 2.0),
+    }, got
