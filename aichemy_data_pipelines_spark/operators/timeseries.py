@@ -373,6 +373,54 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event_type — the financial/monitoring
+    rollup: open = first value of the bucket, close = last, plus
+    high/low and the sample count.
+
+    Determinism: open/close use ``min_by``/``max_by`` keyed on a
+    zero-padded ``(µs, event_id)`` string (lexicographic = numeric
+    order; DuckDB's arg_min/arg_max take no struct key) — a total
+    order, so timestamp ties cannot flip the candle between engines.
+    Values aggregate as exact cents, one final /100.
+
+    Scale: single map-side-combined agg on a bounded keyspace
+    (types × hours) — the classic pre-aggregation a monitoring store
+    keeps instead of raw points.
+    """
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "hour"
+        ),
+        F.expr(
+            "concat(lpad(cast(unix_micros(ts) as string), 20, '0'), ':', "
+            "lpad(cast(event_id as string), 12, '0'))"
+        ).alias("ord_key"),
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    key = F.col("ord_key")
+    return (
+        ev.groupBy("event_type", "hour")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("cents", key).alias("o"),
+            F.max("cents").alias("h"),
+            F.min("cents").alias("l"),
+            F.max_by("cents", key).alias("c"),
+        )
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            (F.col("o") / 100.0).alias("open"),
+            (F.col("h") / 100.0).alias("high"),
+            (F.col("l") / 100.0).alias("low"),
+            (F.col("c") / 100.0).alias("close"),
+        )
+    )
+
+
 def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily × event-type ROLLUP (day totals + grand total).
 
@@ -732,6 +780,7 @@ QUERIES = {
     "events_asof_join_bucketed": events_asof_join_bucketed,
     "events_range_join": events_range_join,
     "events_rollup": events_rollup,
+    "events_ohlc": events_ohlc,
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
@@ -913,6 +962,26 @@ ORACLE = {
         WHERE p.event_type = 'purchase' AND e.event_type = 'error'
           AND epoch_us(e.ts) > epoch_us(p.ts)
           AND epoch_us(e.ts) <= epoch_us(p.ts) + 1800000000
+    """,
+    "events_ohlc": """
+        SELECT event_type,
+               strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00')
+                 AS hour,
+               COUNT(*) AS n_events,
+               arg_min(CAST(round(value * 100) AS BIGINT),
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || ':' ||
+                       lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                 / 100.0 AS open,
+               MAX(CAST(round(value * 100) AS BIGINT)) / 100.0 AS high,
+               MIN(CAST(round(value * 100) AS BIGINT)) / 100.0 AS low,
+               arg_max(CAST(round(value * 100) AS BIGINT),
+                       lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || ':' ||
+                       lpad(CAST(event_id AS VARCHAR), 12, '0'))
+                 / 100.0 AS close
+        FROM events
+        GROUP BY event_type, date_trunc('hour', ts)
     """,
     "events_time_weighted_avg": """
         WITH stepped AS (
