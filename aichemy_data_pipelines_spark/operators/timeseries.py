@@ -373,6 +373,53 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monotonic-counter increase with RESET detection per user — the
+    monitoring-system ``increase()`` semantics: readings normally
+    rise; a drop means the counter restarted, so the post-reset
+    reading itself counts as the increase (never a negative delta).
+
+    Exact-integer deltas (cents), lag over the (user_id) window with
+    an event_id tiebreak; per-user totals plus the reset count.
+
+    Scale: one user_id shuffle shared by the lag window and the agg —
+    the same single-shuffle shape as the other per-user ops.
+    """
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.withColumn("prev", F.lag("cents").over(w))
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.sum(
+                F.when(F.col("prev").isNull(), F.lit(0))
+                .when(
+                    F.col("cents") >= F.col("prev"),
+                    F.col("cents") - F.col("prev"),
+                )
+                .otherwise(F.col("cents"))
+            ).alias("inc_cents"),
+            F.sum(
+                F.expr(
+                    "cast(prev is not null and cents < prev as bigint)"
+                )
+            ).alias("n_resets"),
+        )
+        .select(
+            "user_id",
+            "n_samples",
+            (F.col("inc_cents") / 100.0).alias("total_increase"),
+            "n_resets",
+        )
+    )
+
+
 def events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly OHLC candles per event_type — the financial/monitoring
     rollup: open = first value of the bucket, close = last, plus
@@ -781,6 +828,7 @@ QUERIES = {
     "events_range_join": events_range_join,
     "events_rollup": events_rollup,
     "events_ohlc": events_ohlc,
+    "events_counter_increase": events_counter_increase,
     "events_time_weighted_avg": events_time_weighted_avg,
     "events_percentiles": events_percentiles,
     "events_funnel": events_funnel,
@@ -962,6 +1010,24 @@ ORACLE = {
         WHERE p.event_type = 'purchase' AND e.event_type = 'error'
           AND epoch_us(e.ts) > epoch_us(p.ts)
           AND epoch_us(e.ts) <= epoch_us(p.ts) + 1800000000
+    """,
+    "events_counter_increase": """
+        WITH stepped AS (
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev
+            FROM events
+        )
+        SELECT user_id,
+               COUNT(*) AS n_samples,
+               SUM(CASE WHEN prev IS NULL THEN 0
+                        WHEN cents >= prev THEN cents - prev
+                        ELSE cents END) / 100.0 AS total_increase,
+               SUM(CASE WHEN prev IS NOT NULL AND cents < prev
+                        THEN 1 ELSE 0 END) AS n_resets
+        FROM stepped GROUP BY user_id
     """,
     "events_ohlc": """
         SELECT event_type,
