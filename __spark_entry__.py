@@ -53,66 +53,55 @@ def _suites():
 
 
 # The driver's CORRECTNESS snapshot covers the FIRST 50 entries of
-# ``queries()`` in iteration order.  Rounds 1-3 sampled the relational /
-# time-series / dedup / text head repeatedly while 58 declared queries
-# never received a driver row.  This window lists, explicitly, the 50
-# queries that should receive rows THIS round (round 4): the whole
-# pipeline / streaming / corpus / PQ-IVF / quality / insights / export /
-# multimodal surface, plus the three operators new this round
-# (events_asof_join_bucketed, text_bpe_tokencount,
-# multimodal_image_phash).  Everything not listed (already-attested
-# suites + deferred simple ops: sample_split, sample_stratified,
-# corpus_mixture_sample, dq_null_profile, dq_value_ranges,
-# part_price_histogram, events_anomaly_zscore, events_salted_distinct,
-# events_decision_stump, events_linear_trend, orders_yoy_growth)
-# follows behind in suite order.  ROUND-5 ROTATION: put the still-
-# never-driver-checked set first — the 11 deferred ops above plus the
-# four added after this window froze (dedup_semantic,
-# events_heavy_hitters_cms, ann_knn_graph, dedup_incremental) — then
-# backfill with the r01-only-attested relational_ext queries.
-_DRIVER_WINDOW = [
-    # §2.3 pipeline parity
-    "pipeline_discover_pending", "pipeline_attempts_policy",
-    "pipeline_verify_batch", "pipeline_archive_plan",
-    # §2.3 streaming (batch-mode twins)
-    "streaming_click_attribution", "streaming_dedup_keys",
-    "streaming_upsert_totals", "streaming_enriched_segments",
-    "streaming_tumbling_window", "streaming_session_window",
-    "streaming_user_totals",
-    # §2.7d corpus curation / export
-    "dedup_keep_one", "corpus_dup_rate_by_source",
-    "decontam_ngram_overlap", "docs_distinct_terms",
-    "corpus_token_budget", "corpus_curation_funnel",
-    "corpus_shard_plan", "corpus_packing_plan",
-    # §2.5 quantized / composed ANN
-    "embeddings_pq_encode", "ann_pq_adc_topk", "ann_ivf_topk",
-    "ann_ivf_pq_topk", "embeddings_quantize_int8",
-    # dedup extensions
-    "dedup_exact_substring", "dedup_clusters_star",
-    "dedup_graph_triangles", "docs_pagerank",
-    # sketches / approx
-    "events_hll_rollup", "events_approx_percentiles",
-    "distinct_counts_approx",
-    # text / quality / analytics
-    "text_pii_scrub", "dq_orphan_check", "dq_k_anonymity",
-    "orders_retention_cohorts", "compliance_delete_plan",
-    # §2.7c insights + ML
-    "events_dau_mau", "parts_abc_analysis", "parts_copurchase",
-    "customer_rfm", "events_markov_transitions",
-    # new this round
-    "events_asof_join_bucketed", "text_bpe_tokencount",
-    "multimodal_image_phash",
-    # §2.7 multimodal
-    "multimodal_meta", "multimodal_frames", "multimodal_audio_chunks",
-    # §2.7b relational tail
-    "customer_scd2", "orders_incremental_agg", "orders_merge_upsert",
-]
+# ``queries()`` in iteration order.  Rounds 2-4 hand-curated that
+# window; the round-4 ADVICE flagged (correctly) that code under
+# evaluation choosing its own audit sample weakens external
+# verification.  The window is therefore now derived MECHANICALLY:
+# least-recently-attested-first, computed from the committed
+# CORRECTNESS_r*.json driver snapshots themselves.  Queries that have
+# never received a green driver row (including any red rows from the
+# last round) sort first, then queries whose newest green row is
+# oldest, alphabetical within a round.  Nothing can be silently kept
+# out of the sample: every query reaches the front of the line until
+# the driver has attested it, and stale attestations age back toward
+# the front as other queries get re-checked.
+
+
+def _attestation_order(names):
+    """Sort query names least-recently-driver-attested-first.
+
+    A query's attestation round is the newest CORRECTNESS_r*.json in
+    which the driver recorded a fully green row (rows+schema+hash).
+    Never-attested queries get round 0 and lead the order.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    return sorted(names, key=lambda n: (last_green.get(n, 0), n))
 
 
 def _window_order(merged: dict) -> dict:
-    ordered = {k: merged[k] for k in _DRIVER_WINDOW if k in merged}
-    ordered.update((k, v) for k, v in merged.items() if k not in ordered)
-    return ordered
+    return {k: merged[k] for k in _attestation_order(merged)}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

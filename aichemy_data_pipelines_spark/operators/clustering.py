@@ -402,8 +402,8 @@ _SQL_CLUSTERS = f"""
 def _sql_pr_iter(prev: str, out: str) -> str:
     return f"""{out} AS (
             SELECT e.dst AS src,
-                   {_PR_BASE} + ({_PR_DAMP_NUM} *
-                       SUM(r.rank // d.deg)) // 100 AS rank
+                   CAST({_PR_BASE} + ({_PR_DAMP_NUM} *
+                       SUM(r.rank // d.deg)) // 100 AS BIGINT) AS rank
             FROM edges e
             JOIN {prev} r ON r.src = e.src
             JOIN deg d ON d.src = e.src

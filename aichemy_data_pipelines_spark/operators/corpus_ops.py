@@ -333,10 +333,10 @@ ORACLE = {
     "corpus_token_budget": f"""
         SELECT source,
                COUNT(*) AS n_docs,
-               SUM(len({_T})) AS total_ws_tokens,
-               SUM(len(regexp_extract_all(trim(lower(text)),
-                       '{_BPE_RE_SQL}', 0))) AS total_bpe_tokens,
-               SUM(length(text)) AS total_chars,
+               CAST(SUM(len({_T})) AS BIGINT) AS total_ws_tokens,
+               CAST(SUM(len(regexp_extract_all(trim(lower(text)),
+                       '{_BPE_RE_SQL}', 0))) AS BIGINT) AS total_bpe_tokens,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                MIN(len({_T})) AS min_doc_tokens,
                MAX(len({_T})) AS max_doc_tokens
         FROM documents GROUP BY source

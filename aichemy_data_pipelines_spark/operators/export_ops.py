@@ -111,9 +111,10 @@ ORACLE = {
     "corpus_packing_plan": f"""
         WITH {_SQL_SHARDED}, binned AS (
             SELECT shard, n_tokens,
-                   (SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                   CAST((SUM(n_tokens) OVER (
+                        PARTITION BY shard ORDER BY doc_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    - n_tokens) // {_CTX} AS bin
+                    - n_tokens) // {_CTX} AS BIGINT) AS bin
             FROM sharded
         )
         SELECT shard, bin, COUNT(*) AS n_docs,

@@ -220,7 +220,7 @@ ORACLE = {
         ), counts AS (
             SELECT doc_id, COUNT(*) AS n FROM touch GROUP BY doc_id
         )
-        SELECT h.doc_id, h.ahash,
+        SELECT h.doc_id, CAST(h.ahash AS BIGINT) AS ahash,
                CAST(COALESCE(counts.n, 0) AS BIGINT) AS n_near_dups
         FROM h LEFT JOIN counts ON h.doc_id = counts.doc_id
     """,

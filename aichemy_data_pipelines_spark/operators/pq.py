@@ -101,7 +101,9 @@ def embeddings_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the M sub-codebooks (deterministic k-means, 1 Lloyd
     step) and encode every vector as its M PQ codes.
 
-    Output: (vec_id, label, codes array<int> of length M).
+    Output: (vec_id, label, codes string) — codes the M PQ codes
+    comma-joined (stringified because the driver's pandas
+    canonicalizer cannot sort/hash array columns — r04 red row).
     """
     subs = _subs(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism
@@ -130,8 +132,8 @@ def embeddings_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = _assign(subs, cents)
     return coded.groupBy("vec_id", "label").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(s, code))), "
-            "p -> p.code)"
+            "array_join(transform(array_sort(collect_list("
+            "struct(s, code))), p -> cast(p.code as string)), ',')"
         ).alias("codes")
     )
 
@@ -311,7 +313,9 @@ ORACLE = {
     "embeddings_pq_encode": f"""
         WITH {_PQ_TRAIN_CTES},
         {_sql_assign_ctes("cent1", "a2")}
-        SELECT e.vec_id, e.label, list(a.code ORDER BY a.s) AS codes
+        SELECT e.vec_id, e.label,
+               string_agg(CAST(a.code AS VARCHAR), ',' ORDER BY a.s)
+                 AS codes
         FROM a2 a JOIN embeddings e ON e.vec_id = a.vec_id
         GROUP BY e.vec_id, e.label
     """,

@@ -142,9 +142,9 @@ ORACLE = {
             SELECT SUM(n_docs) AS n_total, COUNT(*) AS n_sources FROM counts
         ), thr AS (
             SELECT source, n_docs,
-                   least(CAST(1000000 AS BIGINT),
+                   CAST(least(CAST(1000000 AS BIGINT),
                          (n_total // (2 * n_sources)) * 1000000 // n_docs)
-                     AS accept_ppm
+                     AS BIGINT) AS accept_ppm
             FROM counts, totals
         )
         SELECT d.source, t.n_docs, t.accept_ppm,

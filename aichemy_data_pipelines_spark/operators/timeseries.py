@@ -1025,8 +1025,8 @@ ORACLE = {
                SUM(CASE WHEN prev IS NULL THEN 0
                         WHEN cents >= prev THEN cents - prev
                         ELSE cents END) / 100.0 AS total_increase,
-               SUM(CASE WHEN prev IS NOT NULL AND cents < prev
-                        THEN 1 ELSE 0 END) AS n_resets
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND cents < prev
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_resets
         FROM stepped GROUP BY user_id
     """,
     "events_ohlc": """

@@ -31,9 +31,12 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize every embedding to int8 codes with a per-dimension
     (min, max) linear quantizer trained on the full table.
 
-    Output: (vec_id, label, codes array<int>, code_sum) — codes in
-    [0, 255], code_sum a cheap integrity checksum downstream stages
-    can verify after transport.
+    Output: (vec_id, label, codes string, code_sum) — codes a
+    comma-joined int8 vector in [0, 255] (stringified because the
+    driver's pandas canonicalizer cannot sort/hash array columns —
+    r04 red row), code_sum a cheap integrity checksum downstream
+    stages can verify after transport.  Internal consumers use
+    :func:`quantize_codes_df`, which keeps the array form.
     """
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism
@@ -67,8 +70,8 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return codes.groupBy("vec_id", "label").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(pos, code))), "
-            "s -> s.code)"
+            "array_join(transform(array_sort(collect_list("
+            "struct(pos, code))), s -> cast(s.code as string)), ',')"
         ).alias("codes"),
         F.sum("code").cast("bigint").alias("code_sum"),
     )
@@ -95,7 +98,8 @@ ORACLE = {
             FROM ex e JOIN stats s ON e.pos = s.pos
         )
         SELECT vec_id, label,
-               list(code ORDER BY pos) AS codes,
+               string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos)
+                 AS codes,
                CAST(SUM(code) AS BIGINT) AS code_sum
         FROM codes GROUP BY vec_id, label
     """,

@@ -20,7 +20,9 @@ Protocol per commit:
 
 1. write the new data dir (readers never look at unlisted dirs, so a
    crash here leaves an invisible orphan — reclaim with ``vacuum``);
-2. write ``manifest-<v+1>`` to a temp name, ``flush`` + ``fsync``;
+2. ``fsync`` every file and directory of the new data dir (a durable
+   manifest must never reference non-durable data after power loss),
+   then write ``manifest-<v+1>`` to a temp name, ``flush`` + ``fsync``;
 3. publish via ``os.link(tmp, final)`` — atomic, and *create-new*
    semantics (unlike ``rename``, which silently replaces): if another
    writer published ``v+1`` first this raises, the orphan data dir
@@ -92,6 +94,17 @@ class AtomicParquetTable:
             m = json.load(f)
         return [os.path.join(self.root, d) for d in m["dirs"]]
 
+    def meta(self, version: int | None = None) -> dict:
+        """Caller-supplied metadata recorded with the commit (e.g. the
+        last streaming batch_id) — the hook that makes foreachBatch
+        replays idempotent: a replayed batch compares its batch_id
+        against the committed one and no-ops if already applied."""
+        v = self._latest_version() if version is None else version
+        if v == 0:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("meta", {})
+
     def read(
         self, spark: SparkSession, version: int | None = None
     ) -> DataFrame | None:
@@ -121,7 +134,30 @@ class AtomicParquetTable:
         w.parquet(os.path.join(self.root, rel))
         return rel
 
-    def _publish(self, version: int, rel_dirs: list[str]) -> None:
+    def _fsync_tree(self, rel_dir: str) -> None:
+        """fsync every file and directory under the new data dir so a
+        durable manifest can never reference non-durable data after
+        power loss (process-crash atomicity needs no fsync — the
+        manifest link alone covers it).  Local-filesystem semantics;
+        on HDFS/S3A durability is the store's close/conditional-put
+        contract and this walk is a no-op concern."""
+        top = os.path.join(self.root, rel_dir)
+        for dirpath, _dirnames, filenames in os.walk(top, topdown=False):
+            for name in filenames:
+                fd = os.open(os.path.join(dirpath, name), os.O_RDONLY)
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            dfd = os.open(dirpath, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+
+    def _publish(
+        self, version: int, rel_dirs: list[str], meta: dict | None = None
+    ) -> None:
         final = self._manifest_path(version)
         tmp = os.path.join(
             self.root, f".manifest-{version:010d}.{uuid.uuid4().hex[:8]}.tmp"
@@ -130,7 +166,13 @@ class AtomicParquetTable:
         try:
             os.write(
                 fd,
-                json.dumps({"version": version, "dirs": rel_dirs}).encode(),
+                json.dumps(
+                    {
+                        "version": version,
+                        "dirs": rel_dirs,
+                        "meta": meta or {},
+                    }
+                ).encode(),
             )
             os.fsync(fd)
         finally:
@@ -154,6 +196,7 @@ class AtomicParquetTable:
         df: DataFrame,
         keep_old: bool,
         partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> int:
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         v = self._latest_version()
@@ -162,23 +205,34 @@ class AtomicParquetTable:
             with open(self._manifest_path(v)) as f:
                 prev_rel = json.load(f)["dirs"]
         new_rel = self._write_data(df, v + 1, partition_by)
-        self._publish(v + 1, prev_rel + [new_rel])
+        self._fsync_tree(new_rel)
+        self._publish(v + 1, prev_rel + [new_rel], meta)
         return v + 1
 
     def append(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> int:
-        return self._commit(df, keep_old=True, partition_by=partition_by)
+        return self._commit(
+            df, keep_old=True, partition_by=partition_by, meta=meta
+        )
 
     def overwrite(
-        self, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
     ) -> int:
         """``partition_by``: hive-partition the version's data dir
         (e.g. by export shard) — readers are unaffected (Spark
         resolves partition dirs transparently), writers get
         file-per-partition layout for downstream per-shard consumers.
         """
-        return self._commit(df, keep_old=False, partition_by=partition_by)
+        return self._commit(
+            df, keep_old=False, partition_by=partition_by, meta=meta
+        )
 
     # -- maintenance --------------------------------------------------------
     def vacuum(self) -> list[str]:

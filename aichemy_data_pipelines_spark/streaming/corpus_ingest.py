@@ -8,7 +8,9 @@ dedup_incremental): the corpus is never re-shingled — the signature
 INDEX (one (doc_id, band, key) row per accepted doc per band) grows
 with the corpus, and each batch hashes only itself.
 
-Per micro-batch (foreachBatch, exactly-once via the checkpoint):
+Per micro-batch (foreachBatch — at-least-once by itself; the
+batch_id manifest metadata below upgrades the COMMIT to
+exactly-once):
 
 1. quality gate — the Gopher repetition metrics
    (operators/textops.repetition_metrics), pure map;
@@ -17,11 +19,23 @@ Per micro-batch (foreachBatch, exactly-once via the checkpoint):
 3. corpus dedup — the batch's band keys (small side, broadcast)
    against the persisted signature index; any collision drops the
    new doc (keep-first-arrival across batches);
-4. commit — accepted docs append to the curated table AND their band
-   keys append to the signature index, both through the atomic
-   manifest protocol, so a crash between the two appends re-runs the
-   whole batch cleanly (the checkpoint only advances after the
-   foreachBatch returns).
+4. commit — accepted docs append to the curated table, THEN their
+   band keys append to the signature index, both through the atomic
+   manifest protocol, each stamping ``last_batch_id`` into its
+   manifest metadata.  Replays (foreachBatch is at-least-once: the
+   checkpoint commits only after the function returns) are
+   idempotent by comparing batch_ids:
+
+   - sig_index already stamped with this batch_id → the batch fully
+     committed; no-op.
+   - curated stamped but sig_index not (crash between the appends) →
+     recompute ``accepted`` (deterministic: the file source replays
+     the same files under the same batch_id, and the index state the
+     dedup join sees is identical since the batch's own bands were
+     not yet indexed), skip the curated append, append only the band
+     keys.  The curated-first ordering is load-bearing: were the
+     index appended first, a replay would see the batch's own bands
+     in the index and drop every doc as a self-duplicate.
 
 Docs too short to shingle (< 3 tokens) carry no bands: they pass
 dedup trivially (same contract as dedup_incremental) but still face
@@ -49,6 +63,62 @@ from aichemy_data_pipelines_spark.operators.textops import (
     repetition_metrics,
 )
 from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+
+def ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    curated: AtomicParquetTable,
+    sig_index: AtomicParquetTable,
+) -> None:
+    """One micro-batch of the curation stream (module-level so the
+    replay-idempotence contract is directly testable — see
+    tests/test_corpus_ingest.py crash-replay cases)."""
+    sess = batch_df.sparkSession
+    if sig_index.meta().get("last_batch_id") == batch_id:
+        return  # replay of a fully-committed batch
+    # one materialization: quality, banding and both appends all
+    # reuse the batch (same lineage-cut rationale as run_once)
+    batch = batch_df.localCheckpoint(eager=True)
+    flags = repetition_metrics(
+        batch.withColumn("tokens", F.expr(SPARK_TOKENS))
+    )
+    passed = batch.join(
+        flags.where("keep").select("doc_id"), "doc_id"
+    )
+    shingled = passed.withColumn(
+        "tokens", F.expr(SPARK_TOKENS)
+    ).where(F.size("tokens") >= _SHINGLE_N)
+    bands = _spark_band_keys(shingled).localCheckpoint(eager=True)
+    # within-batch: keep first arrival (lowest doc_id) per collision
+    a, b = bands.alias("a"), bands.alias("b")
+    intra_dups = (
+        a.join(b, ["band", "key"])
+        .where(F.col("a.doc_id") > F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    # cross-batch: anything colliding with the accepted index
+    index = sig_index.read(sess)
+    if index is not None:
+        cross_dups = (
+            F.broadcast(bands)
+            .join(index.select("band", "key"), ["band", "key"])
+            .select("doc_id")
+            .distinct()
+        )
+        dups = intra_dups.unionByName(cross_dups).distinct()
+    else:
+        dups = intra_dups
+    accepted = passed.join(dups, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
+    if curated.meta().get("last_batch_id") != batch_id:
+        curated.append(accepted, meta={"last_batch_id": batch_id})
+    acc_bands = bands.join(
+        accepted.select("doc_id"), "doc_id"
+    ).select("doc_id", "band", "key")
+    sig_index.append(acc_bands, meta={"last_batch_id": batch_id})
 
 
 def stream_corpus_ingest(
@@ -83,48 +153,7 @@ def stream_corpus_ingest(
     docs = reader.parquet(src_dir)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        sess = batch_df.sparkSession
-        # one materialization: quality, banding and both appends all
-        # reuse the batch (same lineage-cut rationale as run_once)
-        batch = batch_df.localCheckpoint(eager=True)
-        flags = repetition_metrics(
-            batch.withColumn("tokens", F.expr(SPARK_TOKENS))
-        )
-        passed = batch.join(
-            flags.where("keep").select("doc_id"), "doc_id"
-        )
-        shingled = passed.withColumn(
-            "tokens", F.expr(SPARK_TOKENS)
-        ).where(F.size("tokens") >= _SHINGLE_N)
-        bands = _spark_band_keys(shingled).localCheckpoint(eager=True)
-        # within-batch: keep first arrival (lowest doc_id) per collision
-        a, b = bands.alias("a"), bands.alias("b")
-        intra_dups = (
-            a.join(b, ["band", "key"])
-            .where(F.col("a.doc_id") > F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_id"))
-            .distinct()
-        )
-        # cross-batch: anything colliding with the accepted index
-        index = sig_index.read(sess)
-        if index is not None:
-            cross_dups = (
-                F.broadcast(bands)
-                .join(index.select("band", "key"), ["band", "key"])
-                .select("doc_id")
-                .distinct()
-            )
-            dups = intra_dups.unionByName(cross_dups).distinct()
-        else:
-            dups = intra_dups
-        accepted = passed.join(dups, "doc_id", "left_anti").localCheckpoint(
-            eager=True
-        )
-        curated.append(accepted)
-        acc_bands = bands.join(
-            accepted.select("doc_id"), "doc_id"
-        ).select("doc_id", "band", "key")
-        sig_index.append(acc_bands)
+        ingest_batch(batch_df, batch_id, curated, sig_index)
 
     q = (
         docs.writeStream.foreachBatch(ingest)

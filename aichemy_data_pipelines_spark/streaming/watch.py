@@ -743,6 +743,34 @@ def stream_dedup_keys(
     q.awaitTermination()
 
 
+def merge_ledger_batch(batch_df: DataFrame, batch_id: int, table) -> None:
+    """One micro-batch of the upsert ledger (module-level so the
+    replay-idempotence contract is directly testable).  ``table`` is a
+    pipeline.atomic.AtomicParquetTable; the merge no-ops when the
+    ledger's manifest already carries this batch_id."""
+    if table.meta().get("last_batch_id") == batch_id:
+        return  # replay of an already-merged batch
+    part = batch_df.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("sum(cast(round(value * 100) as bigint))").alias("cents"),
+    )
+    base = table.read(batch_df.sparkSession)
+    if base is not None:
+        part = (
+            base.unionByName(part)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("cents").alias("cents"),
+            )
+        )
+    table.overwrite(
+        part.localCheckpoint(eager=True),
+        meta={"last_batch_id": batch_id},
+    )
+    table.vacuum()
+
+
 def stream_upsert_ledger(
     spark: SparkSession,
     src_dir: str,
@@ -758,13 +786,22 @@ def stream_upsert_ledger(
     operators/relational_ext.orders_incremental_agg), instead of
     holding unbounded per-user state in the state store.
 
-    Exactly-once: the checkpoint tracks consumed files; the merged
-    ledger commits through the manifest protocol (pipeline/atomic.py)
-    — the new version's data dir is written while readers still
-    resolve the old manifest, then one atomic link publishes it, so
-    neither a crash mid-write nor the read-then-overwrite hazard of a
-    plain foreachBatch upsert can tear the ledger. localCheckpoint
-    still cuts the read→write lineage cycle.
+    Exactly-once, via two complementary mechanisms:
+
+    - *No torn reads*: the merged ledger commits through the manifest
+      protocol (pipeline/atomic.py) — the new version's data dir is
+      written while readers still resolve the old manifest, then one
+      atomic link publishes it, so neither a crash mid-write nor the
+      read-then-overwrite hazard of a plain foreachBatch upsert can
+      tear the ledger.
+    - *No double merges*: foreachBatch is at-least-once (the
+      checkpoint commits only after the function returns), and
+      re-merging a batch into a base that already includes it would
+      double-count n_events/cents.  Each overwrite therefore stamps
+      ``last_batch_id`` into the manifest metadata, and a replayed
+      batch whose id matches the committed stamp no-ops.
+
+    localCheckpoint still cuts the read→write lineage cycle.
 
     Scale: ledger size = keyspace (users), not events; each
     micro-batch shuffles only its own partials + the keyspace-sized
@@ -780,24 +817,7 @@ def stream_upsert_ledger(
     ).select("user_id", "value")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        part = batch_df.groupBy("user_id").agg(
-            F.count("*").alias("n_events"),
-            F.expr("sum(cast(round(value * 100) as bigint))").alias(
-                "cents"
-            ),
-        )
-        base = table.read(batch_df.sparkSession)
-        if base is not None:
-            part = (
-                base.unionByName(part)
-                .groupBy("user_id")
-                .agg(
-                    F.sum("n_events").alias("n_events"),
-                    F.sum("cents").alias("cents"),
-                )
-            )
-        table.overwrite(part.localCheckpoint(eager=True))
-        table.vacuum()
+        merge_ledger_batch(batch_df, batch_id, table)
 
     q = (
         ev.writeStream.foreachBatch(merge)

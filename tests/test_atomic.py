@@ -153,3 +153,17 @@ def test_time_travel_reads(spark, tmp_path):
         t.read(spark, version=2)
     with pytest.raises(FileNotFoundError):
         t.read(spark, version=99)
+
+
+def test_manifest_meta_roundtrip(spark, tmp_path):
+    """Commit metadata (the foreachBatch idempotence stamp) is
+    per-version: readable for the latest and for time travel, and NOT
+    inherited by later commits that don't restate it."""
+    t = AtomicParquetTable(str(tmp_path / "t"))
+    assert t.meta() == {}
+    df = spark.range(3)
+    v1 = t.append(df, meta={"last_batch_id": 0})
+    assert t.meta() == {"last_batch_id": 0}
+    t.overwrite(df)
+    assert t.meta() == {}
+    assert t.meta(v1) == {"last_batch_id": 0}

@@ -116,3 +116,77 @@ def test_new_file_ingested_incrementally(spark, ingested):
     )
     curated = AtomicParquetTable(str(out / "curated.parquet")).read(spark)
     assert sorted(r.doc_id for r in curated.collect()) == [1, 2, 4, 10]
+
+
+def test_replay_of_committed_batch_is_noop(spark, ingested):
+    """foreachBatch is at-least-once: a crash after both appends but
+    before the checkpoint commit replays the batch. The batch_id
+    manifest stamp must make that replay a no-op."""
+    from aichemy_data_pipelines_spark.streaming.corpus_ingest import (
+        ingest_batch,
+    )
+
+    src, out, _ckpt = ingested
+    curated = AtomicParquetTable(str(out / "curated.parquet"))
+    sig = AtomicParquetTable(str(out / "sig_index.parquet"))
+    v_cur, v_sig = curated.version(), sig.version()
+    last_bid = sig.meta()["last_batch_id"]
+    replay = spark.read.parquet(str(src / "f2.parquet"))
+    ingest_batch(replay, last_bid, curated, sig)
+    assert (curated.version(), sig.version()) == (v_cur, v_sig)
+
+
+def test_replay_after_crash_between_appends(spark, tmp_path):
+    """Crash window the round-4 ADVICE flagged: curated committed the
+    batch but sig_index didn't. The replay must skip the curated
+    append (no duplicate docs) yet still index the band keys, and
+    later batches must dedup against them."""
+    import pytest as _pytest
+
+    from aichemy_data_pipelines_spark.streaming.corpus_ingest import (
+        ingest_batch,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    _write([(1, _GOOD_A, "en", "web", len(_GOOD_A))], spark, src / "f0.parquet")
+    _write([(4, _GOOD_C, "en", "web", len(_GOOD_C))], spark, src / "f1.parquet")
+    _write(
+        [(5, _GOOD_C, "en", "mirror", len(_GOOD_C))], spark, src / "f2.parquet"
+    )
+    curated = AtomicParquetTable(str(tmp_path / "out" / "curated.parquet"))
+    sig = AtomicParquetTable(str(tmp_path / "out" / "sig_index.parquet"))
+    ingest_batch(spark.read.parquet(str(src / "f0.parquet")), 0, curated, sig)
+
+    class _Crash(Exception):
+        pass
+
+    class _CrashySig:
+        """Delegates reads; dies on append — the crash window."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def meta(self):
+            return self._inner.meta()
+
+        def read(self, sess):
+            return self._inner.read(sess)
+
+        def append(self, *a, **k):
+            raise _Crash()
+
+    df1 = spark.read.parquet(str(src / "f1.parquet"))
+    with _pytest.raises(_Crash):
+        ingest_batch(df1, 1, curated, _CrashySig(sig))
+    assert curated.meta()["last_batch_id"] == 1
+    assert sig.meta()["last_batch_id"] == 0
+    n_before = curated.read(spark).count()
+
+    ingest_batch(df1, 1, curated, sig)  # the replay
+    assert curated.read(spark).count() == n_before  # no doc duplicated
+    assert sig.meta()["last_batch_id"] == 1
+    # the recovered index still screens future dups of the batch
+    ingest_batch(spark.read.parquet(str(src / "f2.parquet")), 2, curated, sig)
+    ids = sorted(r.doc_id for r in curated.read(spark).collect())
+    assert ids == [1, 4]

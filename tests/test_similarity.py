@@ -148,16 +148,20 @@ def test_quantize_int8_invariants(spark):
         embeddings_quantize_int8,
     )
 
-    rows = embeddings_quantize_int8(spark, SF_SMOKE).collect()
+    raw = embeddings_quantize_int8(spark, SF_SMOKE).collect()
     n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
-    assert len(rows) == n_vecs
-    for r in rows:
-        assert len(r.codes) == 64
-        assert all(0 <= c <= 255 for c in r.codes)
-        assert r.code_sum == sum(r.codes)
+    assert len(raw) == n_vecs
+    # codes ship comma-joined (driver harness can't hash array cols)
+    rows = [
+        (r, [int(c) for c in r.codes.split(",")]) for r in raw
+    ]
+    for r, codes in rows:
+        assert len(codes) == 64
+        assert all(0 <= c <= 255 for c in codes)
+        assert r.code_sum == sum(codes)
     # every dimension must use the full range somewhere (min->0, max->255)
-    mins = [min(r.codes[i] for r in rows) for i in range(64)]
-    maxs = [max(r.codes[i] for r in rows) for i in range(64)]
+    mins = [min(codes[i] for _, codes in rows) for i in range(64)]
+    maxs = [max(codes[i] for _, codes in rows) for i in range(64)]
     assert all(m == 0 for m in mins)
     assert all(m == 255 for m in maxs)
 
@@ -165,16 +169,17 @@ def test_quantize_int8_invariants(spark):
 def test_pq_encode_uses_full_codebooks(spark):
     from aichemy_data_pipelines_spark.operators.pq import _K, _M, embeddings_pq_encode
 
-    rows = embeddings_pq_encode(spark, SF_SMOKE).collect()
+    raw = embeddings_pq_encode(spark, SF_SMOKE).collect()
     n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
-    assert len(rows) == n_vecs
-    for r in rows:
-        assert len(r.codes) == _M
-        assert all(0 <= c < _K for c in r.codes)
+    assert len(raw) == n_vecs
+    codes_per_vec = [[int(c) for c in r.codes.split(",")] for r in raw]
+    for codes in codes_per_vec:
+        assert len(codes) == _M
+        assert all(0 <= c < _K for c in codes)
     # every subspace's codebook is fully used (no dead centroids) and
     # codes actually discriminate (no constant column)
     for s in range(_M):
-        used = {r.codes[s] for r in rows}
+        used = {codes[s] for codes in codes_per_vec}
         assert used == set(range(_K))
 
 

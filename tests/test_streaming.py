@@ -421,3 +421,33 @@ def test_tws_running_totals_equals_batch_and_v1(spark, tmp_path):
         for r in spark.table("t_v1").collect()
     }
     assert got == v1
+
+
+def test_upsert_ledger_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch replays (crash between ledger overwrite and
+    checkpoint commit) must not double-merge a batch: the manifest's
+    last_batch_id stamp makes the re-merge a no-op, while a genuinely
+    new batch_id still merges."""
+    from aichemy_data_pipelines_spark.pipeline.atomic import (
+        AtomicParquetTable,
+    )
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        merge_ledger_batch,
+    )
+
+    table = AtomicParquetTable(str(tmp_path / "ledger"))
+    batch = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0), (2, 3.5)], "user_id long, value double"
+    )
+    merge_ledger_batch(batch, 0, table)
+    snap = sorted(tuple(r) for r in table.read(spark).collect())
+    assert snap == [(1, 2, 500), (2, 1, 350)]
+
+    merge_ledger_batch(batch, 0, table)  # the replay
+    assert sorted(tuple(r) for r in table.read(spark).collect()) == snap
+
+    merge_ledger_batch(batch, 1, table)  # a real new batch still merges
+    after = {
+        r.user_id: (r.n_events, r.cents) for r in table.read(spark).collect()
+    }
+    assert after == {1: (4, 1000), 2: (2, 700)}
