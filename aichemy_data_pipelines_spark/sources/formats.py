@@ -145,25 +145,22 @@ def write_sorted_layout(
     )
 
 
-def write_zorder_layout(
+def with_morton_z(
     df: DataFrame,
-    dest_path: str,
     col_a: str,
     col_b: str,
-    n_files: int,
     bits: int = 16,
-) -> None:
-    """2-D Z-order (Morton) parquet layout: interleave the bits of
-    two normalized sort keys so each output file covers a compact
-    RECTANGLE of the (a, b) value space — min/max skipping then works
-    for predicates on EITHER column, where a plain 1-D sort only
-    skips on its lead column.
+    z_col: str = "_z",
+) -> DataFrame:
+    """Add a 2-D Z-order (Morton) key column: interleave the bits of
+    the two normalized sort keys so rows close in ``z_col`` are close
+    in BOTH value dimensions.
 
     Normalization maps each key to a ``bits``-bit grid via global
     min/max (two bounded scalars, collected once); the Morton code is
-    a pure-JVM bit-interleave expression inside codegen. The
-    bounding-box tightening vs a round-robin layout is asserted from
-    parquet footers in tests/test_sources.py.
+    a pure-JVM bit-interleave expression inside codegen.  Shared by
+    :func:`write_zorder_layout` and the curated-corpus snapshot
+    layout (pipeline/corpus_build.py).
     """
     from pyspark.sql import functions as F
 
@@ -184,13 +181,36 @@ def write_zorder_layout(
         f"(((_ga >> {i}) & 1) << {2 * i}) + (((_gb >> {i}) & 1) << {2 * i + 1})"
         for i in range(bits)
     )
-    (
+    return (
         df.withColumn("_ga", F.expr(ga))
         .withColumn("_gb", F.expr(gb))
-        .withColumn("_z", F.expr(morton))
+        .withColumn(z_col, F.expr(morton))
+        .drop("_ga", "_gb")
+    )
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    dest_path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """2-D Z-order (Morton) parquet layout: each output file covers a
+    compact RECTANGLE of the (a, b) value space — min/max skipping
+    then works for predicates on EITHER column, where a plain 1-D
+    sort only skips on its lead column.  The bounding-box tightening
+    vs a round-robin layout is asserted from parquet footers in
+    tests/test_sources.py.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        with_morton_z(df, col_a, col_b, bits)
         .repartitionByRange(n_files, F.col("_z"))
         .sortWithinPartitions("_z")
-        .drop("_ga", "_gb", "_z")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(dest_path)
     )

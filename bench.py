@@ -66,14 +66,25 @@ def main() -> None:
     qs["q6_revenue_forecast"](spark, SF_DIR).collect()
 
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(n_passes):
         for name in names:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
-            dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            samples[name].append(round(time.perf_counter() - t0, 3))
+
+    timings = {n: min(s) for n, s in samples.items()}
+    # Cross-protocol honesty (r04 ADVICE): r01-r03 recorded a single
+    # pass, r04+ headline min-of-N. Report the per-pass totals and
+    # first-pass total alongside so protocol effect and real speedup
+    # stay separable in cross-round comparisons.
+    pass_totals = [
+        round(sum(samples[n][i] for n in names), 3) for i in range(n_passes)
+    ]
+    mean = sum(pass_totals) / n_passes
+    stdev = (
+        sum((t - mean) ** 2 for t in pass_totals) / (n_passes - 1)
+    ) ** 0.5 if n_passes > 1 else 0.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -83,6 +94,11 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "protocol": f"per-query min of {n_passes} passes",
+                "single_pass_total_first": pass_totals[0],
+                "single_pass_totals": pass_totals,
+                "single_pass_mean": round(mean, 3),
+                "single_pass_stdev": round(stdev, 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -6,10 +6,12 @@ from __future__ import annotations
 import __spark_entry__ as entry_mod
 
 #: Queries deliberately shipped WITHOUT a DuckDB oracle (driver
-#: records a weaker rows-only check). Growing this list is a
-#: deliberate act — every addition needs a pinned-semantics test like
-#: dedup_minhash_lsh_fast's recall test.
-ROWS_ONLY = {"dedup_minhash_lsh_fast"}
+#: records a weaker rows-only check). EMPTY since round 5
+#: (dedup_minhash_lsh_fast was undeclared — a query the driver can
+#: structurally never green is a standing defect, per the r04
+#: verdict). Growing this list is a deliberate act — every addition
+#: needs a pinned-semantics test like the lsh_fast recall test.
+ROWS_ONLY: set[str] = set()
 
 
 def test_every_query_has_oracle_or_declared_rows_only():
@@ -23,11 +25,32 @@ def test_every_query_has_oracle_or_declared_rows_only():
     assert not stray, f"oracles without queries: {stray}"
 
 
-def test_driver_window_is_a_prefix_of_queries():
+def test_driver_window_is_mechanical_least_recently_attested():
+    """The driver samples the first 50 queries() entries; since
+    round 5 that order is DERIVED from the committed CORRECTNESS
+    snapshots (never-green first, then oldest green attestation) so
+    the sample cannot be hand-curated (r04 ADVICE)."""
+    import glob
+    import json
+
     ks = list(entry_mod.queries())
-    assert len(entry_mod._DRIVER_WINDOW) == 50
-    assert ks[:50] == entry_mod._DRIVER_WINDOW
     assert len(set(ks)) == len(ks)
+    last_green: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(path.split("r")[-1].split(".")[0])
+        for name, row in json.load(open(path)).items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                last_green[name] = max(last_green.get(name, 0), rnd)
+    keys = [(last_green.get(n, 0), n) for n in ks]
+    assert keys == sorted(keys), "queries() not least-recently-attested order"
+    # every never-attested query outranks every attested one
+    never = [n for n in ks if last_green.get(n, 0) == 0]
+    assert ks[: len(never)] == never
 
 
 def test_oracles_are_nonempty_sql():
