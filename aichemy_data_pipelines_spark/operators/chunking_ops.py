@@ -1,0 +1,98 @@
+"""Document chunking — fixed-size sliding token windows with
+overlap, the standard preprocessing for RAG indexing and
+context-window packing: every document becomes ceil-spaced chunks of
+``_CHUNK`` tokens starting every ``_STRIDE`` tokens (overlap =
+_CHUNK - _STRIDE), the last chunk ragged, short docs one chunk.
+
+Chunk identity is content-addressed (md5 of the space-joined token
+slice), so downstream chunk-level dedup / retrieval indexes join on
+the hash — and the whole op is oracle-checkable since tokenization
+and hashing are the portable primitives (functions/text.py,
+functions/hashing.py).
+
+Scale: pure map + one INDEX explode (the chunk-count sequence —
+explode of a tiny int range, then ONE slice per emitted row; same
+O(len) rationale as functions/text.exploded_shingles).  No shuffle
+at all: the operator is embarrassingly parallel over documents,
+which is what makes chunking a free stage at 100 TB.
+
+Output: (doc_id, chunk_idx, start_token, n_tokens, chunk_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.text import (
+    SPARK_TOKENS,
+    SQL_TOKENS,
+)
+
+_CHUNK = 64  # tokens per chunk
+_STRIDE = 48  # chunk start spacing (overlap = 16)
+
+
+def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
+        .withColumn("n", F.size("tokens"))
+    )
+    # last chunk index: 0 for short docs, else ceil((n-_CHUNK)/_STRIDE)
+    last = (
+        f"case when n <= {_CHUNK} then 0 "
+        f"else (n - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE} end"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "tokens",
+            "n",
+            F.explode(F.expr(f"sequence(0, {last})")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            (F.col("i") * _STRIDE).cast("bigint").alias("start_token"),
+            F.least(
+                F.lit(_CHUNK), F.col("n") - F.col("i") * _STRIDE
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            F.expr(
+                f"md5(concat_ws(' ', slice(tokens, i * {_STRIDE} + 1, "
+                f"{_CHUNK})))"
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+QUERIES = {"docs_chunk_windows": docs_chunk_windows}
+
+ORACLE = {
+    "docs_chunk_windows": f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS} AS tokens,
+                   len({SQL_TOKENS}) AS n
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, tokens, n,
+                   unnest(range(0,
+                       CASE WHEN n <= {_CHUNK} THEN 0
+                            ELSE (n - {_CHUNK} + {_STRIDE} - 1)
+                                 // {_STRIDE} END + 1)) AS i
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_idx,
+               CAST(i * {_STRIDE} AS BIGINT) AS start_token,
+               CAST(least({_CHUNK}, n - i * {_STRIDE}) AS BIGINT)
+                 AS n_tokens,
+               md5(array_to_string(
+                   tokens[i * {_STRIDE} + 1:i * {_STRIDE} + {_CHUNK}],
+                   ' ')) AS chunk_hash
+        FROM idx
+    """,
+}

@@ -1,0 +1,173 @@
+"""Hashed bigram-LM perplexity scoring — the CCNet-style quality
+filter (Wenzek et al. 2020): train a small language model on a
+trusted target slice, score every document's perplexity under it,
+and let curation keep the low-perplexity (fluent) tail.
+
+The LM here is the 100 TB-shaped reduction of KenLM: token unigrams
+and bigrams are HASHED into fixed bucket spaces (``_B1`` = 1024 /
+``_B2`` = 4096, portable md5), so the trained model is two bounded
+count tables no matter the corpus size — they collect to the driver
+and re-enter the plan as broadcast literals (the same pattern as
+operators/dsir_ops.py / the IVF centroids).  Training slice =
+``lang = 'en'``; add-one smoothing;
+``p(w | prev) ≈ (c_bi(bucket(prev w)) + 1) / (c_uni(bucket(prev)) + _B2)``.
+
+Float portability (same discipline as dsir_ops): each per-bigram log
+probability is rounded to 9dp and cast to DECIMAL before the exact
+decimal per-doc sum, so Spark's partial-agg order can't flip bits;
+only the final mean/exp are doubles, rounded to 6dp.
+
+Scale: bigrams come from the O(len) index-explode shingle path (no
+window, no shuffle — adjacency never leaves the row); scoring is two
+broadcast equi-joins against the literal count tables + one (doc_id)
+agg.  Docs with fewer than 2 tokens carry no bigrams and are scored
+NULL (they face the length gates instead).
+
+Output: (doc_id, n_bigrams, avg_logprob, ppl).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.hashing import (
+    spark_hash64,
+    sql_hash64,
+)
+from aichemy_data_pipelines_spark.functions.text import (
+    SPARK_TOKENS,
+    SQL_TOKENS,
+)
+
+_B1 = 1024  # unigram (history) buckets
+_B2 = 4096  # bigram buckets
+_SEED_UNI = 8101
+_SEED_BI = 8102
+_TGT_LANG = "en"
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, b1, b2) — one row per bigram occurrence, via
+    the O(len) index explode (the shingle pattern)."""
+    toks = docs.select(
+        "doc_id", "lang", F.expr(SPARK_TOKENS).alias("tokens")
+    ).where(F.size("tokens") >= 2)
+    return toks.select(
+        "doc_id",
+        "lang",
+        "tokens",
+        F.explode(F.expr("sequence(0, size(tokens) - 2)")).alias("i"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(
+            f"{spark_hash64('element_at(tokens, i + 1)', seed=_SEED_UNI)}"
+            f" % {_B1}"
+        ).alias("b1"),
+        F.expr(
+            spark_hash64(
+                "concat_ws(' ', slice(tokens, i + 1, 2))", seed=_SEED_BI
+            )
+            + f" % {_B2}"
+        ).alias("b2"),
+    )
+
+
+def corpus_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bi = _doc_bigrams(load_table(spark, sf_dir, "documents"))
+    tgt = bi.where(F.col("lang") == _TGT_LANG)
+    uni_rows = tgt.groupBy("b1").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).collect()
+    bi_rows = tgt.groupBy("b2").agg(
+        F.count("*").cast("bigint").alias("c")
+    ).collect()
+    uni = spark.createDataFrame(
+        [(r.b1, r.c) for r in uni_rows] or [(None, None)],
+        "b1 bigint, c_uni bigint",
+    )
+    bigr = spark.createDataFrame(
+        [(r.b2, r.c) for r in bi_rows] or [(None, None)],
+        "b2 bigint, c_bi bigint",
+    )
+    scored = (
+        bi.join(F.broadcast(uni), "b1", "left")
+        .join(F.broadcast(bigr), "b2", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                f"cast(round(ln((coalesce(c_bi, 0) + 1)"
+                f" / cast(coalesce(c_uni, 0) + {_B2} as double)), 9)"
+                " as decimal(18,9))"
+            ).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lp").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+            F.round(
+                F.exp(-F.col("s").cast("double") / F.col("n_bigrams")), 6
+            ).alias("ppl"),
+        )
+    )
+
+
+QUERIES = {"corpus_bigram_perplexity": corpus_bigram_perplexity}
+
+_SQL_BI = f"""
+        SELECT doc_id, lang,
+               ({sql_hash64("tokens[i + 1]", seed=_SEED_UNI)}) % {_B1} AS b1,
+               ({sql_hash64(
+                   "array_to_string(tokens[i + 1:i + 2], ' ')",
+                   seed=_SEED_BI,
+               )}) % {_B2} AS b2
+        FROM (
+            SELECT doc_id, lang, tokens,
+                   unnest(range(0, len(tokens) - 1)) AS i
+            FROM (
+                SELECT doc_id, lang, {SQL_TOKENS} AS tokens
+                FROM documents
+            ) WHERE len(tokens) >= 2
+        )
+"""
+
+ORACLE = {
+    "corpus_bigram_perplexity": f"""
+        WITH bi AS ({_SQL_BI}),
+        uni AS (
+            SELECT b1, CAST(COUNT(*) AS BIGINT) AS c_uni
+            FROM bi WHERE lang = '{_TGT_LANG}' GROUP BY b1
+        ), bigr AS (
+            SELECT b2, CAST(COUNT(*) AS BIGINT) AS c_bi
+            FROM bi WHERE lang = '{_TGT_LANG}' GROUP BY b2
+        ), scored AS (
+            SELECT bi.doc_id,
+                   CAST(round(ln((COALESCE(bigr.c_bi, 0) + 1)
+                        / CAST(COALESCE(uni.c_uni, 0) + {_B2} AS DOUBLE)),
+                        9) AS DECIMAL(18,9)) AS lp
+            FROM bi
+            LEFT JOIN uni ON bi.b1 = uni.b1
+            LEFT JOIN bigr ON bi.b2 = bigr.b2
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                   SUM(lp) AS s
+            FROM scored GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               round(CAST(s AS DOUBLE) / n_bigrams, 6) AS avg_logprob,
+               round(exp(-CAST(s AS DOUBLE) / n_bigrams), 6) AS ppl
+        FROM agg
+    """,
+}

@@ -117,3 +117,34 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def _n_scans(df) -> int:
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    return sum("ReadSchema" in line for line in plan.splitlines())
+
+
+def test_hash_embeddings_single_scan(spark):
+    """The window-based norm must keep the plan at ONE documents
+    scan — a groupBy+self-join norm evaluates the explode lineage
+    twice (2x corpus scan at 100 TB)."""
+    from aichemy_data_pipelines_spark.operators.hash_embeddings import (
+        text_hash_embeddings,
+    )
+
+    assert _n_scans(text_hash_embeddings(spark, SF_SMOKE)) == 1
+
+
+def test_dsir_single_scan(spark):
+    """The bucket stats re-enter as literals (bounded 1024-row
+    collect), so the corpus-side plan reads documents exactly once
+    and the log-ratio side carries no corpus lineage."""
+    from aichemy_data_pipelines_spark.operators.dsir_ops import (
+        corpus_dsir_weights,
+    )
+
+    assert _n_scans(corpus_dsir_weights(spark, SF_SMOKE)) == 1
