@@ -34,23 +34,51 @@ _CHUNK = 64  # tokens per chunk
 _STRIDE = 48  # chunk start spacing (overlap = 16)
 
 
+# The chunk GEOMETRY lives in exactly one place — these four
+# fragments — because downstream consumers join on content-addressed
+# chunk identity (operators/rag_ops.py): a geometry edit applied to
+# one copy would silently desynchronize retrieval from the chunk
+# index.
+def spark_last_chunk(n: str = "n") -> str:
+    """Last chunk index: 0 for short docs, else ceil((n-C)/S)."""
+    return (
+        f"case when {n} <= {_CHUNK} then 0 "
+        f"else ({n} - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE} end"
+    )
+
+
+def sql_last_chunk(n: str = "n") -> str:
+    return (
+        f"CASE WHEN {n} <= {_CHUNK} THEN 0 "
+        f"ELSE ({n} - {_CHUNK} + {_STRIDE} - 1) // {_STRIDE} END"
+    )
+
+
+def spark_chunk_slice(tokens: str = "tokens", i: str = "i") -> str:
+    return f"slice({tokens}, {i} * {_STRIDE} + 1, {_CHUNK})"
+
+
+def sql_chunk_slice(tokens: str = "tokens", i: str = "i") -> str:
+    return (
+        f"{tokens}[{i} * {_STRIDE} + 1:"
+        f"{i} * {_STRIDE} + {_CHUNK}]"
+    )
+
+
 def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
         .withColumn("n", F.size("tokens"))
     )
-    # last chunk index: 0 for short docs, else ceil((n-_CHUNK)/_STRIDE)
-    last = (
-        f"case when n <= {_CHUNK} then 0 "
-        f"else (n - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE} end"
-    )
     return (
         docs.select(
             "doc_id",
             "tokens",
             "n",
-            F.explode(F.expr(f"sequence(0, {last})")).alias("i"),
+            F.explode(
+                F.expr(f"sequence(0, {spark_last_chunk()})")
+            ).alias("i"),
         )
         .select(
             "doc_id",
@@ -62,8 +90,7 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_tokens"),
             F.expr(
-                f"md5(concat_ws(' ', slice(tokens, i * {_STRIDE} + 1, "
-                f"{_CHUNK})))"
+                f"md5(concat_ws(' ', {spark_chunk_slice()}))"
             ).alias("chunk_hash"),
         )
     )
@@ -79,10 +106,7 @@ ORACLE = {
             FROM documents
         ), idx AS (
             SELECT doc_id, tokens, n,
-                   unnest(range(0,
-                       CASE WHEN n <= {_CHUNK} THEN 0
-                            ELSE (n - {_CHUNK} + {_STRIDE} - 1)
-                                 // {_STRIDE} END + 1)) AS i
+                   unnest(range(0, ({sql_last_chunk()}) + 1)) AS i
             FROM toks
         )
         SELECT doc_id,
@@ -90,9 +114,8 @@ ORACLE = {
                CAST(i * {_STRIDE} AS BIGINT) AS start_token,
                CAST(least({_CHUNK}, n - i * {_STRIDE}) AS BIGINT)
                  AS n_tokens,
-               md5(array_to_string(
-                   tokens[i * {_STRIDE} + 1:i * {_STRIDE} + {_CHUNK}],
-                   ' ')) AS chunk_hash
+               md5(array_to_string({sql_chunk_slice()}, ' '))
+                 AS chunk_hash
         FROM idx
     """,
 }

@@ -77,12 +77,22 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
 
 def corpus_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bi = _doc_bigrams(load_table(spark, sf_dir, "documents"))
-    tgt = bi.where(F.col("lang") == _TGT_LANG)
-    uni_rows = tgt.groupBy("b1").agg(
-        F.count("*").cast("bigint").alias("c")
+    # train with ONE pass over the target slice: reduce to (b1, b2)
+    # pair counts (bounded by _B1 x _B2 regardless of corpus size),
+    # localCheckpoint the reduction, and roll BOTH marginals up from
+    # it — without the checkpoint the two collects would each re-run
+    # the corpus token explode
+    tgt_pairs = (
+        bi.where(F.col("lang") == _TGT_LANG)
+        .groupBy("b1", "b2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uni_rows = tgt_pairs.groupBy("b1").agg(
+        F.sum("c").cast("bigint").alias("c")
     ).collect()
-    bi_rows = tgt.groupBy("b2").agg(
-        F.count("*").cast("bigint").alias("c")
+    bi_rows = tgt_pairs.groupBy("b2").agg(
+        F.sum("c").cast("bigint").alias("c")
     ).collect()
     uni = spark.createDataFrame(
         [(r.b1, r.c) for r in uni_rows] or [(None, None)],

@@ -23,8 +23,16 @@ Why this is the 100 TB shape:
 * weights are 6dp decimals, so pair scores are EXACT decimal sums —
   order-independent, rank-stable, and hash-checkable in DuckDB.
 
+CANDIDATE CONTRACT (inherent to inverted-index retrieval): only
+chunks sharing at least one bucket with the query are candidates —
+zero-overlap chunks (true cosine exactly 0) are unreachable through
+the index and never ranked, exactly as in any production sparse
+retriever.  A query overlapping fewer than ``_TOPK`` chunks returns
+fewer rows.  The plain-Python mirror in tests/test_rag.py scores the
+same candidate set.
+
 Output: (query_doc, rk, doc_id, chunk_idx, cosine) — top ``_TOPK``
-chunks per query, ties broken by (doc_id, chunk_idx).
+candidate chunks per query, ties broken by (doc_id, chunk_idx).
 """
 
 from __future__ import annotations
@@ -44,6 +52,10 @@ from aichemy_data_pipelines_spark.functions.text import (
 from aichemy_data_pipelines_spark.operators.chunking_ops import (
     _CHUNK,
     _STRIDE,
+    spark_chunk_slice,
+    spark_last_chunk,
+    sql_chunk_slice,
+    sql_last_chunk,
 )
 from aichemy_data_pipelines_spark.operators.hash_embeddings import (
     _DIM,
@@ -101,21 +113,17 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % _Q_MOD != 0).withColumn(
         "n", F.size("tokens")
     )
-    last = (
-        f"case when n <= {_CHUNK} then 0 "
-        f"else (n - {_CHUNK} + {_STRIDE} - 1) div {_STRIDE} end"
-    )
     chunks = corpus.select(
         "doc_id",
         "n",
         "tokens",
-        F.explode(F.expr(f"sequence(0, {last})")).alias("i"),
+        F.explode(
+            F.expr(f"sequence(0, {spark_last_chunk()})")
+        ).alias("i"),
     ).select(
         "doc_id",
         F.col("i").cast("int").alias("chunk_idx"),
-        F.expr(f"slice(tokens, i * {_STRIDE} + 1, {_CHUNK})").alias(
-            "tokens"
-        ),
+        F.expr(spark_chunk_slice()).alias("tokens"),
     )
     qw = _unit_weights(queries, ["doc_id"]).withColumnRenamed(
         "doc_id", "query_doc"
@@ -183,14 +191,10 @@ ORACLE = {
         ), chunks AS (
             SELECT doc_id,
                    CAST(i AS INTEGER) AS chunk_idx,
-                   tokens[i * {_STRIDE} + 1:i * {_STRIDE} + {_CHUNK}]
-                     AS tokens
+                   {sql_chunk_slice()} AS tokens
             FROM (
                 SELECT doc_id, tokens, n,
-                       unnest(range(0,
-                           CASE WHEN n <= {_CHUNK} THEN 0
-                                ELSE (n - {_CHUNK} + {_STRIDE} - 1)
-                                     // {_STRIDE} END + 1)) AS i
+                       unnest(range(0, ({sql_last_chunk()}) + 1)) AS i
                 FROM cdocs
             )
         ), qw AS (

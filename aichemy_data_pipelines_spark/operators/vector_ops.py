@@ -27,6 +27,21 @@ from pyspark.sql import functions as F
 from aichemy_data_pipelines_spark.catalog import load_table
 
 
+def quantize_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-form library twin of :func:`embeddings_quantize_int8`:
+    (vec_id, label, codes array<int>, code_sum) — for internal
+    consumers (ANN pre-filtering, storage tiers) that want the dense
+    codes rather than the driver-safe string form."""
+    return embeddings_quantize_int8(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(split(codes, ','), s -> cast(s as int))"
+        ).alias("codes"),
+        "code_sum",
+    )
+
+
 def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize every embedding to int8 codes with a per-dimension
     (min, max) linear quantizer trained on the full table.
@@ -36,7 +51,7 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's pandas canonicalizer cannot sort/hash array columns —
     r04 red row), code_sum a cheap integrity checksum downstream
     stages can verify after transport.  Internal consumers use
-    :func:`quantize_codes_df`, which keeps the array form.
+    :func:`quantize_codes_df`, which restores the array form.
     """
     e = load_table(spark, sf_dir, "embeddings").repartition(
         spark.sparkContext.defaultParallelism

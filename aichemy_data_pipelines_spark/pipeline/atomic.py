@@ -154,6 +154,14 @@ class AtomicParquetTable:
                 os.fsync(dfd)
             finally:
                 os.close(dfd)
+        # the PARENT (data/) holds the new dir's dirent — without this
+        # fsync a durable manifest could reference a dir whose entry
+        # was lost on power loss
+        pfd = os.open(os.path.dirname(top), os.O_RDONLY)
+        try:
+            os.fsync(pfd)
+        finally:
+            os.close(pfd)
 
     def _publish(
         self, version: int, rel_dirs: list[str], meta: dict | None = None

@@ -157,16 +157,21 @@ def with_morton_z(
     in BOTH value dimensions.
 
     Normalization maps each key to a ``bits``-bit grid via global
-    min/max (two bounded scalars, collected once); the Morton code is
-    a pure-JVM bit-interleave expression inside codegen.  Shared by
-    :func:`write_zorder_layout` and the curated-corpus snapshot
-    layout (pipeline/corpus_build.py).
+    min/max (two bounded scalars, collected once — NOTE this is an
+    extra evaluation of the input plan before the caller's write;
+    persist/localCheckpoint upstream if the input is expensive).
+    The Morton code is a pure-JVM bit-interleave expression inside
+    codegen.  Shared by :func:`write_zorder_layout` and the
+    curated-corpus snapshot layout (pipeline/corpus_build.py).
+    An empty input gets a constant z key (nothing to order).
     """
     from pyspark.sql import functions as F
 
     lo_a, hi_a, lo_b, hi_b = df.selectExpr(
         f"min({col_a})", f"max({col_a})", f"min({col_b})", f"max({col_b})"
     ).first()
+    if lo_a is None or lo_b is None:
+        return df.withColumn(z_col, F.lit(0).cast("bigint"))
     gmax = (1 << bits) - 1
 
     def grid(col: str, lo: float, hi: float) -> str:

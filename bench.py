@@ -65,7 +65,7 @@ def main() -> None:
         qs[warm](spark, warm_sf).collect()
     qs["q6_revenue_forecast"](spark, SF_DIR).collect()
 
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(n_passes):
         for name in names:

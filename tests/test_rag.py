@@ -71,10 +71,12 @@ def test_matches_plain_python_brute_force(spark):
         qv = _unit(qt)
         scored = []
         for (d, i), cv in chunks.items():
-            s = sum(
-                (qv[p] * cv[p] for p in qv.keys() & cv.keys()),
-                Decimal(0),
-            )
+            shared = qv.keys() & cv.keys()
+            if not shared:
+                # inverted-index candidate contract: zero-overlap
+                # chunks are unreachable, never ranked
+                continue
+            s = sum((qv[p] * cv[p] for p in shared), Decimal(0))
             scored.append((-s, d, i))
         scored.sort()
         for rk, (negs, d, i) in enumerate(scored[:_TOPK], start=1):

@@ -285,3 +285,12 @@ def test_msruns_python_datasource_matches_discover(spark, tmp_path):
         .rdd.getNumPartitions()
         == 2
     )
+
+
+def test_morton_z_empty_input_no_crash(spark):
+    from aichemy_data_pipelines_spark.sources.formats import with_morton_z
+
+    df = spark.range(0).selectExpr("id AS a", "id AS b")
+    out = with_morton_z(df, "a", "b")
+    assert "_z" in out.columns
+    assert out.count() == 0
