@@ -96,11 +96,54 @@ def docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"docs_chunk_windows": docs_chunk_windows}
+def docs_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-passage report — the C4/Lee-et-al.
+    "repeated span" signal at chunk granularity: any chunk hash seen
+    in MORE THAN ONE document is a duplicated passage; the report
+    gives its spread and the canonical (lexicographically first)
+    occurrence curation would keep.
 
-ORACLE = {
-    "docs_chunk_windows": f"""
-        WITH toks AS (
+    Complements dedup_exact_substring (hashed 12-token windows, pair
+    output): this is the aggregate per-passage view over the SAME
+    chunk index retrieval uses, so "passage is duplicated" and
+    "passage is retrievable" agree by construction.
+
+    Scale: one chunk pass + one groupBy(chunk_hash) — the group key
+    is content-addressed, so partial aggregation collapses repeats
+    map-side and the shuffle carries one row per distinct passage.
+
+    Output: (chunk_hash, n_docs, n_occurrences, first_doc,
+    first_chunk).
+    """
+    ch = docs_chunk_windows(spark, sf_dir)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            # lexicographic struct-min = (min doc, min chunk within it)
+            F.min(F.struct("doc_id", "chunk_idx")).alias("first"),
+        )
+        .where(F.col("n_docs") > 1)
+        .select(
+            "chunk_hash",
+            "n_docs",
+            "n_occurrences",
+            F.col("first.doc_id").alias("first_doc"),
+            F.col("first.chunk_idx").alias("first_chunk"),
+        )
+    )
+
+
+QUERIES = {
+    "docs_chunk_windows": docs_chunk_windows,
+    "docs_duplicated_passages": docs_duplicated_passages,
+}
+
+# shared oracle chunk table: (doc_id, chunk_idx, start_token,
+# n_tokens, chunk_hash) — consumed by both declared queries
+_SQL_CHUNKS = f"""
+        toks AS (
             SELECT doc_id, {SQL_TOKENS} AS tokens,
                    len({SQL_TOKENS}) AS n
             FROM documents
@@ -108,14 +151,47 @@ ORACLE = {
             SELECT doc_id, tokens, n,
                    unnest(range(0, ({sql_last_chunk()}) + 1)) AS i
             FROM toks
+        ), chunk_rows AS (
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   CAST(i * {_STRIDE} AS BIGINT) AS start_token,
+                   CAST(least({_CHUNK}, n - i * {_STRIDE}) AS BIGINT)
+                     AS n_tokens,
+                   md5(array_to_string({sql_chunk_slice()}, ' '))
+                     AS chunk_hash
+            FROM idx
         )
-        SELECT doc_id,
-               CAST(i AS INTEGER) AS chunk_idx,
-               CAST(i * {_STRIDE} AS BIGINT) AS start_token,
-               CAST(least({_CHUNK}, n - i * {_STRIDE}) AS BIGINT)
-                 AS n_tokens,
-               md5(array_to_string({sql_chunk_slice()}, ' '))
-                 AS chunk_hash
-        FROM idx
+"""
+
+ORACLE = {
+    "docs_chunk_windows": f"""
+        WITH {_SQL_CHUNKS}
+        SELECT doc_id, chunk_idx, start_token, n_tokens, chunk_hash
+        FROM chunk_rows
+    """,
+    "docs_duplicated_passages": f"""
+        WITH {_SQL_CHUNKS},
+        agg AS (
+            SELECT chunk_hash,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM chunk_rows GROUP BY chunk_hash
+            HAVING COUNT(DISTINCT doc_id) > 1
+        ),
+        firsts AS (
+            SELECT chunk_hash, doc_id AS first_doc,
+                   chunk_idx AS first_chunk
+            FROM (
+                SELECT chunk_hash, doc_id, chunk_idx,
+                       row_number() OVER (
+                           PARTITION BY chunk_hash
+                           ORDER BY doc_id, chunk_idx
+                       ) AS rn
+                FROM chunk_rows
+            ) WHERE rn = 1
+        )
+        SELECT a.chunk_hash, a.n_docs, a.n_occurrences,
+               f.first_doc, f.first_chunk
+        FROM agg a JOIN firsts f ON a.chunk_hash = f.chunk_hash
     """,
 }
