@@ -163,3 +163,31 @@ def test_atomic_table_matches_model(spark, tmp_path_factory, ops):
         got = t.read(spark)
         visible = sorted(r.id for r in got.collect()) if got is not None else []
         assert visible == sorted(model), (op, rows)
+
+
+@given(n=st.integers(min_value=1, max_value=5000))
+@settings(deadline=None)
+def test_chunk_geometry_formula(n):
+    """The closed-form last-chunk index must equal the reference
+    sliding-window enumeration for every document length: windows of
+    _CHUNK tokens every _STRIDE, last window reaching exactly the
+    end, no window starting at or past the end."""
+    from aichemy_data_pipelines_spark.operators.chunking_ops import (
+        _CHUNK,
+        _STRIDE,
+    )
+
+    # reference: starts while the previous window hasn't covered n
+    starts = [0]
+    while starts[-1] + _CHUNK < n:
+        starts.append(starts[-1] + _STRIDE)
+    last_ref = len(starts) - 1
+    last_formula = (
+        0 if n <= _CHUNK else -(-(n - _CHUNK) // _STRIDE)
+    )
+    assert last_formula == last_ref
+    # coverage + minimality
+    assert starts[-1] + _CHUNK >= n
+    assert starts[-1] < n
+    if len(starts) > 1:
+        assert starts[-2] + _CHUNK < n
