@@ -177,7 +177,62 @@ def events_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EWMA_LAGS = 8  # current event + 7 lags
+# α = 0.5 → weights 2^-i: exact dyadic decimals, so the weighted sum
+# is EXACT decimal arithmetic in both engines (no float accumulation)
+_EWMA_W = ["1.0000000", "0.5000000", "0.2500000", "0.1250000",
+           "0.0625000", "0.0312500", "0.0156250", "0.0078125"]
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α=0.5) over
+    each event and its 7 predecessors — the streaming-smoothing
+    primitive (monitoring dashboards, trend baselines) in batch form.
+
+    Determinism: α=0.5 makes every weight a dyadic rational
+    (2^-i), so value×weight products and their sum are exact
+    DECIMAL arithmetic — order-independent under partial
+    aggregation and identical in DuckDB.  The truncated window
+    renormalizes by the sum of PRESENT weights, so early events
+    (fewer than 8 predecessors) still average to their own scale.
+
+    Scale: ONE shuffle on user_id feeding a bounded-frame window
+    (7 lags); no self-joins, no global sort.  At 100 TB the
+    user_id partitioning is reused by every other per-user window
+    in the suite (sessionize, lag features, running totals).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.expr("cast(value as decimal(8,2))").alias("vdec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for i, wt in enumerate(_EWMA_W):
+        lag = F.col("vdec") if i == 0 else F.lag("vdec", i).over(w)
+        wdec = F.expr(f"cast({wt} as decimal(9,7))")
+        term = F.coalesce(lag * wdec, F.lit(0).cast("decimal(18,9)"))
+        wpresent = F.when(lag.isNotNull(), wdec).otherwise(
+            F.lit(0).cast("decimal(9,7)")
+        )
+        num = term if num is None else num + term
+        den = wpresent if den is None else den + wpresent
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("ewma"),
+    )
+
+
 QUERIES = {
+    "events_ewma": events_ewma,
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_retention_cohorts": orders_retention_cohorts,
     "part_price_histogram": part_price_histogram,
@@ -185,7 +240,37 @@ QUERIES = {
     "events_salted_distinct": events_salted_distinct,
 }
 
+def _ewma_sql() -> str:
+    terms, present = [], []
+    for i, wt in enumerate(_EWMA_W):
+        lag = (
+            "vdec"
+            if i == 0
+            else f"lag(vdec, {i}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        )
+        wd = f"CAST({wt} AS DECIMAL(9,7))"
+        terms.append(
+            f"COALESCE(({lag}) * {wd}, CAST(0 AS DECIMAL(18,9)))"
+        )
+        present.append(
+            f"CASE WHEN ({lag}) IS NOT NULL THEN {wd} "
+            f"ELSE CAST(0 AS DECIMAL(9,7)) END"
+        )
+    return f"""
+        WITH ev AS (
+            SELECT event_id, user_id, ts, value,
+                   CAST(value AS DECIMAL(8,2)) AS vdec
+            FROM events
+        )
+        SELECT event_id, user_id, ts, value,
+               ROUND(CAST(({' + '.join(terms)}) AS DOUBLE)
+                     / CAST(({' + '.join(present)}) AS DOUBLE), 6) AS ewma
+        FROM ev
+    """
+
+
 ORACLE = {
+    "events_ewma": _ewma_sql(),
     "events_salted_distinct": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_distinct,

@@ -105,7 +105,55 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESERVOIR_K = 25
+_RES_SEED = 29
+
+
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random sample without replacement, k=25, weight =
+    n_chars — the Efraimidis–Spirakis (A-ES) reservoir scheme with a
+    deterministic hash in place of rand(): each doc draws
+    u = (hash(doc_id) % 1e6 + 1)/1e6 and gets key = -ln(u)/weight;
+    the k SMALLEST keys form the sample.  Longer documents are
+    proportionally more likely to be drawn, and the draw is
+    reproducible across runs/engines/cluster sizes.
+
+    Float portability: -ln(u) is rounded to 9dp decimal (ulp-proof,
+    the dsir_ops.py recipe); the single division to double is
+    identical IEEE arithmetic in both engines.
+
+    Scale: key assignment is a pure map; the k smallest keys come
+    from ``orderBy().limit(k)``, which Spark executes as
+    TakeOrderedAndProject — per-partition top-k then a k-row merge
+    on the driver, NO global sort/shuffle.  The rank window then
+    runs on k rows.  This is exactly how a 100 TB weighted sample
+    stays one scan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    u = f"(({spark_hash64('cast(doc_id as string)', seed=_RES_SEED)}) % 1000000 + 1) / 1000000.0"
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.expr(f"cast(round(-ln({u}), 9) as decimal(18,9))").cast(
+                "double"
+            )
+            / F.col("n_chars").cast("double")
+        ).alias("key"),
+    )
+    topk = keyed.orderBy("key", "doc_id").limit(_RESERVOIR_K)
+    return topk.select(
+        F.row_number()
+        .over(Window.orderBy("key", "doc_id"))
+        .alias("sample_rank"),
+        "doc_id",
+        "n_chars",
+        F.round("key", 9).alias("priority"),
+    )
+
+
 QUERIES = {
+    "sample_weighted_reservoir": sample_weighted_reservoir,
     "sample_split": sample_split,
     "sample_stratified": sample_stratified,
     "corpus_mixture_sample": corpus_mixture_sample,
@@ -114,7 +162,27 @@ QUERIES = {
 _H = sql_hash64("CAST(doc_id AS VARCHAR)")
 _H7 = sql_hash64("CAST(doc_id AS VARCHAR)", seed=7)
 
+_H29 = sql_hash64("CAST(doc_id AS VARCHAR)", seed=_RES_SEED)
+
 ORACLE = {
+    "sample_weighted_reservoir": f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   CAST(CAST(ROUND(-ln((({_H29}) % 1000000 + 1)
+                                       / 1000000.0), 9)
+                             AS DECIMAL(18,9)) AS DOUBLE)
+                     / CAST(n_chars AS DOUBLE) AS key
+            FROM documents
+        ),
+        topk AS (
+            SELECT doc_id, n_chars, key
+            FROM keyed ORDER BY key, doc_id LIMIT {_RESERVOIR_K}
+        )
+        SELECT CAST(row_number() OVER (ORDER BY key, doc_id) AS INTEGER)
+                 AS sample_rank,
+               doc_id, n_chars, ROUND(key, 9) AS priority
+        FROM topk
+    """,
     "sample_split": f"""
         WITH s AS (
             SELECT n_chars,

@@ -1,0 +1,257 @@
+"""TF-IDF keyword extraction and Zipf power-law diagnostics.
+
+* ``docs_tfidf_topterms`` — the classic per-document keyword
+  extractor: top-3 terms per doc ranked by tf·idf with
+  idf = ln(N/df).  Complements the corpus-level BM25 scorer
+  (textops.py) with a per-document salience view — the standard
+  feature for topic tagging / mixture labeling in data-curation
+  pipelines.
+* ``terms_zipf_fit`` — closed-form OLS fit of ln(freq) ~ ln(rank)
+  over the top-100 corpus terms.  A healthy natural-language corpus
+  has slope ≈ −1 (Zipf's law); templated or synthetic spam shows a
+  flat or cliffed curve, so the slope is a cheap corpus-health
+  gate (Gopher/Dolma-style corpus diagnostics).
+
+Float portability (the interesting part, same recipe as
+operators/dsir_ops.py): ``ln`` may differ by an ulp across libms,
+so every logarithm is rounded to 9dp and cast to DECIMAL(18,9)
+BEFORE entering any product or sum — all downstream aggregation is
+exact decimal arithmetic, order-independent under Spark's
+nondeterministic partial aggregation.  Only the final published
+numbers are doubles rounded to 6dp.
+
+Scale: one token explode feeds a (doc_id, term) count; the term
+document-frequency table is vocabulary-bounded (≪ corpus) and
+broadcast back; the per-doc top-k is a window partitioned BY doc_id
+(no global sort).  The Zipf fit aggregates the vocabulary-bounded
+term table to a single row — its single-partition window covers
+at most the vocabulary, never the corpus.  No UDFs, no driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.text import (
+    SPARK_TOKENS,
+    SQL_TOKENS,
+)
+
+_TOP_K = 3  # keywords per document
+_ZIPF_R = 100  # top terms entering the Zipf fit
+
+
+def _term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, tf) exploded token counts."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+
+
+def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 terms per document by tf·idf.
+
+    Output: (doc_id, term, tf, score, term_rank); ties broken by
+    term ascending so the ranking is total and deterministic.
+    """
+    tc = _term_counts(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    df = tc.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("long").alias("df")
+    )
+    # idf snapped to DECIMAL(18,9): tf * idf is then exact decimal
+    idf = df.select(
+        "term",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 9)
+        .cast("decimal(18,9)")
+        .alias("idf"),
+    )
+    scored = tc.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf")).alias("score_dec"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_dec").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= _TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(F.col("score_dec").cast("double"), 6).alias("score"),
+            "term_rank",
+        )
+    )
+
+
+def terms_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) on ln(rank) over the top-100 terms.
+
+    Output: one row (n_terms, slope, intercept).  slope ≈ -1 for
+    Zipfian corpora.
+    """
+    freqs = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(SPARK_TOKENS)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("freq"))
+    )
+    # vocabulary-bounded single-partition window: rank 1 = most
+    # frequent, ties broken by term for a total order
+    ranked = (
+        freqs.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+            ),
+        )
+        .where(F.col("rank") <= _ZIPF_R)
+        .select(
+            F.round(F.log(F.col("rank").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("x"),
+            F.round(F.log(F.col("freq").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("y"),
+        )
+    )
+    sums = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    # exact-decimal normal equations; doubles only at the very end
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(
+            (
+                F.col("n") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("slope"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - (
+                    (
+                        F.col("n") * F.col("sxy").cast("double")
+                        - F.col("sx").cast("double")
+                        * F.col("sy").cast("double")
+                    )
+                    / (
+                        F.col("n") * F.col("sxx").cast("double")
+                        - F.col("sx").cast("double")
+                        * F.col("sx").cast("double")
+                    )
+                )
+                * F.col("sx").cast("double")
+            )
+            / F.col("n"),
+            6,
+        ).alias("intercept"),
+    )
+
+
+QUERIES = {
+    "docs_tfidf_topterms": docs_tfidf_topterms,
+    "terms_zipf_fit": terms_zipf_fit,
+}
+
+_SQL_TC = f"""
+        tc AS (
+            SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id, unnest({SQL_TOKENS}) AS term
+                FROM documents
+            )
+            GROUP BY doc_id, term
+        )
+"""
+
+ORACLE = {
+    "docs_tfidf_topterms": f"""
+        WITH {_SQL_TC},
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+        idf AS (
+            SELECT term,
+                   CAST(ROUND(ln((SELECT n_docs FROM n)
+                                 / COUNT(DISTINCT doc_id)), 9)
+                        AS DECIMAL(18,9)) AS idf
+            FROM tc GROUP BY term
+        ),
+        scored AS (
+            SELECT tc.doc_id, tc.term, tc.tf,
+                   tc.tf * idf.idf AS score_dec
+            FROM tc JOIN idf ON tc.term = idf.term
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, score_dec,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_dec DESC, term ASC
+                   ) AS term_rank
+            FROM scored
+        )
+        SELECT doc_id, term, tf,
+               ROUND(CAST(score_dec AS DOUBLE), 6) AS score,
+               CAST(term_rank AS INTEGER) AS term_rank
+        FROM ranked WHERE term_rank <= {_TOP_K}
+    """,
+    "terms_zipf_fit": f"""
+        WITH freqs AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest({SQL_TOKENS}) AS term FROM documents)
+            GROUP BY term
+        ),
+        ranked AS (
+            SELECT CAST(ROUND(ln(CAST(r AS DOUBLE)), 9)
+                        AS DECIMAL(18,9)) AS x,
+                   CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9)
+                        AS DECIMAL(18,9)) AS y
+            FROM (
+                SELECT freq,
+                       row_number() OVER (
+                           ORDER BY freq DESC, term ASC
+                       ) AS r
+                FROM freqs
+            ) WHERE r <= {_ZIPF_R}
+        ),
+        sums AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM ranked
+        )
+        SELECT n AS n_terms,
+               ROUND((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (n * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                 AS slope,
+               ROUND((CAST(sy AS DOUBLE)
+                      - ((n * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / n, 6)
+                 AS intercept
+        FROM sums
+    """,
+}
