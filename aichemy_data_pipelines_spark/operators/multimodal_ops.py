@@ -157,7 +157,71 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_FRAMES = _PAYLOAD_BYTES // _FRAME_BYTES  # 8 frames of 4 bytes
+_CUT_THRESHOLD = 200  # |Δ byte-sum| above this = scene cut
+
+
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video payloads: consecutive-frame
+    intensity deltas, flagged where the jump exceeds a threshold —
+    the keyframe-selection primitive of every video curation
+    pipeline (dedup at the shot level, thumbnail picking, frame
+    sampling for captioning).
+
+    Frame intensity here = exact integer byte-sum of the 4-byte
+    frame block (a real decoder would use luma histograms; the
+    locality-and-delta shape is the point).
+
+    Scale: ZERO shuffle — frame i and frame i-1 both derive from
+    the SAME payload row, so the pairwise delta is computed by
+    exploding the frame index and slicing the row's own hex string
+    twice; no per-video window, no lag, no doc_id repartition.
+    Pure JVM expressions inside whole-stage codegen (no UDF).
+    Output: one row per consecutive frame pair per video.
+    """
+    media = synthetic_media(spark, sf_dir).where(
+        F.col("mime") == "video/mp4"
+    )
+
+    def intensity(frame_idx_expr: str) -> str:
+        return (
+            f"aggregate(transform(sequence(0, {_FRAME_BYTES - 1}), j -> "
+            f"cast(conv(substr(hx, (({frame_idx_expr}) * {_FRAME_BYTES} + j) * 2 + 1, 2), "
+            f"16, 10) as bigint)), 0L, (acc, x) -> acc + x)"
+        )
+
+    return (
+        media.withColumn("hx", F.hex("payload"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, {_N_FRAMES - 1})")
+            ).alias("frame_idx"),
+            F.col("hx"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            F.expr(intensity("frame_idx")).alias("intensity"),
+            F.expr(intensity("frame_idx - 1")).alias("prev_intensity"),
+        )
+        .select(
+            "doc_id",
+            "frame_idx",
+            "intensity",
+            F.abs(F.col("intensity") - F.col("prev_intensity")).alias(
+                "delta"
+            ),
+            (
+                F.abs(F.col("intensity") - F.col("prev_intensity"))
+                > _CUT_THRESHOLD
+            ).alias("is_cut"),
+        )
+    )
+
+
 QUERIES = {
+    "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
     "multimodal_audio_chunks": multimodal_audio_chunks,
@@ -184,7 +248,32 @@ _CHUNK_IDXS = ", ".join(
     )
 )
 
+def _sql_intensity(idx: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(0, {_FRAME_BYTES}), "
+        f"j -> ('0x' || substr({_HEX}, (({idx}) * {_FRAME_BYTES} + j) * 2 + 1, 2))::BIGINT), "
+        f"'sum')"
+    )
+
+
 ORACLE = {
+    "multimodal_scene_cuts": f"""
+        WITH vid AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        ), pairs AS (
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST({_sql_intensity('i')} AS BIGINT) AS intensity,
+                   CAST({_sql_intensity('i - 1')} AS BIGINT)
+                     AS prev_intensity
+            FROM vid, unnest(range(1, {_N_FRAMES})) AS t(i)
+        )
+        SELECT doc_id, frame_idx, intensity,
+               CAST(abs(intensity - prev_intensity) AS BIGINT) AS delta,
+               abs(intensity - prev_intensity) > {_CUT_THRESHOLD}
+                 AS is_cut
+        FROM pairs
+    """,
     "multimodal_image_phash": f"""
         WITH img AS (
             SELECT doc_id,

@@ -269,3 +269,32 @@ def test_incremental_dedup_consistent_with_full_lsh(spark):
     for doc_id, n in got.items():
         assert n == expected.get(doc_id, 0), doc_id
     assert any(n > 0 for n in got.values())  # some dups found
+
+
+def test_containment_dominates_jaccard(spark):
+    """On every candidate pair: max(containment_a, containment_b)
+    >= jaccard (set algebra), containments bounded in [0,1], and the
+    planted exact dups reach containment 1.0 on both sides."""
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+    from tests.conftest import SF_SMOKE
+
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, SF_SMOKE).collect()
+    }
+    rows = dedup_containment(spark, SF_SMOKE).collect()
+    assert set(jac) == {(r.doc_a, r.doc_b) for r in rows}
+    assert rows
+    saw_full = False
+    for r in rows:
+        assert 0.0 <= r.containment_a <= 1.0
+        assert 0.0 <= r.containment_b <= 1.0
+        assert max(r.containment_a, r.containment_b) >= jac[(r.doc_a, r.doc_b)] - 1e-9
+        if max(r.containment_a, r.containment_b) == 1.0:
+            saw_full = True
+    assert saw_full, (
+        "planted near-dups must reach containment 1.0 on the contained side"
+    )

@@ -145,3 +145,50 @@ def test_multimodal_image_phash_counts(spark, tmp_path):
         for r in multimodal_image_phash(spark, str(tmp_path)).collect()
     }
     assert got == {0: 2, 3: 2, 6: 2, 9: 0}
+
+
+def test_scene_cuts_ground_truth(spark):
+    """Recompute intensities/deltas from the payload bytes in pure
+    Python; every consecutive-frame pair of every video must match."""
+    import hashlib
+
+    from aichemy_data_pipelines_spark.operators.multimodal_ops import (
+        _CUT_THRESHOLD,
+        _FRAME_BYTES,
+        _N_FRAMES,
+        multimodal_scene_cuts,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    expected = {}
+    n_videos = 0
+    for r in docs:
+        if r.doc_id % 3 != 2:  # video/mp4 slice
+            continue
+        n_videos += 1
+        payload = bytes.fromhex(
+            hashlib.md5(r.text.encode()).hexdigest()
+            + hashlib.md5(r.text[::-1].encode()).hexdigest()
+        )
+        sums = [
+            sum(payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES])
+            for i in range(_N_FRAMES)
+        ]
+        for i in range(1, _N_FRAMES):
+            delta = abs(sums[i] - sums[i - 1])
+            expected[(r.doc_id, i)] = (
+                sums[i],
+                delta,
+                delta > _CUT_THRESHOLD,
+            )
+
+    rows = multimodal_scene_cuts(spark, SF_SMOKE).collect()
+    got = {
+        (r.doc_id, r.frame_idx): (r.intensity, r.delta, r.is_cut)
+        for r in rows
+    }
+    assert got == expected
+    assert len(rows) == n_videos * (_N_FRAMES - 1)
+    # random payloads make some cuts near-certain at this threshold
+    assert any(r.is_cut for r in rows)

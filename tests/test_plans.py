@@ -148,3 +148,49 @@ def test_dsir_single_scan(spark):
     )
 
     assert _n_scans(corpus_dsir_weights(spark, SF_SMOKE)) == 1
+
+
+def test_weighted_reservoir_is_take_ordered(spark):
+    """The k-smallest-keys step must compile to TakeOrderedAndProject
+    (per-partition top-k + k-row merge), not a global Sort."""
+    from aichemy_data_pipelines_spark.operators.sampling_ops import (
+        sample_weighted_reservoir,
+    )
+
+    plan = (
+        sample_weighted_reservoir(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scene_cuts_zero_shuffle(spark):
+    """Frame deltas derive from the same payload row — the plan must
+    contain no Exchange at all (pure map + generate)."""
+    from aichemy_data_pipelines_spark.operators.multimodal_ops import (
+        multimodal_scene_cuts,
+    )
+
+    plan = (
+        multimodal_scene_cuts(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_ewma_single_user_shuffle(spark):
+    """One hash-partitioning on user_id feeds the lag window; there
+    must be exactly one Exchange in the physical plan."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import events_ewma
+
+    plan = (
+        events_ewma(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
