@@ -231,8 +231,69 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CUSUM_H = "100.000000"  # |cusum| beyond this flags a level shift
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-style CUSUM change-point screen per event type: the
+    running sum of deviations from the type's mean, flagged where
+    |CUSUM| exceeds a fixed decision band — drift/level-shift
+    detection over metric streams (the batch twin of an SRE burn
+    alert).
+
+    Determinism: the type mean is snapped to DECIMAL(12,6) (from
+    exact decimal sums), each deviation is exact decimal, and the
+    RUNNING SUM is decimal too — exact arithmetic is associative, so
+    DuckDB's segment-tree window aggregation and Spark's incremental
+    one produce identical values (a double cumsum would NOT —
+    association order differs between engines).
+
+    Scale: one shuffle on event_type feeding an ordered cumulative
+    window.  Per-type series length is the scale knob: event_type
+    cardinality is bounded (a metrics registry), and at 100 TB the
+    window becomes per (type, day) with the day boundary carried
+    forward — same plan, partitioned time axis.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.expr("cast(value as decimal(8,2))").alias("vdec"),
+    )
+    means = ev.groupBy("event_type").agg(
+        F.expr(
+            "cast(round(cast(cast(sum(vdec) as decimal(38,6)) as double) "
+            "/ count(*), 6) as decimal(12,6))"
+        ).alias("mean_dec")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.join(F.broadcast(means), "event_type")
+        .withColumn("dev", F.expr("vdec - mean_dec"))
+        .withColumn("cusum_dec", F.sum("dev").over(w))
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round(F.col("cusum_dec").cast("double"), 6).alias("cusum"),
+            F.expr(
+                f"abs(cusum_dec) > cast({_CUSUM_H} as decimal(12,6))"
+            ).alias("is_change"),
+        )
+    )
+
+
 QUERIES = {
     "events_ewma": events_ewma,
+    "events_cusum": events_cusum,
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_retention_cohorts": orders_retention_cohorts,
     "part_price_histogram": part_price_histogram,
@@ -271,6 +332,32 @@ def _ewma_sql() -> str:
 
 ORACLE = {
     "events_ewma": _ewma_sql(),
+    "events_cusum": f"""
+        WITH ev AS (
+            SELECT event_id, event_type, ts, value,
+                   CAST(value AS DECIMAL(8,2)) AS vdec
+            FROM events
+        ), means AS (
+            SELECT event_type,
+                   CAST(ROUND(CAST(CAST(SUM(vdec) AS DECIMAL(38,6))
+                                   AS DOUBLE) / COUNT(*), 6)
+                        AS DECIMAL(12,6)) AS mean_dec
+            FROM ev GROUP BY event_type
+        ), c AS (
+            SELECT e.event_id, e.event_type, e.ts, e.value,
+                   SUM(e.vdec - m.mean_dec) OVER (
+                       PARTITION BY e.event_type
+                       ORDER BY e.ts, e.event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS cusum_dec
+            FROM ev e JOIN means m ON e.event_type = m.event_type
+        )
+        SELECT event_id, event_type, ts, value,
+               ROUND(CAST(cusum_dec AS DOUBLE), 6) AS cusum,
+               abs(cusum_dec) > CAST({_CUSUM_H} AS DECIMAL(12,6))
+                 AS is_change
+        FROM c
+    """,
     "events_salted_distinct": """
         SELECT event_type,
                COUNT(DISTINCT user_id) AS n_distinct,

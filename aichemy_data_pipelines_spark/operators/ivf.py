@@ -147,7 +147,72 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"ann_ivf_topk": ann_ivf_topk}
+def embeddings_cluster_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space outlier filter over the trained IVF quantizer:
+    per vector, cosine to its OWN cluster centroid, z-scored within
+    the cluster — vectors far below their cluster's cohesion are
+    mislabeled/noise candidates (the embedding leg of quality
+    filtering; SemDeDup's inverse — instead of pruning the
+    too-similar, flag the too-far).
+
+    Determinism: centroid cosines are 8dp-rounded (exact decimal
+    dot products, same as _assign); the per-cluster moments come
+    from EXACT decimal sums of those 8dp values (Σx at scale 8,
+    Σx² at scale 16), so mean/std derive from identical doubles in
+    both engines — the events_anomaly_zscore recipe.
+
+    Scale: k-means training is sample-sized (module docstring); the
+    per-vector cosine is a broadcast join against K centroids; the
+    moment table is K rows broadcast back. One corpus scan past
+    training, no corpus-scale shuffle beyond the assignment's own.
+    """
+    cents, lists = _kmeans(spark, sf_dir)
+    cdot = spark_dot_exact("embedding", "centroid")
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    scored = (
+        lists.join(F.broadcast(cents), "list_id")
+        .withColumn(
+            "centroid_cos",
+            F.round(F.expr(f"{cdot} / (({_NORM}) * ({cnorm}))"), 8),
+        )
+        .select("vec_id", "list_id", "centroid_cos")
+    )
+    stats = scored.groupBy("list_id").agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "cast(cast(sum(cast(centroid_cos as decimal(12,8))) "
+            "as decimal(38,8)) as double)"
+        ).alias("sx"),
+        F.expr(
+            "cast(cast(sum(cast(centroid_cos as decimal(12,8)) "
+            "* cast(centroid_cos as decimal(12,8))) as decimal(38,16)) "
+            "as double)"
+        ).alias("sxx"),
+    )
+    z = (
+        "case when n <= 1 or sxx - sx * sx / n <= 0 then 0.0 "
+        "else round((centroid_cos - sx / n) "
+        "/ sqrt((sxx - sx * sx / n) / (n - 1)), 6) end"
+    )
+    return (
+        scored.join(F.broadcast(stats), "list_id")
+        .withColumn("zscore", F.expr(z))
+        .select(
+            "vec_id",
+            "list_id",
+            "centroid_cos",
+            "zscore",
+            (F.col("zscore") < -2.0).alias("is_outlier"),
+        )
+    )
+
+
+QUERIES = {
+    "ann_ivf_topk": ann_ivf_topk,
+    "embeddings_cluster_outliers": embeddings_cluster_outliers,
+}
 
 _DECD = "CAST(CAST({v} AS DOUBLE) AS DECIMAL(18,12))"
 
@@ -255,5 +320,37 @@ ORACLE = {
                                       ORDER BY cosine DESC, cand_id) AS rk
             FROM cos) t
         WHERE rk <= {_TOP_K}
+    """,
+    "embeddings_cluster_outliers": f"""
+        WITH {_KMEANS_CTES}, vc AS (
+            SELECT l.vec_id, l.list_id,
+                   unnest(e.embedding) AS xa, unnest(c.centroid) AS xb
+            FROM lists l
+            JOIN embeddings e ON e.vec_id = l.vec_id
+            JOIN cent2 c ON c.list_id = l.list_id
+        ), scored AS (
+            SELECT vec_id, list_id, {_sql_pair_cos('xa', 'xb')}
+                     AS centroid_cos
+            FROM vc GROUP BY vec_id, list_id
+        ), stats AS (
+            SELECT list_id, COUNT(*) AS n,
+                   CAST(CAST(SUM(CAST(centroid_cos AS DECIMAL(12,8)))
+                        AS DECIMAL(38,8)) AS DOUBLE) AS sx,
+                   CAST(CAST(SUM(CAST(centroid_cos AS DECIMAL(12,8))
+                                 * CAST(centroid_cos AS DECIMAL(12,8)))
+                        AS DECIMAL(38,16)) AS DOUBLE) AS sxx
+            FROM scored GROUP BY list_id
+        ), z AS (
+            SELECT s.vec_id, s.list_id, s.centroid_cos,
+                   CASE WHEN t.n <= 1 OR t.sxx - t.sx * t.sx / t.n <= 0
+                        THEN 0.0
+                        ELSE round((s.centroid_cos - t.sx / t.n)
+                                   / sqrt((t.sxx - t.sx * t.sx / t.n)
+                                          / (t.n - 1)), 6) END AS zscore
+            FROM scored s JOIN stats t ON s.list_id = t.list_id
+        )
+        SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, centroid_cos,
+               zscore, zscore < -2.0 AS is_outlier
+        FROM z
     """,
 }

@@ -313,7 +313,48 @@ def text_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-run syllable
+    proxy (maximal [aeiou]+ groups per token) — the classic
+    readability gate in text-quality stacks.  The corpus has no
+    sentence punctuation, so each doc counts as one sentence:
+    score = 206.835 - 1.015·words - 84.6·(syllables/words).
+
+    Determinism: words/syllables are exact integers; the score is
+    one identical IEEE double chain in both engines, rounded 6dp.
+
+    Scale: pure map (regexp per token inside codegen), no shuffle.
+    """
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.size("tokens").alias("n_words"),
+            F.expr(
+                "aggregate(transform(tokens, t -> "
+                "size(regexp_extract_all(t, '[aeiou]+', 0))), 0, "
+                "(acc, x) -> acc + x)"
+            ).alias("n_syllables"),
+        )
+        .withColumn(
+            "flesch",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * F.col("n_words")
+                - F.lit(84.6)
+                * (
+                    F.col("n_syllables").cast("double")
+                    / F.col("n_words")
+                ),
+                6,
+            ),
+        )
+    )
+
+
 QUERIES = {
+    "text_readability": text_readability,
     "text_bm25_scores": text_bm25_scores,
     "text_repetition_filter": text_repetition_filter,
     "text_ngram_stats": text_ngram_stats,
@@ -358,6 +399,23 @@ _pred_cases = " ".join(
 )
 
 ORACLE = {
+    "text_readability": f"""
+        WITH t AS (
+            SELECT doc_id, {_T} AS tokens FROM documents
+        ), c AS (
+            SELECT doc_id,
+                   CAST(len(tokens) AS INTEGER) AS n_words,
+                   CAST(list_aggregate(list_transform(tokens,
+                        tk -> len(regexp_extract_all(tk, '[aeiou]+'))),
+                        'sum') AS INTEGER) AS n_syllables
+            FROM t
+        )
+        SELECT doc_id, n_words, n_syllables,
+               ROUND(206.835 - 1.015 * n_words
+                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
+                 AS flesch
+        FROM c
+    """,
     "text_bm25_scores": _SQL_BM25,
     "text_repetition_filter": f"""
         WITH m AS (

@@ -1,0 +1,95 @@
+"""Semantic tests for the round-5 quality screens: CUSUM
+change-point detection (analytics_ext), embedding cluster outliers
+(ivf), and Flesch readability (textops) — pure-Python ground truth
+plus invariant checks.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from decimal import Decimal
+
+from aichemy_data_pipelines_spark.operators.analytics_ext import events_cusum
+from aichemy_data_pipelines_spark.operators.ivf import (
+    embeddings_cluster_outliers,
+)
+from aichemy_data_pipelines_spark.operators.textops import text_readability
+from tests.conftest import SF_SMOKE
+
+
+def test_cusum_ground_truth(spark):
+    rows = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    expected = {}
+    for etype, evs in by_type.items():
+        vals = [Decimal(str(round(r.value, 2))) for r in evs]
+        mean = Decimal(str(round(float(sum(vals)) / len(vals), 6)))
+        evs_sorted = sorted(
+            zip(evs, vals), key=lambda p: (p[0].ts, p[0].event_id)
+        )
+        run = Decimal(0)
+        for r, v in evs_sorted:
+            run += v - mean
+            expected[r.event_id] = (
+                round(float(run), 6),
+                abs(run) > Decimal("100"),
+            )
+    got = {
+        r.event_id: (r.cusum, r.is_change)
+        for r in events_cusum(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+
+
+def test_cusum_ends_near_zero(spark):
+    """By construction Σ(x-mean) over the whole series ≈ 0 (up to
+    n × the 6dp mean rounding); the LAST cusum per type must be tiny
+    relative to the series scale."""
+    rows = events_cusum(spark, SF_SMOKE).collect()
+    last = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        last[r.event_type] = r.cusum
+    for etype, c in last.items():
+        assert abs(c) < 1.0, (etype, c)
+
+
+def test_cluster_outliers_invariants(spark):
+    rows = embeddings_cluster_outliers(spark, SF_SMOKE).collect()
+    n_vecs = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").count()
+    assert len(rows) == n_vecs  # every vector gets a verdict
+    by_list = defaultdict(list)
+    for r in rows:
+        assert -1.0 <= r.centroid_cos <= 1.0
+        assert r.is_outlier == (r.zscore < -2.0)
+        by_list[r.list_id].append(r.zscore)
+    # z-scores are standardized within each cluster: mean ≈ 0
+    for lst, zs in by_list.items():
+        if len(zs) > 1:
+            assert abs(sum(zs) / len(zs)) < 0.01, lst
+    # ~2.3% of a roughly-normal tail sits below -2; just require some
+    assert any(r.is_outlier for r in rows)
+    assert sum(r.is_outlier for r in rows) < 0.2 * n_vecs
+
+
+def test_readability_ground_truth(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    expected = {}
+    for r in docs:
+        toks = r.text.strip().lower().split()
+        syl = sum(len(re.findall(r"[aeiou]+", t)) for t in toks)
+        score = round(
+            206.835 - 1.015 * len(toks) - 84.6 * (syl / len(toks)), 6
+        )
+        expected[r.doc_id] = (len(toks), syl, score)
+    got = {
+        r.doc_id: (r.n_words, r.n_syllables, r.flesch)
+        for r in text_readability(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
