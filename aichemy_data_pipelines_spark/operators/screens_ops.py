@@ -1,0 +1,183 @@
+"""The curation capstone: every per-document quality screen in the
+suite, joined into ONE verdict matrix.
+
+``corpus_screens_matrix`` runs the six independent screens a
+training-corpus build applies before tokenization —
+
+1. heuristic quality score   (textops.text_quality ≥ 0.40)
+2. boilerplate-shingle gate  (overlap_ops.docs_boilerplate_fraction,
+                              not flagged)
+3. readability               (textops.text_readability, flesch > 0)
+4. LM perplexity             (lm_ops.corpus_bigram_perplexity,
+                              ppl ≤ 300)
+5. near-dup keep-one verdict (corpus_ops.dedup_keep_one, keep = 1)
+6. DSIR domain relevance     (dsir_ops.corpus_dsir_weights,
+   log-ratio ≥ the corpus mean — the absolute ``selected`` verdict
+   depends on the corpus mix and can degenerate to all-false, so the
+   matrix uses the self-calibrating relative form; the mean is
+   snapped to DECIMAL(18,9) from exact decimal sums so the
+   comparison is engine-portable)
+
+— and emits one row per document with each score, each pass flag,
+the failure count, and the final ``kept`` verdict (all six pass).
+This is the "why was my document dropped" audit table every corpus
+pipeline owes its users, and the single declarative query a
+reference user would run to reproduce the whole funnel.
+
+Oracle: composed VERBATIM from the six member oracles as
+subqueries — the composition itself is the thing under test; if any
+member drifts from its oracle, this query drifts too.
+
+Scale: each member is individually 100 TB-shaped (banded dedup,
+broadcast LM tables, bounded DSIR stats — see each module); the
+matrix adds six doc_id equi-joins over per-doc tables, all carrying
+the same key, so AQE coalesces them into one shuffle stage per
+side.  In production the doc scan underneath is shared via
+persist/cache; here each member re-reads the (columnar, pruned)
+parquet, which Spark's file-scan cache absorbs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.operators import (
+    corpus_ops,
+    dsir_ops,
+    lm_ops,
+    overlap_ops,
+    textops,
+)
+
+_MIN_QUALITY = 0.40
+_MAX_PPL = 300.0
+
+
+def corpus_screens_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = textops.text_quality(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    b = overlap_ops.docs_boilerplate_fraction(spark, sf_dir).select(
+        "doc_id", "boilerplate_frac", F.col("flagged").alias("bp_flagged")
+    )
+    r = textops.text_readability(spark, sf_dir).select("doc_id", "flesch")
+    p = lm_ops.corpus_bigram_perplexity(spark, sf_dir).select(
+        "doc_id", "ppl"
+    )
+    k = corpus_ops.dedup_keep_one(spark, sf_dir).select(
+        "doc_id", "keep"
+    )
+    dw = dsir_ops.corpus_dsir_weights(spark, sf_dir).select(
+        "doc_id", F.expr("cast(dsir_logratio as decimal(18,6))").alias("lr")
+    )
+    # corpus-mean log-ratio, snapped to decimal — one broadcast scalar
+    dmean = dw.agg(
+        F.expr(
+            "cast(round(cast(cast(sum(lr) as decimal(38,6)) as double) "
+            "/ count(*), 9) as decimal(18,9)) as lr_mean"
+        )
+    )
+    d = dw.crossJoin(F.broadcast(dmean)).select(
+        "doc_id", (F.col("lr") >= F.col("lr_mean")).alias("selected")
+    )
+    m = (
+        q.join(b, "doc_id")
+        .join(r, "doc_id")
+        .join(p, "doc_id")
+        .join(k, "doc_id")
+        .join(d, "doc_id")
+        .select(
+            "doc_id",
+            "quality_score",
+            "boilerplate_frac",
+            "flesch",
+            "ppl",
+            (F.col("quality_score") >= _MIN_QUALITY).alias("pass_quality"),
+            (~F.col("bp_flagged")).alias("pass_boilerplate"),
+            (F.col("flesch") > 0.0).alias("pass_readability"),
+            (F.col("ppl") <= _MAX_PPL).alias("pass_ppl"),
+            (F.col("keep") == 1).alias("pass_dedup"),
+            F.col("selected").alias("pass_dsir"),
+        )
+    )
+    flags = [
+        "pass_quality",
+        "pass_boilerplate",
+        "pass_readability",
+        "pass_ppl",
+        "pass_dedup",
+        "pass_dsir",
+    ]
+    n_failed = None
+    for f in flags:
+        t = F.when(F.col(f), 0).otherwise(1)
+        n_failed = t if n_failed is None else n_failed + t
+    return m.withColumn(
+        "n_failed", n_failed.cast("int")
+    ).withColumn("kept", F.col("n_failed") == 0)
+
+
+QUERIES = {"corpus_screens_matrix": corpus_screens_matrix}
+
+# member oracles embedded verbatim as subqueries
+_FLAG_SQL = """
+    q.quality_score >= {minq} AS pass_quality,
+    NOT b.flagged AS pass_boilerplate,
+    r.flesch > 0.0 AS pass_readability,
+    p.ppl <= {maxppl} AS pass_ppl,
+    k.keep = 1 AS pass_dedup,
+    d.selected AS pass_dsir
+""".format(minq=_MIN_QUALITY, maxppl=_MAX_PPL)
+
+ORACLE = {
+    "corpus_screens_matrix": f"""
+        WITH q AS ({textops.ORACLE["text_quality"]}),
+        b AS ({overlap_ops.ORACLE["docs_boilerplate_fraction"]}),
+        r AS ({textops.ORACLE["text_readability"]}),
+        p AS ({lm_ops.ORACLE["corpus_bigram_perplexity"]}),
+        k AS ({corpus_ops.ORACLE["dedup_keep_one"]}),
+        dw AS (
+            SELECT doc_id,
+                   CAST(dsir_logratio AS DECIMAL(18,6)) AS lr
+            FROM ({dsir_ops.ORACLE["corpus_dsir_weights"]})
+        ),
+        dmean AS (
+            SELECT CAST(ROUND(CAST(CAST(SUM(lr) AS DECIMAL(38,6))
+                                   AS DOUBLE) / COUNT(*), 9)
+                        AS DECIMAL(18,9)) AS lr_mean
+            FROM dw
+        ),
+        d AS (
+            SELECT doc_id, lr >= (SELECT lr_mean FROM dmean) AS selected
+            FROM dw
+        ),
+        m AS (
+            SELECT q.doc_id, q.quality_score, b.boilerplate_frac,
+                   r.flesch, p.ppl,
+                   {_FLAG_SQL}
+            FROM q
+            JOIN b ON q.doc_id = b.doc_id
+            JOIN r ON q.doc_id = r.doc_id
+            JOIN p ON q.doc_id = p.doc_id
+            JOIN k ON q.doc_id = k.doc_id
+            JOIN d ON q.doc_id = d.doc_id
+        )
+        SELECT *,
+               CAST((CASE WHEN pass_quality THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_boilerplate THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_readability THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_ppl THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_dedup THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_dsir THEN 0 ELSE 1 END)
+                    AS INTEGER) AS n_failed,
+               (CASE WHEN pass_quality THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_boilerplate THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_readability THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_ppl THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_dedup THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_dsir THEN 0 ELSE 1 END) = 0
+                 AS kept
+        FROM m
+    """,
+}
