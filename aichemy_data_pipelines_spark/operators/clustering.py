@@ -334,8 +334,39 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-structure report over the connected components:
+    per cluster size, how many clusters, how many docs they hold,
+    and how many docs dedup would drop (size − 1 per cluster) — the
+    one-page summary a curation run publishes ("N docs in M dup
+    clusters, K dropped").
+
+    Scale: reduces the per-doc cluster table to ≤ max-cluster-size
+    rows via two bounded aggs; inherits the CC operator's
+    O(log² n)-round plan (see dedup_clusters).
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    return (
+        per_cluster.groupBy("size")
+        .agg(F.count("*").cast("long").alias("n_clusters"))
+        .select(
+            "size",
+            "n_clusters",
+            (F.col("size") * F.col("n_clusters")).alias("n_docs"),
+            ((F.col("size") - 1) * F.col("n_clusters")).alias(
+                "n_dropped"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "dedup_clusters": dedup_clusters,
+    "dedup_cluster_stats": dedup_cluster_stats,
     "dedup_clusters_star": dedup_clusters_star,
     "dedup_graph_triangles": dedup_graph_triangles,
     "docs_pagerank": docs_pagerank,
@@ -430,6 +461,17 @@ _SQL_PAGERANK = f"""
 
 ORACLE = {
     "dedup_clusters": _SQL_CLUSTERS,
+    "dedup_cluster_stats": f"""
+        WITH base AS ({_SQL_CLUSTERS}),
+        per_cluster AS (
+            SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size
+            FROM base GROUP BY cluster_id
+        )
+        SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+               CAST((size - 1) * COUNT(*) AS BIGINT) AS n_dropped
+        FROM per_cluster GROUP BY size
+    """,
     # identical contract — the star variant must produce the very same
     # components, so it shares the recursive-CTE oracle
     "dedup_clusters_star": _SQL_CLUSTERS,

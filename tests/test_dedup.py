@@ -298,3 +298,25 @@ def test_containment_dominates_jaccard(spark):
     assert saw_full, (
         "planted near-dups must reach containment 1.0 on the contained side"
     )
+
+
+def test_cluster_stats_consistency(spark):
+    """Histogram totals must reconcile with the per-doc cluster table
+    and the keep-one verdicts."""
+    from aichemy_data_pipelines_spark.operators.clustering import (
+        dedup_cluster_stats,
+    )
+    from aichemy_data_pipelines_spark.operators.corpus_ops import dedup_keep_one
+    from tests.conftest import SF_SMOKE
+
+    stats = dedup_cluster_stats(spark, SF_SMOKE).collect()
+    n_docs_total = spark.read.parquet(
+        f"{SF_SMOKE}/documents.parquet"
+    ).count()
+    assert sum(r.n_docs for r in stats) == n_docs_total
+    for r in stats:
+        assert r.n_docs == r.size * r.n_clusters
+        assert r.n_dropped == (r.size - 1) * r.n_clusters
+    dropped = sum(r.n_dropped for r in stats)
+    keep = dedup_keep_one(spark, SF_SMOKE).collect()
+    assert dropped == sum(1 for r in keep if not r.keep)

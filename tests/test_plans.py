@@ -194,3 +194,37 @@ def test_ewma_single_user_shuffle(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+# Shuffle budget per headline query (Exchange count in the executed
+# plan, measured at the current plan shapes). A regression that adds
+# a shuffle to a headline query is a 100 TB incident even when the
+# values stay correct — pin the budget so it fails here first.
+_SHUFFLE_BUDGET = {
+    "q1_pricing_summary": 1,
+    "q3_shipping_priority": 3,
+    "q5_local_supplier_volume": 6,
+    "q6_revenue_forecast": 1,
+    "q9_product_profit": 5,
+    "q18_large_volume_customer": 3,
+    "events_sessionize": 1,
+    "events_topk_per_user": 1,
+    "events_asof_join": 1,
+    "dedup_minhash_lsh": 6,
+    "ann_cosine_topk": 4,
+    "text_quality": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGET))
+def test_headline_shuffle_budget(spark, name):
+    plan = (
+        _QUERIES[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange")
+    assert n <= _SHUFFLE_BUDGET[name], (
+        f"{name}: {n} exchanges > budget {_SHUFFLE_BUDGET[name]}"
+    )
