@@ -38,6 +38,8 @@ from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.functions.text import (
     SPARK_TOKENS,
     SQL_TOKENS,
+    exploded_shingles,
+    sql_shingles,
 )
 
 _TOP_K = 3  # keywords per document
@@ -169,9 +171,59 @@ def terms_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HEAPS_BUCKET = 50  # docs per ingestion bucket
+
+
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: bucket documents by
+    ingestion order (doc_id // 50), count the DISTINCT terms whose
+    FIRST occurrence falls in each bucket, plus the running
+    vocabulary size.  A healthy natural corpus grows ~ n^β (β≈0.5);
+    a flatlining curve means the crawl is re-reading itself —
+    the vocabulary-side twin of the dup-rate-by-source report.
+
+    Terms are word 3-grams (the unigram vocabulary of the synthetic
+    corpus saturates in the first bucket; shingle vocabulary keeps
+    growing, which is what the curve measures).
+
+    Scale: term first-occurrence is one (term → min(doc_id)) agg
+    over the shingle explode; the curve is a vocabulary-bounded
+    aggregation and a ≤ #buckets-row window.  No corpus-scale sort.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
+        .where(F.expr("size(tokens) >= 3"))
+    )
+    firsts = (
+        exploded_shingles(docs, 3, "term")
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    curve = (
+        firsts.select(
+            (F.col("first_doc") / _HEAPS_BUCKET)
+            .cast("long")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_new_terms"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return curve.select(
+        "bucket",
+        "n_new_terms",
+        F.sum("n_new_terms").over(w).cast("long").alias("vocab_size"),
+    )
+
+
 QUERIES = {
     "docs_tfidf_topterms": docs_tfidf_topterms,
     "terms_zipf_fit": terms_zipf_fit,
+    "corpus_vocab_growth": corpus_vocab_growth,
 }
 
 _SQL_TC = f"""
@@ -186,6 +238,28 @@ _SQL_TC = f"""
 """
 
 ORACLE = {
+    "corpus_vocab_growth": f"""
+        WITH toks AS (
+            SELECT doc_id, {SQL_TOKENS} AS tokens FROM documents
+            WHERE len({SQL_TOKENS}) >= 3
+        ),
+        firsts AS (
+            SELECT term, MIN(doc_id) AS first_doc
+            FROM (SELECT doc_id, unnest({sql_shingles('tokens', 3)}) AS term
+                  FROM toks)
+            GROUP BY term
+        ),
+        curve AS (
+            SELECT CAST(first_doc // {_HEAPS_BUCKET} AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_new_terms
+            FROM firsts GROUP BY 1
+        )
+        SELECT bucket, n_new_terms,
+               CAST(SUM(n_new_terms) OVER (
+                   ORDER BY bucket ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS vocab_size
+        FROM curve
+    """,
     "docs_tfidf_topterms": f"""
         WITH {_SQL_TC},
         n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),

@@ -79,3 +79,34 @@ def test_zipf_fit_ground_truth(spark):
     # a token-frequency distribution always has a non-increasing
     # rank curve, so the fitted slope cannot be positive
     assert row.slope <= 0.0
+
+
+def test_vocab_growth_ground_truth(spark):
+    from aichemy_data_pipelines_spark.operators.tfidf_ops import (
+        _HEAPS_BUCKET,
+        corpus_vocab_growth,
+    )
+
+    docs = _docs(spark)
+    firsts = {}
+    for doc_id in sorted(docs):
+        toks = docs[doc_id]
+        for i in range(len(toks) - 2):
+            sh = " ".join(toks[i : i + 3])
+            firsts.setdefault(sh, doc_id)
+    from collections import Counter
+
+    per_bucket = Counter(d // _HEAPS_BUCKET for d in firsts.values())
+    expected, cum = [], 0
+    for b in sorted(per_bucket):
+        cum += per_bucket[b]
+        expected.append((b, per_bucket[b], cum))
+    got = [
+        (r.bucket, r.n_new_terms, r.vocab_size)
+        for r in corpus_vocab_growth(spark, SF_SMOKE)
+        .orderBy("bucket")
+        .collect()
+    ]
+    assert got == expected
+    # running total is monotone and ends at the full shingle vocab
+    assert got[-1][2] == len(firsts)
