@@ -22,8 +22,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aichemy_data_pipelines_spark.operators.analytics_ext import (
+    ORACLE as _ANALYTICS_ORACLE,
+)
 from aichemy_data_pipelines_spark.streaming.watch import (
     stream_click_attribution,
+    stream_user_ewma,
     stream_dedup_keys,
     stream_enrich_counts,
     stream_sessionize,
@@ -97,6 +101,16 @@ def streaming_upsert_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the per-event stateful EWMA (bounded ≤7-value carry
+    state per user) and dedupe on event_id (retried drains may
+    re-emit; values are deterministic for a given prefix)."""
+    df = _drain(spark, stream_user_ewma, sf_dir)
+    return df.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "ewma"
+    )
+
+
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, stream_click_attribution, sf_dir)
 
@@ -106,6 +120,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "streaming_user_ewma": streaming_user_ewma,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_dedup_keys": streaming_dedup_keys,
     "streaming_upsert_totals": streaming_upsert_totals,
@@ -115,7 +130,16 @@ QUERIES = {
     "streaming_user_totals": streaming_user_totals,
 }
 
+_batch_ewma_sql = _ANALYTICS_ORACLE["events_ewma"]
+
 ORACLE = {
+    # the streamed per-event EWMA must equal the BATCH operator's
+    # oracle exactly (same decimal->double->half-up chain)
+    "streaming_user_ewma": (
+        "SELECT event_id, user_id, ewma FROM ("
+        + _batch_ewma_sql
+        + ")"
+    ),
     "streaming_click_attribution": """
         SELECT c.event_id AS click_id,
                p.event_id AS purchase_id,

@@ -306,6 +306,113 @@ def stream_user_running_totals(
     q.awaitTermination()
 
 
+
+def stream_user_ewma(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_user_ewma",
+) -> None:
+    """Per-EVENT streaming feature with bounded carry-over state: the
+    α=0.5 truncated EWMA (operators/analytics_ext.events_ewma) as a
+    stateful streaming operator.  Unlike the running-totals
+    accumulator (one row per key), this emits one row per arriving
+    event, computed from the event plus the user's previous ≤7
+    values carried in state — the shape of real-time feature
+    pipelines (fraud scores, rate baselines) where each event needs
+    its features NOW, not at window close.
+
+    State is BOUNDED by construction: exactly the last 7 integer-cent
+    values per user (an array<long> of length ≤7), so state size is
+    O(active users), independent of stream length — no eviction
+    pressure, though production still sets EventTimeTimeout to drop
+    idle users.
+
+    Exactness: the dyadic weights 2^-i make the weighted sum exact
+    integer arithmetic (cents × 2^(7-i)); the two final divisions
+    replicate Spark's decimal→double→HALF_UP-round chain digit for
+    digit, so the streamed values are BYTE-identical to the batch
+    operator and its DuckDB oracle.
+
+    Ordering: events are sorted by (ts, event_id) inside each
+    micro-batch; the AvailableNow drain over one parquet file is a
+    single batch, so the per-user order is total.  A multi-batch
+    deployment keys ordering to the source's per-partition order —
+    the standard contract for per-key stateful streaming.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import ArrayType
+
+    ev = load_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("lag_cents", ArrayType(LongType()))]
+    )
+
+    def update(key, pdfs, state):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pandas as pd
+
+        lags = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out_ids, out_ewma = [], []
+        for event_id, value in zip(pdf["event_id"], pdf["value"]):
+            cents = int(round(value * 100))
+            window = [cents] + lags[:7]
+            a = sum(v << (7 - i) for i, v in enumerate(window))
+            b = sum(1 << (7 - i) for i in range(len(window)))
+            # replicate the batch operator's decimal→double chain:
+            # num = Σ value·2^-i is exact at decimal scale 9
+            # (1/12800 = 7.8125e-5), den = Σ 2^-i exact at scale 7
+            numf = float(Decimal(a) / Decimal(12800))
+            denf = float(Decimal(b) / Decimal(128))
+            q = numf / denf
+            out_ids.append(int(event_id))
+            out_ewma.append(
+                float(
+                    Decimal(repr(q)).quantize(
+                        Decimal("0.000001"), ROUND_HALF_UP
+                    )
+                )
+            )
+            lags = [cents] + lags[:6]
+        state.update((lags,))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [key[0]] * len(out_ids),
+                "ewma": out_ewma,
+            }
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_user_running_totals_tws(
     spark: SparkSession,
     sf_dir: str,

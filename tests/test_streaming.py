@@ -451,3 +451,26 @@ def test_upsert_ledger_replay_is_idempotent(spark, tmp_path):
         r.user_id: (r.n_events, r.cents) for r in table.read(spark).collect()
     }
     assert after == {1: (4, 1000), 2: (2, 700)}
+
+
+def test_streaming_ewma_equals_batch(spark):
+    """The per-event stateful EWMA (bounded carry state) must emit
+    byte-identical values to the batch window operator for every
+    event."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_ewma,
+    )
+    from aichemy_data_pipelines_spark.operators.streaming_ops import (
+        streaming_user_ewma,
+    )
+    from tests.conftest import SF_SMOKE
+
+    batch = {
+        r.event_id: (r.user_id, r.ewma)
+        for r in events_ewma(spark, SF_SMOKE).collect()
+    }
+    streamed = {
+        r.event_id: (r.user_id, r.ewma)
+        for r in streaming_user_ewma(spark, SF_SMOKE).collect()
+    }
+    assert streamed == batch
