@@ -243,6 +243,52 @@ class AtomicParquetTable:
         )
 
     # -- maintenance --------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 << 20,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> int:
+        """Rewrite the CURRENT version into right-sized files and
+        publish the rewrite as a new version — the small-file
+        maintenance job every append-heavy table needs (each
+        streaming micro-batch / incremental append adds a data dir
+        with its own files; readers eventually pay per-file open
+        cost and tiny-task scheduling).
+
+        Same commit path as any write: the rewrite lands in a fresh
+        fsync'd data dir and the manifest flips atomically, so
+        readers never see a half-compacted table, a crash mid-compact
+        leaves an orphan dir for ``vacuum``, and the pre-compaction
+        version stays time-travelable until vacuumed.  Commit
+        ``meta`` (e.g. the streaming batch_id stamp) carries over so
+        a foreachBatch writer's replay-idempotence survives
+        compaction; pass ``meta`` to extend it.
+
+        Scale: one distributed read + write (no driver data path);
+        the target file count derives from the CURRENT on-disk bytes,
+        so output files land near ``target_file_bytes`` regardless of
+        how fragmented the input was.
+        """
+        dirs = self.current_dirs()
+        if not dirs:
+            return self.version()
+        total = 0
+        for d in dirs:
+            for base, _, files in os.walk(d):
+                total += sum(
+                    os.path.getsize(os.path.join(base, f))
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        n_files = max(1, -(-total // target_file_bytes))
+        df = self.read(spark).repartition(n_files)
+        carried = {**self.meta(), **(meta or {})}
+        return self._commit(
+            df, keep_old=False, partition_by=partition_by, meta=carried
+        )
+
     def vacuum(self) -> list[str]:
         """Delete data dirs not referenced by the CURRENT manifest
         (crashed-commit orphans, pre-overwrite versions) and stale

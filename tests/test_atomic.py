@@ -167,3 +167,52 @@ def test_manifest_meta_roundtrip(spark, tmp_path):
     t.overwrite(df)
     assert t.meta() == {}
     assert t.meta(v1) == {"last_batch_id": 0}
+
+
+def test_compact_preserves_contents_and_meta(spark, tmp_path):
+    """Many small appends → one compacted version: contents equal,
+    file count drops, commit meta carries over, the pre-compaction
+    version stays time-travelable until vacuum removes it."""
+    import os
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    root = str(tmp_path / "t")
+    table = AtomicParquetTable(root)
+    for i in range(5):
+        df = spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "k")
+        table.append(df.repartition(4), meta={"last_batch_id": i})
+    v_before = table.version()
+    before = sorted(r.k for r in table.read(spark).collect())
+
+    def n_parquet_files():
+        return sum(
+            1
+            for d in table.current_dirs()
+            for base, _, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = n_parquet_files()
+    v_after = table.compact(spark)
+    assert v_after == v_before + 1
+    after = sorted(r.k for r in table.read(spark).collect())
+    assert after == before == list(range(50))
+    assert n_parquet_files() < files_before
+    # replay-idempotence stamp survives compaction
+    assert table.meta()["last_batch_id"] == 4
+    # time travel to the pre-compaction version still works...
+    old = sorted(r.k for r in table.read(spark, version=v_before).collect())
+    assert old == before
+    # ...until vacuum drops the superseded dirs
+    removed = table.vacuum()
+    assert removed
+    assert sorted(r.k for r in table.read(spark).collect()) == before
+
+
+def test_compact_empty_table_is_noop(spark, tmp_path):
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    table = AtomicParquetTable(str(tmp_path / "empty"))
+    assert table.compact(spark) == 0

@@ -74,3 +74,26 @@ def test_queries_are_binary_callables():
             )
         ]
         assert len(params) == 2, (name, params)
+
+
+def test_all_operator_modules_import_cleanly():
+    """_suites() swallows ImportError so optional modules can be
+    absent in exotic environments — but in THIS repo every module
+    must import, or queries() silently shrinks and the driver checks
+    fewer operators than SURVEY §2 claims. Import each one directly
+    (no try/except) and require its QUERIES/ORACLE dicts."""
+    import importlib
+    import re
+
+    src = open("__spark_entry__.py").read()
+    names = set(re.findall(r'"([a-z0-9_]+)"', src.split("for name in (")[1].split("):")[0]))
+    assert len(names) >= 30  # the round-5 suite roster
+    for name in sorted(names) + ["tpch", "timeseries", "pipeline_ops", "multimodal_ops"]:
+        mod = importlib.import_module(
+            f"aichemy_data_pipelines_spark.operators.{name}"
+        )
+        assert isinstance(mod.QUERIES, dict) and mod.QUERIES, name
+        assert isinstance(mod.ORACLE, dict), name
+        # every declared query in the module has an oracle twin
+        missing = set(mod.QUERIES) - set(mod.ORACLE)
+        assert not missing, (name, missing)
