@@ -88,6 +88,25 @@ def _build_parser() -> argparse.ArgumentParser:
     ci.add_argument("--glob", default="*.parquet")
     ci.add_argument("--max-files-per-trigger", type=int, default=None)
 
+    tc = sub.add_parser(
+        "table-compact",
+        help="compact an atomic table's current version into "
+        "right-sized files (atomic manifest flip; old version "
+        "time-travelable until --vacuum)",
+    )
+    tc.add_argument("--table-root", required=True)
+    tc.add_argument(
+        "--target-file-mb",
+        type=int,
+        default=128,
+        help="target parquet file size (default 128 MiB)",
+    )
+    tc.add_argument(
+        "--vacuum",
+        action="store_true",
+        help="drop superseded data dirs after the compaction commit",
+    )
+
     m = sub.add_parser("metrics", help="print pipeline metrics panels")
     m.add_argument("--output-dir", required=True)
     m.add_argument(
@@ -138,6 +157,23 @@ def main(argv: list[str] | None = None) -> int:
         for i in range(args.cycles or 1):
             stats = pipe.run_once()
             print(f"cycle {i + 1}: {stats}")
+        return 0
+
+    if args.cmd == "table-compact":
+        from aichemy_data_pipelines_spark.pipeline.atomic import (
+            AtomicParquetTable,
+        )
+
+        table = AtomicParquetTable(args.table_root)
+        v = table.compact(
+            spark, target_file_bytes=args.target_file_mb << 20
+        )
+        removed = table.vacuum() if args.vacuum else []
+        print(
+            json.dumps(
+                {"version": v, "vacuumed": len(removed)}
+            )
+        )
         return 0
 
     if args.cmd == "corpus-build":

@@ -214,3 +214,26 @@ def test_run_forever_survives_failed_verdict(pipe, tmp_path):
     # permanently skipped, exactly the reference's .skip sentinel
     assert all(r.get("verdict") == "failed" for r in results[:3])
     assert results[3]["total"] == 0 and results[3]["failed"] == 0
+
+
+def test_cli_table_compact(spark, tmp_path, capsys):
+    """The table-compact subcommand compacts and optionally vacuums
+    an atomic table, reporting the new version."""
+    import json as _json
+
+    from aichemy_data_pipelines_spark.cli import main
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    root = str(tmp_path / "tbl")
+    t = AtomicParquetTable(root)
+    for i in range(3):
+        t.append(spark.range(i * 5, (i + 1) * 5).repartition(3))
+    rc = main(
+        ["table-compact", "--table-root", root, "--target-file-mb", "1",
+         "--vacuum"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 4
+    assert out["vacuumed"] > 0
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(15))
