@@ -106,7 +106,10 @@ class AtomicParquetTable:
             return json.load(f).get("meta", {})
 
     def read(
-        self, spark: SparkSession, version: int | None = None
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame | None:
         """Read the table at ``version`` (time travel), or the latest.
 
@@ -114,11 +117,20 @@ class AtomicParquetTable:
         never deleted, and an overwrite only unlists (not removes)
         prior data dirs, so any un-vacuumed version resolves exactly
         as it was committed.
+
+        ``merge_schema``: reconcile footers across the version's data
+        dirs (schema EVOLUTION — appends that added columns read as
+        one relation, absent columns null-filled).  Off by default:
+        merging reads every file footer up front, which a fixed-schema
+        table shouldn't pay.
         """
         dirs = self.current_dirs(version)
         if not dirs:
             return None
-        return spark.read.parquet(*dirs)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*dirs)
 
     # -- commits -----------------------------------------------------------
     def _write_data(

@@ -216,3 +216,24 @@ def test_compact_empty_table_is_noop(spark, tmp_path):
 
     table = AtomicParquetTable(str(tmp_path / "empty"))
     assert table.compact(spark) == 0
+
+
+def test_read_merge_schema_evolves_appends(spark, tmp_path):
+    """Schema evolution: an append that adds a column reads back as
+    one relation with nulls for pre-evolution rows (merge_schema=True);
+    the default read keeps the cheap single-footer path."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    table = AtomicParquetTable(str(tmp_path / "evolve"))
+    table.append(spark.range(3).withColumnRenamed("id", "k"))
+    table.append(
+        spark.range(3, 6)
+        .withColumnRenamed("id", "k")
+        .withColumn("extra", F.col("k") * 10)
+    )
+    merged = table.read(spark, merge_schema=True)
+    assert set(merged.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in merged.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
