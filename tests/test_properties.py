@@ -111,6 +111,7 @@ OPS = st.lists(
         st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
         st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
         st.tuples(st.just("vacuum"), st.just([])),
+        st.tuples(st.just("compact"), st.just([])),
         st.tuples(st.just("crash_append"), st.lists(st.integers(0, 99), min_size=1, max_size=4)),
     ),
     min_size=1,
@@ -125,7 +126,8 @@ OPS = st.lists(
 )
 @given(OPS)
 def test_atomic_table_matches_model(spark, tmp_path_factory, ops):
-    """Model check: any sequence of append/overwrite/vacuum — with
+    """Model check: any sequence of append/overwrite/compact/vacuum
+    — with
     crashes injected before publish — leaves the table's visible
     contents equal to a trivial in-memory model that ignores crashed
     commits entirely."""
@@ -151,6 +153,8 @@ def test_atomic_table_matches_model(spark, tmp_path_factory, ops):
             model = list(rows)
         elif op == "vacuum":
             t.vacuum()
+        elif op == "compact":
+            t.compact(spark)
         elif op == "crash_append":
             with _pytest.MonkeyPatch.context() as mp:
                 mp.setattr(
