@@ -81,6 +81,7 @@ def _attestation_order(names):
 
     root = os.path.dirname(os.path.abspath(__file__))
     last_green: dict[str, int] = {}
+    last_red: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(path))
         rnd = int(m.group(1)) if m else 0
@@ -90,14 +91,26 @@ def _attestation_order(names):
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
             if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+                row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    return sorted(names, key=lambda n: (last_green.get(n, 0), n))
+            else:
+                last_red[name] = max(last_red.get(name, 0), rnd)
+
+    def key(n: str) -> int:
+        # a red row NEWER than the last green means the query
+        # REGRESSED — it must re-enter the front of the window with
+        # the never-attested group, not hide behind its stale green
+        if last_red.get(n, 0) > last_green.get(n, 0):
+            return 0
+        return last_green.get(n, 0)
+
+    return sorted(names, key=lambda n: (key(n), n))
 
 
 def _window_order(merged: dict) -> dict:

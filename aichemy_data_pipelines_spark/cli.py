@@ -102,6 +102,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="target parquet file size (default 128 MiB)",
     )
     tc.add_argument(
+        "--partition-by",
+        default=None,
+        help="comma-separated hive-partition columns to preserve "
+        "(REQUIRED when the current version is partitioned)",
+    )
+    tc.add_argument(
         "--vacuum",
         action="store_true",
         help="drop superseded data dirs after the compaction commit",
@@ -166,7 +172,11 @@ def main(argv: list[str] | None = None) -> int:
 
         table = AtomicParquetTable(args.table_root)
         v = table.compact(
-            spark, target_file_bytes=args.target_file_mb << 20
+            spark,
+            target_file_bytes=args.target_file_mb << 20,
+            partition_by=(
+                args.partition_by.split(",") if args.partition_by else None
+            ),
         )
         removed = table.vacuum() if args.vacuum else []
         print(

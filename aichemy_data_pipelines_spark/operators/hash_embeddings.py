@@ -53,28 +53,43 @@ _SEED_BUCKET = 9001
 _SEED_SIGN = 9002
 
 
+def signed_bucket_counts(
+    tokened: DataFrame, keys: list[str], token_col: str = "t"
+) -> DataFrame:
+    """(keys..., pos, w): signed term-frequency per hashed bucket —
+    THE definition of the 64-dim hashed space.  Every producer of
+    vectors in this space (document vectors here, chunk/query
+    vectors in operators/rag_ops.py) MUST route through this helper:
+    a formula edit applied to one copy would silently desynchronize
+    retrieval scores from the document vectors sharing the space.
+
+    *tokened* carries the key columns plus an exploded ``token_col``.
+    """
+    return (
+        tokened.select(
+            *keys,
+            F.expr(
+                f"{spark_hash64(token_col, seed=_SEED_BUCKET)} % {_DIM}"
+            ).alias("pos"),
+            F.expr(
+                f"case when {spark_hash64(token_col, seed=_SEED_SIGN)} % 2 = 0 "
+                "then 1 else -1 end"
+            ).alias("sgn"),
+        )
+        .groupBy(*keys, "pos")
+        .agg(F.sum("sgn").cast("bigint").alias("w"))
+    )
+
+
 def _signed_bucket_weights(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos, w): signed term-frequency per hashed bucket.
+    """(doc_id, pos, w) over whole documents.
 
     *docs* must carry ``doc_id`` and ``text``.
     """
     tok = docs.select(
         "doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("t")
     )
-    return (
-        tok.select(
-            "doc_id",
-            F.expr(
-                f"{spark_hash64('t', seed=_SEED_BUCKET)} % {_DIM}"
-            ).alias("pos"),
-            F.expr(
-                f"case when {spark_hash64('t', seed=_SEED_SIGN)} % 2 = 0 "
-                "then 1 else -1 end"
-            ).alias("sgn"),
-        )
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("sgn").cast("bigint").alias("w"))
-    )
+    return signed_bucket_counts(tok, ["doc_id"])
 
 
 def text_hash_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:

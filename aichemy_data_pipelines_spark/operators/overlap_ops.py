@@ -150,8 +150,12 @@ def docs_boilerplate_fraction(
         .where(F.col("df") >= _MIN_DF)
         .select("h")
     )
+    # plain shuffle join on the uniform 60-bit hash — bp is the
+    # corpus-frequent shingle set, which grows with the corpus and
+    # must NOT be force-broadcast; AQE may still broadcast it when
+    # it is actually small
     per_doc = (
-        sh.join(F.broadcast(bp).withColumn("is_bp", F.lit(1)), "h", "left")
+        sh.join(bp.withColumn("is_bp", F.lit(1)), "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("long").alias("n_shingles"),

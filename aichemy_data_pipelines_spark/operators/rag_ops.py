@@ -61,6 +61,7 @@ from aichemy_data_pipelines_spark.operators.hash_embeddings import (
     _DIM,
     _SEED_BUCKET,
     _SEED_SIGN,
+    signed_bucket_counts,
 )
 
 _Q_MOD = 100  # doc_id % _Q_MOD == 0 -> query document
@@ -69,23 +70,13 @@ _TOPK = 3
 
 def _unit_weights(tokened: DataFrame, keys: list[str]) -> DataFrame:
     """(keys..., pos, weight): signed hashed-token counts per key,
-    L2-normalized, 6dp decimal — the sparse unit vector."""
-    w = (
-        tokened.select(
-            *keys, F.explode(F.col("tokens")).alias("t")
-        )
-        .select(
-            *keys,
-            F.expr(
-                f"{spark_hash64('t', seed=_SEED_BUCKET)} % {_DIM}"
-            ).alias("pos"),
-            F.expr(
-                f"case when {spark_hash64('t', seed=_SEED_SIGN)} % 2 = 0 "
-                "then 1 else -1 end"
-            ).alias("sgn"),
-        )
-        .groupBy(*keys, "pos")
-        .agg(F.sum("sgn").cast("bigint").alias("w"))
+    L2-normalized, 6dp decimal — the sparse unit vector.  The bucket
+    counts come from hash_embeddings.signed_bucket_counts, the ONE
+    definition of the hashed space, so chunk/query vectors cannot
+    drift from the document vectors sharing it."""
+    w = signed_bucket_counts(
+        tokened.select(*keys, F.explode(F.col("tokens")).alias("t")),
+        keys,
     )
     nrm = F.sqrt(
         F.sum(F.col("w") * F.col("w"))

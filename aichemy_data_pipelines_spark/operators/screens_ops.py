@@ -42,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.operators import (
     corpus_ops,
     dsir_ops,
@@ -81,24 +82,41 @@ def corpus_screens_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dw.crossJoin(F.broadcast(dmean)).select(
         "doc_id", (F.col("lr") >= F.col("lr_mean")).alias("selected")
     )
+    # LEFT joins from the documents spine: a doc too short for a
+    # member screen (e.g. < 5 tokens → no boilerplate row, < 2 → no
+    # perplexity row) must still get an audit row.  Un-scoreable
+    # screens FAIL CLOSED (coalesce(flag, false)) — conservative
+    # curation drops what it cannot score, and the verdict says why.
+    spine = load_table(spark, sf_dir, "documents").select("doc_id")
     m = (
-        q.join(b, "doc_id")
-        .join(r, "doc_id")
-        .join(p, "doc_id")
-        .join(k, "doc_id")
-        .join(d, "doc_id")
+        spine.join(q, "doc_id", "left")
+        .join(b, "doc_id", "left")
+        .join(r, "doc_id", "left")
+        .join(p, "doc_id", "left")
+        .join(k, "doc_id", "left")
+        .join(d, "doc_id", "left")
         .select(
             "doc_id",
             "quality_score",
             "boilerplate_frac",
             "flesch",
             "ppl",
-            (F.col("quality_score") >= _MIN_QUALITY).alias("pass_quality"),
-            (~F.col("bp_flagged")).alias("pass_boilerplate"),
-            (F.col("flesch") > 0.0).alias("pass_readability"),
-            (F.col("ppl") <= _MAX_PPL).alias("pass_ppl"),
-            (F.col("keep") == 1).alias("pass_dedup"),
-            F.col("selected").alias("pass_dsir"),
+            F.coalesce(
+                F.col("quality_score") >= _MIN_QUALITY, F.lit(False)
+            ).alias("pass_quality"),
+            F.coalesce(~F.col("bp_flagged"), F.lit(False)).alias(
+                "pass_boilerplate"
+            ),
+            F.coalesce(F.col("flesch") > 0.0, F.lit(False)).alias(
+                "pass_readability"
+            ),
+            F.coalesce(F.col("ppl") <= _MAX_PPL, F.lit(False)).alias(
+                "pass_ppl"
+            ),
+            F.coalesce(F.col("keep") == 1, F.lit(False)).alias(
+                "pass_dedup"
+            ),
+            F.coalesce(F.col("selected"), F.lit(False)).alias("pass_dsir"),
         )
     )
     flags = [
@@ -120,14 +138,15 @@ def corpus_screens_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"corpus_screens_matrix": corpus_screens_matrix}
 
-# member oracles embedded verbatim as subqueries
+# member oracles embedded verbatim as subqueries; LEFT joins +
+# fail-closed COALESCE mirror the operator's short-doc handling
 _FLAG_SQL = """
-    q.quality_score >= {minq} AS pass_quality,
-    NOT b.flagged AS pass_boilerplate,
-    r.flesch > 0.0 AS pass_readability,
-    p.ppl <= {maxppl} AS pass_ppl,
-    k.keep = 1 AS pass_dedup,
-    d.selected AS pass_dsir
+    COALESCE(q.quality_score >= {minq}, FALSE) AS pass_quality,
+    COALESCE(NOT b.flagged, FALSE) AS pass_boilerplate,
+    COALESCE(r.flesch > 0.0, FALSE) AS pass_readability,
+    COALESCE(p.ppl <= {maxppl}, FALSE) AS pass_ppl,
+    COALESCE(k.keep = 1, FALSE) AS pass_dedup,
+    COALESCE(d.selected, FALSE) AS pass_dsir
 """.format(minq=_MIN_QUALITY, maxppl=_MAX_PPL)
 
 ORACLE = {
@@ -153,15 +172,16 @@ ORACLE = {
             FROM dw
         ),
         m AS (
-            SELECT q.doc_id, q.quality_score, b.boilerplate_frac,
+            SELECT s.doc_id, q.quality_score, b.boilerplate_frac,
                    r.flesch, p.ppl,
                    {_FLAG_SQL}
-            FROM q
-            JOIN b ON q.doc_id = b.doc_id
-            JOIN r ON q.doc_id = r.doc_id
-            JOIN p ON q.doc_id = p.doc_id
-            JOIN k ON q.doc_id = k.doc_id
-            JOIN d ON q.doc_id = d.doc_id
+            FROM (SELECT doc_id FROM documents) s
+            LEFT JOIN q ON s.doc_id = q.doc_id
+            LEFT JOIN b ON s.doc_id = b.doc_id
+            LEFT JOIN r ON s.doc_id = r.doc_id
+            LEFT JOIN p ON s.doc_id = p.doc_id
+            LEFT JOIN k ON s.doc_id = k.doc_id
+            LEFT JOIN d ON s.doc_id = d.doc_id
         )
         SELECT *,
                CAST((CASE WHEN pass_quality THEN 0 ELSE 1 END)

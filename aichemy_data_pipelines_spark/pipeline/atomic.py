@@ -286,6 +286,20 @@ class AtomicParquetTable:
         dirs = self.current_dirs()
         if not dirs:
             return self.version()
+        # a hive-partitioned version must be compacted WITH its
+        # partition columns or the layout contract silently flattens
+        # (downstream per-shard readers lose their directories)
+        if partition_by is None:
+            for d in dirs:
+                for name in os.listdir(d):
+                    if "=" in name and os.path.isdir(
+                        os.path.join(d, name)
+                    ):
+                        raise ValueError(
+                            f"current version is hive-partitioned "
+                            f"({name!r} under {d!r}); pass partition_by "
+                            "to preserve the layout"
+                        )
         total = 0
         for d in dirs:
             for base, _, files in os.walk(d):
@@ -295,7 +309,10 @@ class AtomicParquetTable:
                     if f.endswith(".parquet")
                 )
         n_files = max(1, -(-total // target_file_bytes))
-        df = self.read(spark).repartition(n_files)
+        # merge_schema: a rewrite must carry EVERY column any append
+        # introduced — a single sampled footer could silently drop
+        # later-evolved columns, permanently once vacuumed
+        df = self.read(spark, merge_schema=True).repartition(n_files)
         carried = {**self.meta(), **(meta or {})}
         return self._commit(
             df, keep_old=False, partition_by=partition_by, meta=carried

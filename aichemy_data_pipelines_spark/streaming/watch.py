@@ -367,7 +367,15 @@ def stream_user_ewma(
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         out_ids, out_ewma = [], []
         for event_id, value in zip(pdf["event_id"], pdf["value"]):
-            cents = int(round(value * 100))
+            # HALF_UP on the double's shortest repr — the exact chain
+            # of the batch twin's cast(value as decimal(8,2)); Python
+            # round() is banker's and diverges on .xx5 values
+            cents = int(
+                Decimal(repr(float(value))).quantize(
+                    Decimal("0.01"), ROUND_HALF_UP
+                )
+                * 100
+            )
             window = [cents] + lags[:7]
             a = sum(v << (7 - i) for i, v in enumerate(window))
             b = sum(1 << (7 - i) for i in range(len(window)))

@@ -237,3 +237,48 @@ def test_read_merge_schema_evolves_appends(spark, tmp_path):
     assert set(merged.columns) == {"k", "extra"}
     rows = {r.k: r.extra for r in merged.collect()}
     assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+
+
+def test_compact_preserves_evolved_schema(spark, tmp_path):
+    """Compacting a schema-evolved table must carry every column any
+    append introduced — and survive a subsequent vacuum."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    table = AtomicParquetTable(str(tmp_path / "ev"))
+    table.append(spark.range(3).withColumnRenamed("id", "k"))
+    table.append(
+        spark.range(3, 6)
+        .withColumnRenamed("id", "k")
+        .withColumn("extra", F.col("k") * 10)
+    )
+    table.compact(spark)
+    table.vacuum()
+    out = table.read(spark, merge_schema=True)
+    assert set(out.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in out.collect()}
+    assert rows == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+
+
+def test_compact_refuses_to_flatten_partitions(spark, tmp_path):
+    """A hive-partitioned version cannot be silently flattened: compact
+    without partition_by must raise; with it, the layout survives."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    table = AtomicParquetTable(str(tmp_path / "part"))
+    df = spark.range(10).withColumn("shard", (F.col("id") % 2).cast("string"))
+    table.overwrite(df, partition_by=["shard"])
+    with _pytest.raises(ValueError, match="hive-partitioned"):
+        table.compact(spark)
+    v = table.compact(spark, partition_by=["shard"])
+    assert v == 2
+    (d,) = table.current_dirs()
+    subdirs = {n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))}
+    assert {"shard=0", "shard=1"} <= subdirs
+    assert sorted(r.id for r in table.read(spark).collect()) == list(range(10))

@@ -36,21 +36,62 @@ def test_driver_window_is_mechanical_least_recently_attested():
     ks = list(entry_mod.queries())
     assert len(set(ks)) == len(ks)
     last_green: dict[str, int] = {}
+    last_red: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(path.split("r")[-1].split(".")[0])
         for name, row in json.load(open(path)).items():
+            if not isinstance(row, dict):
+                continue
             if (
-                isinstance(row, dict)
-                and row.get("rows_match")
+                row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
                 last_green[name] = max(last_green.get(name, 0), rnd)
-    keys = [(last_green.get(n, 0), n) for n in ks]
+            else:
+                last_red[name] = max(last_red.get(name, 0), rnd)
+
+    def key(n):
+        # a regression (red newer than the last green) re-enters the
+        # front with the never-attested group
+        if last_red.get(n, 0) > last_green.get(n, 0):
+            return 0
+        return last_green.get(n, 0)
+
+    keys = [(key(n), n) for n in ks]
     assert keys == sorted(keys), "queries() not least-recently-attested order"
-    # every never-attested query outranks every attested one
-    never = [n for n in ks if last_green.get(n, 0) == 0]
+    # every never-attested/regressed query outranks every attested one
+    never = [n for n in ks if key(n) == 0]
     assert ks[: len(never)] == never
+
+
+def test_attestation_order_promotes_regressions(tmp_path, monkeypatch):
+    """Synthetic snapshots: green r01 then red r02 must sort with the
+    never-attested group, ahead of a query green in r01 only."""
+    import json
+    import os
+
+    import __spark_entry__ as e
+
+    root = tmp_path
+    (root / "CORRECTNESS_r01.json").write_text(
+        json.dumps(
+            {
+                "regressed": {"rows_match": True, "schema_match": True, "hash_match": True},
+                "stale_green": {"rows_match": True, "schema_match": True, "hash_match": True},
+            }
+        )
+    )
+    (root / "CORRECTNESS_r02.json").write_text(
+        json.dumps(
+            {"regressed": {"rows_match": True, "schema_match": True, "hash_match": False}}
+        )
+    )
+    monkeypatch.setattr(
+        os.path, "dirname", lambda p, _d=os.path.dirname: str(root)
+    )
+    order = e._attestation_order(["stale_green", "regressed", "fresh"])
+    assert order == ["fresh", "regressed", "stale_green"]
 
 
 def test_oracles_are_nonempty_sql():
