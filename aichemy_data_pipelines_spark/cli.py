@@ -75,6 +75,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cb.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     cb.add_argument("--output-dir", required=True)
     cb.add_argument("--shards", type=int, default=16)
+    cb.add_argument(
+        "--full-audit",
+        action="store_true",
+        help="record the six-screen audit matrix (quality/boilerplate/"
+        "readability/perplexity/dedup/DSIR pass flags) in the "
+        "verdicts snapshot",
+    )
 
     ci = sub.add_parser(
         "corpus-ingest",
@@ -198,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
                 sf_dir=args.sf_dir,
                 output_dir=args.output_dir,
                 n_shards=args.shards,
+                full_audit=args.full_audit,
             ),
         )
         stats = pipe.build_once()

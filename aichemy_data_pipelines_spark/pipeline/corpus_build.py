@@ -57,6 +57,13 @@ class CorpusBuildConfig:
     #: filters) — at 100 TB this is the difference between a shard
     #: scan and a file-pruned scan
     files_per_shard: int = 1
+    #: enrich the verdicts snapshot with the FULL six-screen audit
+    #: matrix (operators/screens_ops.py): per-doc pass flags and
+    #: failure counts recorded next to the build's own funnel
+    #: verdicts — the "why was my doc dropped" record shipped with
+    #: every corpus version.  Off by default (the matrix runs every
+    #: screen, including the LM and DSIR estimators).
+    full_audit: bool = False
 
 
 class CorpusBuildPipeline:
@@ -84,7 +91,26 @@ class CorpusBuildPipeline:
 
     # -- stages -------------------------------------------------------------
     def verdicts(self) -> DataFrame:
-        return curation_flags(self.spark, self.cfg.sf_dir)
+        v = curation_flags(self.spark, self.cfg.sf_dir)
+        if self.cfg.full_audit:
+            from aichemy_data_pipelines_spark.operators.screens_ops import (
+                corpus_screens_matrix,
+            )
+
+            audit = corpus_screens_matrix(
+                self.spark, self.cfg.sf_dir
+            ).select(
+                "doc_id",
+                "pass_quality",
+                "pass_boilerplate",
+                "pass_readability",
+                "pass_ppl",
+                "pass_dedup",
+                "pass_dsir",
+                "n_failed",
+            )
+            v = v.join(audit, "doc_id", "left")
+        return v
 
     def curate(self, verdicts: DataFrame) -> DataFrame:
         """Curated snapshot: full doc rows for keepers + export shard."""

@@ -159,3 +159,41 @@ def test_zordered_snapshot_tightens_file_bounds(spark, tmp_path):
         ]
     assert len(areas) >= 4, "need multi-file shards to assert the layout"
     assert sum(areas) / len(areas) < 0.5, areas
+
+
+def test_full_audit_verdicts_carry_screen_matrix(spark, tmp_path):
+    """full_audit=True records the six-screen audit columns in the
+    versioned verdicts snapshot, consistent with the funnel verdicts."""
+    from aichemy_data_pipelines_spark.pipeline.corpus_build import (
+        CorpusBuildConfig,
+        CorpusBuildPipeline,
+    )
+    from tests.conftest import SF_SMOKE
+
+    pipe = CorpusBuildPipeline(
+        spark,
+        CorpusBuildConfig(
+            sf_dir=SF_SMOKE,
+            output_dir=str(tmp_path / "corpus"),
+            full_audit=True,
+        ),
+    )
+    stats = pipe.build_once()
+    v = pipe.verdicts_table.read(spark)
+    cols = set(v.columns)
+    assert {
+        "pass_quality",
+        "pass_boilerplate",
+        "pass_readability",
+        "pass_ppl",
+        "pass_dedup",
+        "pass_dsir",
+        "n_failed",
+    } <= cols
+    rows = v.collect()
+    assert len(rows) == stats["n_raw"]
+    for r in rows:
+        assert 0 <= r.n_failed <= 6
+        # the matrix's dedup screen and the funnel's dedup verdict
+        # are the same underlying keep-one component
+        assert r.pass_dedup == bool(r.dedup_keep)
