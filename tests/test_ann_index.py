@@ -1,0 +1,68 @@
+"""Persisted-IVF-index contract (pipeline/ann_index.py): the
+build/query split must be byte-identical to the oracle-checked
+inline operator, survive rebuilds atomically, and prune postings by
+list partition.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.operators.ivf import (
+    _N_QUERIES,
+    ann_ivf_topk,
+)
+from aichemy_data_pipelines_spark.pipeline.ann_index import (
+    _postings_table,
+    build_ivf_index,
+    query_ivf_index,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _queries(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .where(F.col("vec_id") < _N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def test_persisted_index_matches_inline_operator(spark, tmp_path):
+    root = str(tmp_path / "ivf")
+    v = build_ivf_index(spark, SF_SMOKE, root)
+    assert v == 1
+    inline = sorted(
+        (r.query_id, r.rk, r.cand_id, r.cosine)
+        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+    )
+    persisted = sorted(
+        (r.query_id, r.rk, r.cand_id, r.cosine)
+        for r in query_ivf_index(spark, root, _queries(spark)).collect()
+    )
+    assert persisted == inline
+
+    # rebuild commits a NEW version; queries still work and the old
+    # version remains readable until vacuum
+    assert build_ivf_index(spark, SF_SMOKE, root) == 2
+    again = sorted(
+        (r.query_id, r.rk, r.cand_id, r.cosine)
+        for r in query_ivf_index(spark, root, _queries(spark)).collect()
+    )
+    assert again == inline
+
+
+def test_postings_are_partitioned_by_list(spark, tmp_path):
+    """list_id hive partitions exist on disk — a probe's scan prunes
+    to its lists' directories."""
+    root = str(tmp_path / "ivf")
+    build_ivf_index(spark, SF_SMOKE, root)
+    (data_dir,) = _postings_table(root).current_dirs()
+    parts = {
+        n
+        for n in os.listdir(data_dir)
+        if n.startswith("list_id=") and os.path.isdir(os.path.join(data_dir, n))
+    }
+    assert len(parts) >= 2
