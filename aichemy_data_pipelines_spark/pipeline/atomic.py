@@ -130,7 +130,25 @@ class AtomicParquetTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*dirs)
+        if len(dirs) == 1:
+            return reader.parquet(dirs[0])
+        # one read per data dir, unioned: a multi-path read cannot
+        # infer hive partitioning across independent version dirs
+        # ([CONFLICTING_DIRECTORY_STRUCTURES]); per-dir reads keep
+        # each dir's partition columns, and unionByName reconciles
+        # column order (plus missing evolved columns under
+        # merge_schema)
+        out = None
+        for d in dirs:
+            df = reader.parquet(d)
+            out = (
+                df
+                if out is None
+                else out.unionByName(
+                    df, allowMissingColumns=merge_schema
+                )
+            )
+        return out
 
     # -- commits -----------------------------------------------------------
     def _write_data(

@@ -1,0 +1,62 @@
+"""Persisted-LSH-index contract (pipeline/dedup_index.py):
+build+screen must be byte-equal to the oracle-checked
+dedup_incremental operator, and accepting a batch must make its docs
+visible to the next screen (grow monotonicity + replay idempotence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from aichemy_data_pipelines_spark.operators.dedup import (
+    _INCR_MOD,
+    _docs_with_shingles,
+    dedup_incremental,
+)
+from aichemy_data_pipelines_spark.pipeline.dedup_index import (
+    _index_table,
+    accept_batch,
+    build_dedup_index,
+    screen_batch,
+)
+from tests.conftest import SF_SMOKE
+
+
+def test_screen_matches_incremental_operator(spark, tmp_path):
+    root = str(tmp_path / "lsh")
+    build_dedup_index(
+        spark, SF_SMOKE, root, corpus_filter=F.col("doc_id") % _INCR_MOD != 0
+    )
+    batch = _docs_with_shingles(spark, SF_SMOKE).where(
+        F.col("doc_id") % _INCR_MOD == 0
+    )
+    persisted = sorted(
+        (r.doc_id, r.n_corpus_matches, r.is_new)
+        for r in screen_batch(spark, root, batch).collect()
+    )
+    inline = sorted(
+        (r.doc_id, r.n_corpus_matches, r.is_new)
+        for r in dedup_incremental(spark, SF_SMOKE).collect()
+    )
+    assert persisted == inline
+
+
+def test_accept_makes_batch_visible_and_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "lsh")
+    build_dedup_index(
+        spark, SF_SMOKE, root, corpus_filter=F.col("doc_id") % _INCR_MOD != 0
+    )
+    batch = _docs_with_shingles(spark, SF_SMOKE).where(
+        F.col("doc_id") % _INCR_MOD == 0
+    )
+    v1 = accept_batch(spark, root, batch, batch_id=7)
+    # replay of the same batch_id is a no-op commit
+    assert accept_batch(spark, root, batch, batch_id=7) == v1
+    assert _index_table(root).meta()["last_batch_id"] == 7
+    # every batch doc with bands now matches ITSELF in the index
+    rescreen = screen_batch(spark, root, batch).collect()
+    assert rescreen
+    for r in rescreen:
+        # docs long enough to shingle (all synthetic docs are) now
+        # collide with their own accepted signature
+        assert not r.is_new, r.doc_id
