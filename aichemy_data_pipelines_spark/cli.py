@@ -120,6 +120,15 @@ def _build_parser() -> argparse.ArgumentParser:
         help="drop superseded data dirs after the compaction commit",
     )
 
+    ib = sub.add_parser(
+        "index-build",
+        help="build a persisted similarity/dedup index "
+        "(versioned atomic snapshots)",
+    )
+    ib.add_argument("--kind", choices=["ivf", "lsh"], required=True)
+    ib.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ib.add_argument("--root", required=True)
+
     m = sub.add_parser("metrics", help="print pipeline metrics panels")
     m.add_argument("--output-dir", required=True)
     m.add_argument(
@@ -170,6 +179,22 @@ def main(argv: list[str] | None = None) -> int:
         for i in range(args.cycles or 1):
             stats = pipe.run_once()
             print(f"cycle {i + 1}: {stats}")
+        return 0
+
+    if args.cmd == "index-build":
+        if args.kind == "ivf":
+            from aichemy_data_pipelines_spark.pipeline.ann_index import (
+                build_ivf_index,
+            )
+
+            v = build_ivf_index(spark, args.sf_dir, args.root)
+        else:
+            from aichemy_data_pipelines_spark.pipeline.dedup_index import (
+                build_dedup_index,
+            )
+
+            v = build_dedup_index(spark, args.sf_dir, args.root)
+        print(json.dumps({"kind": args.kind, "version": v}))
         return 0
 
     if args.cmd == "table-compact":

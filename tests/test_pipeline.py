@@ -237,3 +237,19 @@ def test_cli_table_compact(spark, tmp_path, capsys):
     assert out["version"] == 4
     assert out["vacuumed"] > 0
     assert sorted(r.id for r in t.read(spark).collect()) == list(range(15))
+
+
+def test_cli_index_build(spark, tmp_path, capsys):
+    import json as _json
+
+    from aichemy_data_pipelines_spark.cli import main
+    from tests.conftest import SF_SMOKE
+
+    for kind in ("lsh", "ivf"):
+        rc = main(
+            ["index-build", "--kind", kind, "--sf-dir", SF_SMOKE,
+             "--root", str(tmp_path / kind)]
+        )
+        assert rc == 0
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out == {"kind": kind, "version": 1}
