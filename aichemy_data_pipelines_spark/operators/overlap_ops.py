@@ -175,9 +175,50 @@ def docs_boilerplate_fraction(
     )
 
 
+def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc ingestion novelty: fraction of the doc's distinct
+    5-grams whose FIRST corpus occurrence (min doc_id, standing in
+    for arrival order) is this doc.  The per-document projection of
+    the Heaps growth curve (tfidf_ops.corpus_vocab_growth): a
+    low-novelty doc late in the crawl is re-reading earlier content
+    even if no single pair crosses a dedup threshold — dup-rate's
+    leading indicator.
+
+    Distinct from docs_boilerplate_fraction: boilerplate is the
+    SYMMETRIC df≥2 signal; novelty is ORDER-AWARE (the first copy of
+    a later-duplicated passage still counts as novel here).
+
+    Output: (doc_id, n_shingles, n_novel, novelty_frac).
+
+    Scale: reuses the one shingle explode + a (shingle → min doc)
+    agg on the uniform hash; verdict is one doc_id agg.
+    """
+    sh = _doc_shingles(spark, sf_dir).select("doc_id", "h")
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(
+                F.expr("cast(first_doc = doc_id as bigint)")
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty_frac"),
+        )
+    )
+
+
 QUERIES = {
     "corpus_cross_contamination": corpus_cross_contamination,
     "docs_boilerplate_fraction": docs_boilerplate_fraction,
+    "docs_novelty": docs_novelty,
 }
 
 # shared oracle CTE: distinct (doc_id, source, h) hashed shingles
@@ -219,6 +260,22 @@ ORACLE = {
         FROM shared s
         JOIN sizes sa ON s.source_a = sa.source
         JOIN sizes sb ON s.source_b = sb.source
+    """,
+    "docs_novelty": f"""
+        WITH {_SQL_DOC_SH},
+        sh AS (SELECT doc_id, h FROM doc_sh),
+        firsts AS (
+            SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h
+        )
+        SELECT s.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = s.doc_id
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN f.first_doc = s.doc_id
+                              THEN 1 ELSE 0 END) / COUNT(*), 6)
+                 AS novelty_frac
+        FROM sh s JOIN firsts f ON s.h = f.h
+        GROUP BY s.doc_id
     """,
     "docs_boilerplate_fraction": f"""
         WITH {_SQL_DOC_SH},

@@ -145,12 +145,122 @@ def events_heavy_hitters_cms(
     )
 
 
+
+_QH_WIDTH = "2.0"  # histogram bucket width in value units
+
+
+def events_quantile_histogram_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable QUANTILE sketches: per-day bucketed value histograms
+    per event type, merged to all-time quantile estimates — the
+    quantile twin of events_hll_rollup.  Where percentile_approx
+    answers one ad-hoc query with an unmergeable plan, the production
+    form persists a tiny fixed-width histogram per (type, day)
+    (mergeable by integer addition, associative and re-aggregatable
+    to ANY coarser grain) and reads quantiles off the merged
+    cumulative curve.
+
+    Estimates are bucket LOWER BOUNDS (bucket width 2.0), so the
+    error is bounded by the width by construction; everything is
+    exact integer arithmetic and hash-checkable — no sketch
+    randomness at all.
+
+    Output: (event_type, n_days, n_events, p50_lo, p90_lo, p99_lo).
+
+    Scale: the daily sketch table is #types × #days × #buckets rows
+    (kilobytes per year); the merge is one bounded groupBy; the
+    quantile read is a window over ≤ #buckets rows per type.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr("cast(ts as date)").alias("day"),
+        F.expr(f"cast(floor(value / {_QH_WIDTH}) as bigint)").alias("b"),
+    ).agg(F.count("*").alias("c"))
+    merged = daily.groupBy("event_type", "b").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = (
+        merged.withColumn("cum", F.sum("c").over(w))
+        .withColumn("total", F.sum("c").over(wt))
+    )
+
+    def q_lo(q: str):
+        # smallest bucket whose cumulative count reaches ceil(q*total)
+        return F.min(
+            F.when(
+                F.col("cum") * 100 >= F.expr(f"cast({q} as bigint) * total"),
+                F.col("b"),
+            )
+        ) * F.expr(f"cast({_QH_WIDTH} as double)")
+
+    n_days = ev.groupBy("event_type").agg(
+        F.countDistinct(F.expr("cast(ts as date)")).cast("long").alias(
+            "n_days"
+        )
+    )
+    out = cum.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n_events"),
+        q_lo("50").alias("p50_lo"),
+        q_lo("90").alias("p90_lo"),
+        q_lo("99").alias("p99_lo"),
+    )
+    return out.join(F.broadcast(n_days), "event_type").select(
+        "event_type", "n_days", "n_events", "p50_lo", "p90_lo", "p99_lo"
+    )
+
+
 QUERIES = {
+    "events_quantile_histogram_rollup": events_quantile_histogram_rollup,
     "events_hll_rollup": events_hll_rollup,
     "events_heavy_hitters_cms": events_heavy_hitters_cms,
 }
 
 ORACLE = {
+    "events_quantile_histogram_rollup": f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(floor(value / {_QH_WIDTH}) AS BIGINT) AS b,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2, 3
+        ), merged AS (
+            SELECT event_type, b, CAST(SUM(c) AS BIGINT) AS c
+            FROM daily GROUP BY event_type, b
+        ), cum AS (
+            SELECT event_type, b, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY b
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(c) OVER (PARTITION BY event_type) AS total
+            FROM merged
+        ), q AS (
+            SELECT event_type,
+                   CAST(MAX(total) AS BIGINT) AS n_events,
+                   MIN(CASE WHEN cum * 100 >= 50 * total THEN b END)
+                     * CAST({_QH_WIDTH} AS DOUBLE) AS p50_lo,
+                   MIN(CASE WHEN cum * 100 >= 90 * total THEN b END)
+                     * CAST({_QH_WIDTH} AS DOUBLE) AS p90_lo,
+                   MIN(CASE WHEN cum * 100 >= 99 * total THEN b END)
+                     * CAST({_QH_WIDTH} AS DOUBLE) AS p99_lo
+            FROM cum GROUP BY event_type
+        ), nd AS (
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+                     AS n_days
+            FROM events GROUP BY event_type
+        )
+        SELECT q.event_type, nd.n_days, q.n_events,
+               q.p50_lo, q.p90_lo, q.p99_lo
+        FROM q JOIN nd ON q.event_type = nd.event_type
+    """,
     "events_hll_rollup": """
         SELECT event_type,
                COUNT(DISTINCT CAST(ts AS DATE)) AS n_day_sketches,

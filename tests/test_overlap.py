@@ -61,3 +61,48 @@ def test_shared_shingles_imply_boilerplate_on_both_sides(spark):
         if r.n_boilerplate > 0
     }
     assert contaminated_sources <= bp_sources
+
+
+def test_novelty_ground_truth_and_ordering(spark):
+    """Pure-Python recomputation of per-doc novelty + the ordering
+    invariant: the first doc (min doc_id) is 100% novel."""
+    import hashlib
+
+    from aichemy_data_pipelines_spark.operators.overlap_ops import (
+        _N,
+        docs_novelty,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    sh_by_doc = {}
+    for r in docs:
+        toks = r.text.strip().lower().split()
+        if len(toks) < _N:
+            continue
+        sh_by_doc[r.doc_id] = {
+            int(
+                hashlib.md5(
+                    " ".join(toks[i : i + _N]).encode()
+                ).hexdigest()[:15],
+                16,
+            )
+            for i in range(len(toks) - _N + 1)
+        }
+    firsts = {}
+    for doc_id in sorted(sh_by_doc):
+        for h in sh_by_doc[doc_id]:
+            firsts.setdefault(h, doc_id)
+    expected = {
+        doc_id: (
+            len(hs),
+            sum(1 for h in hs if firsts[h] == doc_id),
+        )
+        for doc_id, hs in sh_by_doc.items()
+    }
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel)
+        for r in docs_novelty(spark, SF_SMOKE).collect()
+    }
+    assert got == expected
+    first_doc = min(sh_by_doc)
+    assert expected[first_doc][0] == expected[first_doc][1]

@@ -93,3 +93,41 @@ def test_readability_ground_truth(spark):
         for r in text_readability(spark, SF_SMOKE).collect()
     }
     assert got == expected
+
+
+def test_quantile_histogram_rollup_ground_truth(spark):
+    """Merged-histogram quantile lower bounds recomputed in pure
+    Python; the bucket-width error contract holds vs exact quantiles."""
+    import math
+    from collections import Counter, defaultdict
+
+    from aichemy_data_pipelines_spark.operators.sketch_ops import (
+        _QH_WIDTH,
+        events_quantile_histogram_rollup,
+    )
+
+    width = float(_QH_WIDTH)
+    rows = spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r.value)
+    got = {
+        r.event_type: r
+        for r in events_quantile_histogram_rollup(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_type)
+    for etype, vals in by_type.items():
+        hist = Counter(int(math.floor(v / width)) for v in vals)
+        total = len(vals)
+        r = got[etype]
+        assert r.n_events == total
+        for q, lo in ((50, r.p50_lo), (90, r.p90_lo), (99, r.p99_lo)):
+            cum = 0
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum * 100 >= q * total:
+                    assert lo == b * width
+                    break
+            # width-bounded error vs the exact quantile
+            exact = sorted(vals)[max(0, -(-q * total // 100) - 1)]
+            assert lo <= exact < lo + 2 * width
