@@ -282,3 +282,33 @@ def test_compact_refuses_to_flatten_partitions(spark, tmp_path):
     subdirs = {n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))}
     assert {"shard=0", "shard=1"} <= subdirs
     assert sorted(r.id for r in table.read(spark).collect()) == list(range(10))
+
+
+def test_kill_mid_compact_leaves_table_intact(spark, tmp_path):
+    """A crash between the compaction rewrite and its manifest
+    publish must leave readers on the old version; vacuum then
+    removes the orphaned rewrite dir."""
+    import pytest as _pytest
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    table = AtomicParquetTable(str(tmp_path / "t"))
+    for i in range(3):
+        table.append(spark.range(i * 5, (i + 1) * 5).withColumnRenamed("id", "k"))
+    before = sorted(r.k for r in table.read(spark).collect())
+    v_before = table.version()
+
+    with _pytest.MonkeyPatch.context() as mp:
+        mp.setattr(
+            table,
+            "_publish",
+            lambda *a: (_ for _ in ()).throw(KeyboardInterrupt),
+        )
+        with _pytest.raises(KeyboardInterrupt):
+            table.compact(spark)
+
+    assert table.version() == v_before
+    assert sorted(r.k for r in table.read(spark).collect()) == before
+    removed = table.vacuum()
+    assert removed, "orphaned compaction dir must be vacuumable"
+    assert sorted(r.k for r in table.read(spark).collect()) == before
