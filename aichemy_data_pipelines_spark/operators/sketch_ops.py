@@ -203,10 +203,10 @@ def events_quantile_histogram_rollup(
             )
         ) * F.expr(f"cast({_QH_WIDTH} as double)")
 
-    n_days = ev.groupBy("event_type").agg(
-        F.countDistinct(F.expr("cast(ts as date)")).cast("long").alias(
-            "n_days"
-        )
+    # derived from the kilobyte-scale daily sketch table — NOT a
+    # second scan of the raw events
+    n_days = daily.groupBy("event_type").agg(
+        F.countDistinct("day").cast("long").alias("n_days")
     )
     out = cum.groupBy("event_type").agg(
         F.max("total").cast("long").alias("n_events"),

@@ -3,21 +3,18 @@
 ``operators/ivf.py`` trains its k-means quantizer inside the query —
 right for an oracle-checked operator, wrong operationally: a 100 TB
 corpus trains its index ONCE (hours of k-means on a sample), then
-serves millions of queries against the persisted artifact.  This
-module splits the phases across two atomic tables:
+serves millions of queries against the persisted artifact.
 
-* ``build_ivf_index`` — train the coarse quantizer (the exact
-  deterministic k-means of operators/ivf.py, so the persisted index
-  is byte-identical to the oracle-checked one) and commit two
-  versioned snapshots: ``centroids`` (K rows) and ``postings``
-  (vec_id → list_id inverted lists, hive-partitioned by list_id so
-  a probe reads only its lists' directories).  Atomic manifests make
-  index rebuilds safe under concurrent readers (a query sees the old
-  index until the new one's manifest lands) and keep the previous
-  index time-travelable until vacuum.
-* ``query_ivf_index`` — nprobe search against the PERSISTED
-  artifact: score K broadcast centroids, probe the chosen lists'
-  partitions, exact cosine re-rank.  No training in the query path.
+The whole index is ONE atomic commit: the postings table (vec_id →
+list_id inverted lists, hive-partitioned by ``list_id`` so a probe
+reads only its lists' directories) carries the K trained centroids
+in its manifest ``meta`` (K×dim 6dp doubles — bytes, not data
+files).  A rebuild therefore flips centroids and postings together:
+a concurrent query sees either the old index or the new one, never
+new centroids over old lists, and a crash mid-build leaves an
+orphan data dir for ``vacuum`` — no torn index state is
+representable.  The previous index stays time-travelable until
+vacuumed.
 
 tests/test_ann_index.py pins byte-equality between the persisted
 path and operators/ivf.ann_ivf_topk — index staleness or trainer
@@ -25,8 +22,8 @@ drift fails the suite.
 
 Scale: the build is the k-means sample pass + one corpus-wide
 assignment write; queries touch ~nprobe/K of the postings via
-partition pruning (hive dirs on list_id), broadcast only the K-row
-centroid table, and never recompute training.
+partition pruning, broadcast only the K-row centroid table, and
+never recompute training.
 """
 
 from __future__ import annotations
@@ -45,29 +42,36 @@ from aichemy_data_pipelines_spark.operators.ivf import (
 )
 from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
 
-_NORM = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
-
-
-def _centroids_table(root: str) -> AtomicParquetTable:
-    return AtomicParquetTable(os.path.join(root, "centroids.parquet"))
-
 
 def _postings_table(root: str) -> AtomicParquetTable:
     return AtomicParquetTable(os.path.join(root, "postings.parquet"))
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str, root: str) -> int:
-    """Train and persist the IVF index; returns the index version."""
+    """Train and persist the IVF index in one atomic commit; returns
+    the index version."""
     cents, lists = _kmeans(spark, sf_dir)
-    v = _centroids_table(root).overwrite(
-        cents, meta={"n_lists": _N_LISTS, "sf_dir": sf_dir}
-    )
-    _postings_table(root).overwrite(
+    cent_rows = [
+        [int(r.list_id), [float(x) for x in r.centroid]]
+        for r in cents.collect()  # K rows — bounded by construction
+    ]
+    return _postings_table(root).overwrite(
         lists.select("list_id", "vec_id", "embedding"),
         partition_by=["list_id"],
-        meta={"centroids_version": v},
+        meta={
+            "n_lists": _N_LISTS,
+            "sf_dir": sf_dir,
+            "centroids": cent_rows,
+        },
     )
-    return v
+
+
+def _load_centroids(spark: SparkSession, root: str) -> DataFrame:
+    rows = _postings_table(root).meta()["centroids"]
+    return spark.createDataFrame(
+        [(int(lid), [float(x) for x in vec]) for lid, vec in rows],
+        "list_id int, centroid array<double>",
+    )
 
 
 def query_ivf_index(
@@ -76,13 +80,21 @@ def query_ivf_index(
     queries: DataFrame,
     nprobe: int = _NPROBE,
     top_k: int = _TOP_K,
+    exclude_query_ids: bool = True,
 ) -> DataFrame:
     """nprobe search against the persisted index.
 
     *queries*: (query_id, embedding).  Output matches
     operators/ivf.ann_ivf_topk: (query_id, rk, cand_id, cosine).
+
+    ``exclude_query_ids``: drop candidates whose ``vec_id`` equals
+    the query's ``query_id`` — correct when query ids ARE corpus
+    vector ids (self-search, the inline operator's contract).  Pass
+    False for external queries whose id space is unrelated to the
+    corpus, or a legitimate candidate sharing the number would be
+    silently lost.
     """
-    cents = _centroids_table(root).read(spark)
+    cents = _load_centroids(spark, root)
     q = queries.select(
         F.col("query_id"),
         F.col("embedding").alias("qv"),
@@ -118,11 +130,13 @@ def query_ivf_index(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), "cand_id"
     )
+    joined = F.broadcast(probes).join(c, "list_id")
+    if exclude_query_ids:
+        joined = joined.where(F.col("query_id") != F.col("cand_id"))
     return (
-        F.broadcast(probes)
-        .join(c, "list_id")
-        .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        joined.withColumn(
+            "cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8)
+        )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= top_k)
         .select("query_id", "rk", "cand_id", "cosine")

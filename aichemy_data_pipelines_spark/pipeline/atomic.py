@@ -125,19 +125,30 @@ class AtomicParquetTable:
         table shouldn't pay.
         """
         dirs = self.current_dirs(version)
+        # an empty commit (e.g. a foreachBatch replay with zero rows)
+        # writes only _SUCCESS — reading such a dir in isolation
+        # raises UNABLE_TO_INFER_SCHEMA and would brick the table, so
+        # data-less dirs are skipped up front
+        dirs = [d for d in dirs if self._dir_has_parquet(d)]
         if not dirs:
             return None
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        if len(dirs) == 1:
-            return reader.parquet(dirs[0])
-        # one read per data dir, unioned: a multi-path read cannot
-        # infer hive partitioning across independent version dirs
-        # ([CONFLICTING_DIRECTORY_STRUCTURES]); per-dir reads keep
-        # each dir's partition columns, and unionByName reconciles
-        # column order (plus missing evolved columns under
-        # merge_schema)
+        partitioned = any(
+            "=" in name and os.path.isdir(os.path.join(d, name))
+            for d in dirs
+            for name in os.listdir(d)
+        )
+        if len(dirs) == 1 or not partitioned:
+            # single multi-path scan: one file listing, one plan
+            return reader.parquet(*dirs)
+        # hive-partitioned appends: a multi-path read cannot infer
+        # partitioning across independent version dirs
+        # ([CONFLICTING_DIRECTORY_STRUCTURES]); fall back to per-dir
+        # reads + unionByName (reconciling column order and, under
+        # merge_schema, missing evolved columns).  O(#append dirs)
+        # driver-side loads — compact() collapses them.
         out = None
         for d in dirs:
             df = reader.parquet(d)
@@ -149,6 +160,13 @@ class AtomicParquetTable:
                 )
             )
         return out
+
+    @staticmethod
+    def _dir_has_parquet(d: str) -> bool:
+        for _base, _dirs, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
 
     # -- commits -----------------------------------------------------------
     def _write_data(

@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.operators.dedup import (
+    _SHINGLE_N,
     _docs_with_shingles,
     _spark_band_keys,
 )
@@ -46,9 +47,16 @@ def _index_table(root: str) -> AtomicParquetTable:
     return AtomicParquetTable(os.path.join(root, "band_index.parquet"))
 
 
-def band_keys_for(docs_with_shingles: DataFrame) -> DataFrame:
-    """(doc_id, band, key) for any (doc_id, tokens)-shaped slice."""
-    return _spark_band_keys(docs_with_shingles)
+def band_keys_for(docs_with_tokens: DataFrame) -> DataFrame:
+    """(doc_id, band, key) for any (doc_id, tokens)-shaped slice.
+
+    Docs too short to shingle (< ``_SHINGLE_N`` tokens) are filtered
+    HERE — the shingle index-explode crashes on them otherwise — so
+    callers keep their full spine and short docs simply have no
+    bands (trivially new at screen time)."""
+    return _spark_band_keys(
+        docs_with_tokens.where(F.size("tokens") >= _SHINGLE_N)
+    )
 
 
 def build_dedup_index(
@@ -102,7 +110,6 @@ def screen_batch(
 
 
 def accept_batch(
-    spark: SparkSession,
     root: str,
     batch_docs: DataFrame,
     batch_id: int | None = None,

@@ -312,3 +312,23 @@ def test_kill_mid_compact_leaves_table_intact(spark, tmp_path):
     removed = table.vacuum()
     assert removed, "orphaned compaction dir must be vacuumable"
     assert sorted(r.k for r in table.read(spark).collect()) == before
+
+
+def test_empty_append_does_not_brick_reads(spark, tmp_path):
+    """An empty (partitioned) append commits a data-less dir; reads
+    must skip it instead of raising UNABLE_TO_INFER_SCHEMA."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    table = AtomicParquetTable(str(tmp_path / "t"))
+    df = spark.range(4).withColumn("b", (F.col("id") % 2).cast("string"))
+    table.append(df, partition_by=["b"])
+    empty = df.where(F.lit(False))
+    table.append(empty, partition_by=["b"])
+    out = table.read(spark)
+    assert sorted(r.id for r in out.collect()) == [0, 1, 2, 3]
+    # a table whose ONLY commits are empty reads as None, like v0
+    t2 = AtomicParquetTable(str(tmp_path / "t2"))
+    t2.append(empty, partition_by=["b"])
+    assert t2.read(spark) is None

@@ -49,9 +49,9 @@ def test_accept_makes_batch_visible_and_is_idempotent(spark, tmp_path):
     batch = _docs_with_shingles(spark, SF_SMOKE).where(
         F.col("doc_id") % _INCR_MOD == 0
     )
-    v1 = accept_batch(spark, root, batch, batch_id=7)
+    v1 = accept_batch(root, batch, batch_id=7)
     # replay of the same batch_id is a no-op commit
-    assert accept_batch(spark, root, batch, batch_id=7) == v1
+    assert accept_batch(root, batch, batch_id=7) == v1
     assert _index_table(root).meta()["last_batch_id"] == 7
     # every batch doc with bands now matches ITSELF in the index
     rescreen = screen_batch(spark, root, batch).collect()
@@ -60,3 +60,27 @@ def test_accept_makes_batch_visible_and_is_idempotent(spark, tmp_path):
         # docs long enough to shingle (all synthetic docs are) now
         # collide with their own accepted signature
         assert not r.is_new, r.doc_id
+
+
+def test_short_docs_screen_as_trivially_new(spark, tmp_path):
+    """A batch containing docs too short to shingle must not crash
+    the screen, and those docs must come back is_new with zero
+    matches."""
+    root = str(tmp_path / "lsh")
+    build_dedup_index(spark, SF_SMOKE, root)
+    batch = spark.createDataFrame(
+        [(900001, ["just", "two"]), (900002, list("abcdefgh"))],
+        "doc_id long, tokens array<string>",
+    )
+    rows = {r.doc_id: r for r in screen_batch(spark, root, batch).collect()}
+    assert set(rows) == {900001, 900002}
+    assert rows[900001].is_new and rows[900001].n_corpus_matches == 0
+    # the long synthetic-alphabet doc shares no shingles either
+    assert rows[900002].is_new
+    # accepting the mixed batch also survives the short doc
+    accept_batch(root, batch, batch_id=1)
+    rescreen = {
+        r.doc_id: r for r in screen_batch(spark, root, batch).collect()
+    }
+    assert not rescreen[900002].is_new  # banded doc now matches itself
+    assert rescreen[900001].is_new  # band-less doc stays new
