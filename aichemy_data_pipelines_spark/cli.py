@@ -125,7 +125,7 @@ def _build_parser() -> argparse.ArgumentParser:
         help="build a persisted similarity/dedup index "
         "(versioned atomic snapshots)",
     )
-    ib.add_argument("--kind", choices=["ivf", "lsh"], required=True)
+    ib.add_argument("--kind", choices=["ivf", "lsh", "lm"], required=True)
     ib.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ib.add_argument("--root", required=True)
 
@@ -188,6 +188,12 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             v = build_ivf_index(spark, args.sf_dir, args.root)
+        elif args.kind == "lm":
+            from aichemy_data_pipelines_spark.pipeline.lm_index import (
+                build_lm_index,
+            )
+
+            v = build_lm_index(spark, args.sf_dir, args.root)
         else:
             from aichemy_data_pipelines_spark.pipeline.dedup_index import (
                 build_dedup_index,

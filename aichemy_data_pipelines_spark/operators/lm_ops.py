@@ -102,6 +102,14 @@ def corpus_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r.b2, r.c) for r in bi_rows] or [(None, None)],
         "b2 bigint, c_bi bigint",
     )
+    return score_bigrams(bi, uni, bigr)
+
+
+def score_bigrams(bi: DataFrame, uni: DataFrame, bigr: DataFrame) -> DataFrame:
+    """Score (doc_id, b1, b2) bigram rows against trained marginal
+    tables — THE smoothing/logprob/perplexity chain, shared by the
+    inline operator and the persisted LM index
+    (pipeline/lm_index.py) so the two cannot drift."""
     scored = (
         bi.join(F.broadcast(uni), "b1", "left")
         .join(F.broadcast(bigr), "b2", "left")

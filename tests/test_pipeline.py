@@ -245,7 +245,7 @@ def test_cli_index_build(spark, tmp_path, capsys):
     from aichemy_data_pipelines_spark.cli import main
     from tests.conftest import SF_SMOKE
 
-    for kind in ("lsh", "ivf"):
+    for kind in ("lsh", "ivf", "lm"):
         rc = main(
             ["index-build", "--kind", kind, "--sf-dir", SF_SMOKE,
              "--root", str(tmp_path / kind)]
