@@ -66,10 +66,21 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str) -> int:
     )
 
 
-def _load_centroids(spark: SparkSession, root: str) -> DataFrame:
-    rows = _postings_table(root).meta()["centroids"]
+def _load_centroids(
+    spark: SparkSession, root: str, version: int
+) -> DataFrame:
+    meta = _postings_table(root).meta(version)
+    if "centroids" not in meta:
+        raise ValueError(
+            f"IVF index at {root!r} (version {version}) has no "
+            "'centroids' manifest meta — built by an incompatible "
+            "layout; rebuild with build_ivf_index"
+        )
     return spark.createDataFrame(
-        [(int(lid), [float(x) for x in vec]) for lid, vec in rows],
+        [
+            (int(lid), [float(x) for x in vec])
+            for lid, vec in meta["centroids"]
+        ],
         "list_id int, centroid array<double>",
     )
 
@@ -94,7 +105,19 @@ def query_ivf_index(
     corpus, or a legitimate candidate sharing the number would be
     silently lost.
     """
-    cents = _load_centroids(spark, root)
+    # resolve the index version ONCE: centroids and postings must
+    # come from the SAME manifest, or a concurrent rebuild between
+    # the two reads serves new centroids over old lists — the torn
+    # state the single-commit layout exists to prevent
+    table = _postings_table(root)
+    version = table.version()
+    cents = _load_centroids(spark, root, version)
+    postings = table.read(spark, version=version)
+    if postings is None:
+        raise ValueError(
+            f"IVF index at {root!r} has no postings data "
+            "(empty or never-built index); run build_ivf_index"
+        )
     q = queries.select(
         F.col("query_id"),
         F.col("embedding").alias("qv"),
@@ -116,16 +139,11 @@ def query_ivf_index(
         .where(F.col("prk") <= nprobe)
         .select("query_id", "qv", "qn", "list_id")
     )
-    c = (
-        _postings_table(root)
-        .read(spark)
-        .select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("embedding").alias("cv"),
-            "list_id",
-        )
-        .withColumn("cn", F.expr(f"sqrt({spark_dot_exact('cv', 'cv')})"))
-    )
+    c = postings.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        "list_id",
+    ).withColumn("cn", F.expr(f"sqrt({spark_dot_exact('cv', 'cv')})"))
     dot = spark_dot_exact("qv", "cv")
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), "cand_id"

@@ -135,20 +135,16 @@ class AtomicParquetTable:
         reader = spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        partitioned = any(
-            "=" in name and os.path.isdir(os.path.join(d, name))
-            for d in dirs
-            for name in os.listdir(d)
-        )
-        if len(dirs) == 1 or not partitioned:
-            # single multi-path scan: one file listing, one plan
-            return reader.parquet(*dirs)
-        # hive-partitioned appends: a multi-path read cannot infer
-        # partitioning across independent version dirs
-        # ([CONFLICTING_DIRECTORY_STRUCTURES]); fall back to per-dir
-        # reads + unionByName (reconciling column order and, under
-        # merge_schema, missing evolved columns).  O(#append dirs)
-        # driver-side loads — compact() collapses them.
+        if len(dirs) == 1:
+            return reader.parquet(dirs[0])
+        # multi-dir versions read per dir + unionByName: a multi-path
+        # scan samples ONE footer for the schema, silently
+        # dropping/null-filling evolved columns, and cannot infer
+        # hive partitioning across independent version dirs
+        # ([CONFLICTING_DIRECTORY_STRUCTURES]).  Per-dir resolution
+        # errors LOUDLY on a schema mismatch unless merge_schema
+        # opts into reconciliation.  Cost is O(#append dirs)
+        # driver-side footer loads — compact() collapses them.
         out = None
         for d in dirs:
             df = reader.parquet(d)
@@ -348,7 +344,11 @@ class AtomicParquetTable:
         # merge_schema: a rewrite must carry EVERY column any append
         # introduced — a single sampled footer could silently drop
         # later-evolved columns, permanently once vacuumed
-        df = self.read(spark, merge_schema=True).repartition(n_files)
+        df = self.read(spark, merge_schema=True)
+        if df is None:
+            # only data-less commits: nothing to rewrite
+            return self.version()
+        df = df.repartition(n_files)
         carried = {**self.meta(), **(meta or {})}
         return self._commit(
             df, keep_old=False, partition_by=partition_by, meta=carried

@@ -82,10 +82,16 @@ def screen_batch(
     index.  Output: (doc_id, n_corpus_matches, is_new) — one row per
     batch doc; too-short docs (no shingles → no bands) are trivially
     new."""
-    idx = (
-        _index_table(root)
-        .read(spark)
-        .select(F.col("doc_id").alias("corpus_doc"), "band", "key")
+    idx_df = _index_table(root).read(spark)
+    spine = batch_docs.select("doc_id")
+    if idx_df is None:
+        # empty index (first batch ever, or band-less corpus):
+        # everything is new
+        return spine.select(
+            "doc_id", F.lit(0).cast("long").alias("n_corpus_matches")
+        ).withColumn("is_new", F.lit(True))
+    idx = idx_df.select(
+        F.col("doc_id").alias("corpus_doc"), "band", "key"
     )
     batch_bands = band_keys_for(batch_docs)
     matches = (
@@ -96,7 +102,6 @@ def screen_batch(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_corpus_matches"))
     )
-    spine = batch_docs.select("doc_id")
     return (
         spine.join(matches, "doc_id", "left")
         .select(

@@ -63,7 +63,25 @@ def score_batch(
     persisted LM.  Output matches corpus_bigram_perplexity:
     (doc_id, n_bigrams, avg_logprob, ppl); docs with < 2 tokens have
     no bigrams and emit no row (nothing to score)."""
-    pairs = _lm_table(root).read(spark)
+    table = _lm_table(root)
+    meta = table.meta()
+    # a model trained under different bucketing/seed constants would
+    # silently land every lookup in the wrong bucket — refuse instead
+    if meta.get("b1") != _B1 or meta.get("b2") != _B2 or (
+        meta.get("tgt_lang") != _TGT_LANG
+    ):
+        raise ValueError(
+            f"persisted LM (b1={meta.get('b1')}, b2={meta.get('b2')}, "
+            f"tgt_lang={meta.get('tgt_lang')}) is incompatible with the "
+            f"current constants (b1={_B1}, b2={_B2}, "
+            f"tgt_lang={_TGT_LANG}); rebuild with build_lm_index"
+        )
+    pairs = table.read(spark)
+    if pairs is None:
+        # trained on a corpus with zero target-language bigrams: the
+        # inline operator scores everything with empty counts (pure
+        # add-one smoothing) — mirror that instead of crashing
+        pairs = spark.createDataFrame([], "b1 bigint, b2 bigint, c bigint")
     uni = pairs.groupBy("b1").agg(F.sum("c").cast("bigint").alias("c_uni"))
     bigr = pairs.groupBy("b2").agg(F.sum("c").cast("bigint").alias("c_bi"))
     bi = _doc_bigrams(docs)

@@ -84,3 +84,21 @@ def test_short_docs_screen_as_trivially_new(spark, tmp_path):
     }
     assert not rescreen[900002].is_new  # banded doc now matches itself
     assert rescreen[900001].is_new  # band-less doc stays new
+
+
+def test_screening_against_empty_index(spark, tmp_path):
+    """A never-built/empty index screens every doc as new instead of
+    crashing on a None read."""
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    root = str(tmp_path / "lsh")
+    # commit an EMPTY index (zero banded docs)
+    empty = spark.createDataFrame([], "doc_id long, band int, key string")
+    AtomicParquetTable(root + "/band_index.parquet").overwrite(
+        empty, partition_by=["band"]
+    )
+    batch = spark.createDataFrame(
+        [(1, ["a", "b", "c", "d"])], "doc_id long, tokens array<string>"
+    )
+    rows = screen_batch(spark, root, batch).collect()
+    assert len(rows) == 1 and rows[0].is_new

@@ -56,3 +56,18 @@ def test_frozen_model_scores_new_batch(spark, tmp_path):
     rows = {r.doc_id: r for r in score_batch(spark, root, batch).collect()}
     assert set(rows) == {1, 2}
     assert rows[1].ppl < rows[2].ppl
+
+
+def test_incompatible_model_is_refused(spark, tmp_path, monkeypatch):
+    import aichemy_data_pipelines_spark.pipeline.lm_index as lmx
+
+    root = str(tmp_path / "lm")
+    build_lm_index(spark, SF_SMOKE, root)
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c")], "doc_id long, lang string, text string"
+    )
+    monkeypatch.setattr(lmx, "_B2", 9999)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="incompatible"):
+        score_batch(spark, root, docs)
