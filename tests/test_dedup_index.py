@@ -102,3 +102,35 @@ def test_screening_against_empty_index(spark, tmp_path):
     )
     rows = screen_batch(spark, root, batch).collect()
     assert len(rows) == 1 and rows[0].is_new
+
+
+def test_compacting_grown_index_preserves_screens(spark, tmp_path):
+    """After several accepts fragment the index, table-compact must
+    collapse the dirs without changing a single screening verdict."""
+    root = str(tmp_path / "lsh")
+    build_dedup_index(
+        spark, SF_SMOKE, root, corpus_filter=F.col("doc_id") % _INCR_MOD != 0
+    )
+    docs = _docs_with_shingles(spark, SF_SMOKE)
+    for i, m in enumerate((0, 5)):
+        accept_batch(
+            root,
+            docs.where(F.col("doc_id") % _INCR_MOD == m),
+            batch_id=i,
+        )
+    probe = docs.where(F.col("doc_id") % _INCR_MOD == 3)
+    before = sorted(
+        (r.doc_id, r.n_corpus_matches, r.is_new)
+        for r in screen_batch(spark, root, probe).collect()
+    )
+    t = _index_table(root)
+    assert len(t.current_dirs()) == 3
+    t.compact(spark, partition_by=["band"])
+    assert len(t.current_dirs()) == 1
+    # replay-idempotence stamp survives the compaction
+    assert t.meta()["last_batch_id"] == 1
+    after = sorted(
+        (r.doc_id, r.n_corpus_matches, r.is_new)
+        for r in screen_batch(spark, root, probe).collect()
+    )
+    assert after == before
