@@ -1,0 +1,65 @@
+"""Join-strategy hint guards.
+
+``F.broadcast`` is an ORDER, not a suggestion: Spark will build the
+broadcast relation even when it is far past safe size, and the failure
+mode at 100 TB is a driver/executor OOM hours into a job.  The rule
+this module encodes:
+
+* Hint broadcast ONLY for sides with a *stated, checked* bound
+  (a benchmark eval split, a query batch, a fixed top-N) — and check
+  the bound at runtime with a cheap count so a misuse fails over to a
+  shuffle join loudly instead of OOMing silently.
+* Leave genuinely unbounded-but-usually-smallish sides (vocabularies,
+  document-frequency tables) UNHINTED and let AQE pick broadcast from
+  runtime statistics when it actually fits.
+
+``broadcast_when`` implements the first rule.  Callers count a cheap
+proxy of the side (e.g. the pre-explode document count, a
+column-pruned scan) rather than the exploded side itself, so the
+guard costs one metadata-cheap job, not a second pass over the heavy
+derivation.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+# Conf keys (override per-session to tighten/loosen the guards; tests
+# set them to 0 to force the fallback path).
+DECONTAM_MAX_EVAL_DOCS = "spark.graft.decontam.maxBroadcastEvalDocs"
+RAG_MAX_QUERY_DOCS = "spark.graft.rag.maxBroadcastQueryDocs"
+
+
+def conf_int(spark: SparkSession, key: str, default: int) -> int:
+    """Integer session conf with a default (unset → default)."""
+    return int(spark.conf.get(key, str(default)))
+
+
+def broadcast_when(
+    side: DataFrame, n_proxy: int, max_rows: int, what: str
+) -> DataFrame:
+    """Return ``F.broadcast(side)`` when the measured proxy count is
+    within the stated bound, else the unhinted ``side`` (AQE / shuffle
+    join) with a loud warning.
+
+    ``n_proxy`` is a cheap upper-bound-ish cardinality for the side —
+    e.g. the number of eval *documents* guarding a broadcast of their
+    exploded shingles.  The caller documents the precondition; this
+    enforces it.
+    """
+    if n_proxy <= max_rows:
+        return F.broadcast(side)
+    log.warning(
+        "%s: small-side proxy count %d exceeds broadcast guard %d; "
+        "falling back to an unhinted join (AQE/shuffle). If this side "
+        "is genuinely bounded, raise the guard conf.",
+        what,
+        n_proxy,
+        max_rows,
+    )
+    return side

@@ -16,9 +16,12 @@ into the artifacts a data curator actually ships:
   ordering expressed with exact integers only, so the ranking is
   bit-identical across engines (no FP log/multiply at the sort key).
 
-Scale notes are per-operator; the common theme is that eval sets and
-vocabularies are small relative to the corpus, so their sides of
-every join broadcast — the corpus side never shuffles more than once.
+Scale notes are per-operator; the common theme is that genuinely
+bounded sides (benchmark eval sets, query batches) broadcast behind a
+row-count guard that falls back to a shuffle join past a configurable
+threshold, while UNBOUNDED sides (vocabularies, document-frequency
+tables — Heaps' law puts a 100 TB corpus at 1e8–1e9 distinct tokens)
+are left unhinted so AQE picks the join strategy from runtime stats.
 """
 
 from __future__ import annotations
@@ -88,10 +91,29 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor, so the training corpus is ONE scan + ONE map-side hash
     join + one agg on doc_id; no corpus-sized shuffle of shingles.
     The explode is distinct-shingles only (bounded by doc length).
+
+    PRECONDITION (enforced): the broadcast is only safe because the
+    eval split is benchmark-sized — a held-out suite, not a corpus
+    fraction.  The testdata models it as ``doc_id % 10 == 0``, which
+    is 10% of the corpus and would NOT broadcast at 100 TB; a
+    row-count guard (``spark.graft.decontam.maxBroadcastEvalDocs``,
+    default 1e6 eval docs, counted on a cheap column-pruned scan)
+    falls back to an unhinted join — AQE/shuffle — past the bound,
+    so misuse degrades to a slower plan instead of an OOM.
     """
+    from aichemy_data_pipelines_spark.functions.hints import (
+        DECONTAM_MAX_EVAL_DOCS,
+        broadcast_when,
+        conf_int,
+    )
+    base = load_table(spark, sf_dir, "documents")
+    # Cheap proxy for the eval side's size: eval DOC count on a
+    # column-pruned scan (not the exploded shingles — no second pass).
+    n_eval_docs = (
+        base.where(F.col("doc_id") % _EVAL_MOD == 0).select("doc_id").count()
+    )
     d = exploded_shingles(
-        load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        base.repartition(spark.sparkContext.defaultParallelism)
         .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
         .where(F.size("tokens") >= _DECON_N),
         _DECON_N,
@@ -101,8 +123,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("eval_id"), "sh"
     )
     tr = d.where(F.col("doc_id") % _EVAL_MOD != 0)
+    ev_side = broadcast_when(
+        ev,
+        n_eval_docs,
+        conf_int(spark, DECONTAM_MAX_EVAL_DOCS, 1_000_000),
+        "decontam_ngram_overlap",
+    )
     return (
-        tr.join(F.broadcast(ev), "sh")
+        tr.join(ev_side, "sh")
         .groupBy("doc_id")
         .agg(
             F.countDistinct("sh").alias("n_shared_shingles"),
@@ -120,8 +148,11 @@ def docs_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, rk, token, tf, df).
 
     Scale: explode → (doc_id, token) count is one well-distributed
-    shuffle; the document-frequency table is vocabulary-sized and
-    broadcasts; the final top-k is a per-doc window (partition =
+    shuffle; the document-frequency table is vocabulary-sized, which
+    is UNBOUNDED at 100 TB (Heaps' law: 1e8–1e9 distinct tokens on a
+    web corpus), so the tf⋈df join is deliberately unhinted — AQE
+    broadcasts it when runtime stats say it fits and shuffles
+    otherwise; the final top-k is a per-doc window (partition =
     doc_id — maximal parallelism, no global sort).
     """
     tok = (
@@ -135,7 +166,7 @@ def docs_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("tf"), F.asc("df"), F.asc("token")
     )
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df, "token")  # unhinted: vocabulary-sized, AQE decides
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOP_TERMS)
         .select("doc_id", "rk", "token", "tf", "df")

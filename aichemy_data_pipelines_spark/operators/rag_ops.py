@@ -19,7 +19,15 @@ Why this is the 100 TB shape:
 * the query side is tiny and broadcast; per-bucket corpus postings
   stream through the join.  At production dimensionality (2^18+
   buckets instead of 64) the postings per bucket are sparse and the
-  join prunes to exactly the classic inverted-index probe;
+  join prunes to exactly the classic inverted-index probe.
+  PRECONDITION (enforced): broadcast is only safe because the query
+  set is a bounded batch — the testdata models it as a corpus
+  fraction (``doc_id % 100 == 0``), which would NOT broadcast at
+  100 TB, so a row-count guard
+  (``spark.graft.rag.maxBroadcastQueryDocs``, default 1e6 query
+  docs, counted on a column-pruned scan) falls back to an unhinted
+  join past the bound — misuse degrades to a shuffle plan, not an
+  OOM;
 * weights are 6dp decimals, so pair scores are EXACT decimal sums —
   order-independent, rank-stable, and hash-checkable in DuckDB.
 
@@ -120,8 +128,28 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "query_doc"
     ).withColumnRenamed("weight", "qweight")
     cw = _unit_weights(chunks, ["doc_id", "chunk_idx"])
+    from aichemy_data_pipelines_spark.functions.hints import (
+        RAG_MAX_QUERY_DOCS,
+        broadcast_when,
+        conf_int,
+    )
+
+    # Cheap proxy for the broadcast side: query DOC count on a
+    # column-pruned scan (each doc fans out to ≤ _DIM weight rows).
+    n_query_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _Q_MOD == 0)
+        .select("doc_id")
+        .count()
+    )
+    qw_side = broadcast_when(
+        qw,
+        n_query_docs,
+        conf_int(spark, RAG_MAX_QUERY_DOCS, 1_000_000),
+        "rag_chunk_retrieval",
+    )
     scores = (
-        F.broadcast(qw)
+        qw_side
         .join(cw, "pos")
         .groupBy("query_doc", "doc_id", "chunk_idx")
         .agg(

@@ -21,11 +21,16 @@ nondeterministic partial aggregation.  Only the final published
 numbers are doubles rounded to 6dp.
 
 Scale: one token explode feeds a (doc_id, term) count; the term
-document-frequency table is vocabulary-bounded (≪ corpus) and
-broadcast back; the per-doc top-k is a window partitioned BY doc_id
-(no global sort).  The Zipf fit aggregates the vocabulary-bounded
-term table to a single row — its single-partition window covers
-at most the vocabulary, never the corpus.  No UDFs, no driver loops.
+document-frequency table is smaller than the corpus but NOT bounded
+— Heaps' law (see ``corpus_vocab_growth``) puts a 100 TB web corpus
+at 1e8–1e9 distinct tokens, far past broadcast range, so the
+tc⋈idf join is left UNHINTED: AQE broadcasts it when runtime stats
+say it fits and falls back to a shuffled hash join when it doesn't
+(same rationale as the corpus-frequent-shingle join in
+overlap_ops.py).  The per-doc top-k is a window partitioned BY
+doc_id (no global sort).  The Zipf fit keeps only the top-100 terms
+— its single-partition window covers 100 rows, never the corpus.
+No UDFs, no driver loops.
 """
 
 from __future__ import annotations
@@ -74,7 +79,10 @@ def docs_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,9)")
         .alias("idf"),
     )
-    scored = tc.join(F.broadcast(idf), "term").select(
+    # No broadcast hint: the idf table is vocabulary-sized, which is
+    # unbounded under Heaps' law at 100 TB.  AQE picks broadcast when
+    # runtime stats allow and shuffles otherwise.
+    scored = tc.join(idf, "term").select(
         "doc_id",
         "term",
         "tf",

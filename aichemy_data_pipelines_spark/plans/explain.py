@@ -30,6 +30,21 @@ def assert_broadcast_join(df: DataFrame, name: str = "") -> None:
     )
 
 
+def assert_no_broadcast_hint(df: DataFrame, name: str = "") -> None:
+    """Assert the query carries NO user-forced broadcast hint.
+
+    A ``ResolvedHint`` in the analyzed plan means someone wrote
+    ``F.broadcast(...)`` — an order Spark obeys even when the side is
+    an unbounded vocabulary/df table that would OOM at 100 TB.  AQE
+    choosing a broadcast from runtime stats is fine (and invisible
+    here); a forced hint on an unbounded side is the defect.
+    """
+    analyzed = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    assert "ResolvedHint" not in analyzed, (
+        f"{name}: forced broadcast hint on an unbounded table\n{analyzed}"
+    )
+
+
 def assert_pushed_filters(df: DataFrame, fragment: str, name: str = "") -> None:
     """Assert a predicate reached the parquet scan (PushedFilters)."""
     plan = formatted_plan(df)

@@ -228,3 +228,68 @@ def test_headline_shuffle_budget(spark, name):
     assert n <= _SHUFFLE_BUDGET[name], (
         f"{name}: {n} exchanges > budget {_SHUFFLE_BUDGET[name]}"
     )
+
+
+def test_vocabulary_joins_carry_no_forced_broadcast(spark):
+    """r05-verdict fix pin: vocabulary/document-frequency tables are
+    UNBOUNDED at 100 TB (Heaps' law) — a forced F.broadcast on them is
+    a scale-killer, so the analyzed plans must carry no ResolvedHint.
+    AQE may still broadcast at runtime; that's the point."""
+    from aichemy_data_pipelines_spark.operators.corpus_ops import (
+        docs_distinct_terms,
+    )
+    from aichemy_data_pipelines_spark.operators.tfidf_ops import (
+        docs_tfidf_topterms,
+    )
+    from aichemy_data_pipelines_spark.plans.explain import (
+        assert_no_broadcast_hint,
+    )
+
+    assert_no_broadcast_hint(
+        docs_tfidf_topterms(spark, SF_SMOKE), "docs_tfidf_topterms"
+    )
+    assert_no_broadcast_hint(
+        docs_distinct_terms(spark, SF_SMOKE), "docs_distinct_terms"
+    )
+
+
+def _collect_sorted(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    ("conf_key", "opname"),
+    [
+        (
+            "spark.graft.decontam.maxBroadcastEvalDocs",
+            "decontam_ngram_overlap",
+        ),
+        ("spark.graft.rag.maxBroadcastQueryDocs", "rag_chunk_retrieval"),
+    ],
+)
+def test_guarded_broadcast_falls_back_past_threshold(spark, conf_key, opname):
+    """The broadcast-precondition guard: with the threshold forced to
+    0 the small side no longer carries a hint (shuffle/AQE join), and
+    the results are identical to the hinted plan."""
+    from aichemy_data_pipelines_spark.operators.corpus_ops import (
+        decontam_ngram_overlap,
+    )
+    from aichemy_data_pipelines_spark.operators.rag_ops import (
+        rag_chunk_retrieval,
+    )
+    from aichemy_data_pipelines_spark.plans.explain import (
+        assert_no_broadcast_hint,
+    )
+
+    fn = {
+        "decontam_ngram_overlap": decontam_ngram_overlap,
+        "rag_chunk_retrieval": rag_chunk_retrieval,
+    }[opname]
+    hinted = _collect_sorted(fn(spark, SF_SMOKE))
+    spark.conf.set(conf_key, "0")
+    try:
+        fallback_df = fn(spark, SF_SMOKE)
+        assert_no_broadcast_hint(fallback_df, f"{opname} (guard tripped)")
+        assert _collect_sorted(fallback_df) == hinted
+    finally:
+        spark.conf.unset(conf_key)
