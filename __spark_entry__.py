@@ -67,19 +67,22 @@ def _suites():
 # the front as other queries get re-checked.
 
 
-def _attestation_order(names):
+def _attestation_order(names, root=None):
     """Sort query names least-recently-driver-attested-first.
 
     A query's attestation round is the newest CORRECTNESS_r*.json in
     which the driver recorded a fully green row (rows+schema+hash).
     Never-attested queries get round 0 and lead the order.
+    ``root`` (default: this module's directory) is where the
+    CORRECTNESS snapshots live — injectable for tests.
     """
     import glob
     import json
     import os
     import re
 
-    root = os.path.dirname(os.path.abspath(__file__))
+    if root is None:
+        root = os.path.dirname(os.path.abspath(__file__))
     last_green: dict[str, int] = {}
     last_red: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):

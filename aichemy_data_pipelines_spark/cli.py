@@ -213,7 +213,16 @@ def main(argv: list[str] | None = None) -> int:
             spark,
             target_file_bytes=args.target_file_mb << 20,
             partition_by=(
-                args.partition_by.split(",") if args.partition_by else None
+                # tolerate "band, key" / trailing commas: strip
+                # whitespace, drop empties, None if nothing is left
+                [
+                    c.strip()
+                    for c in args.partition_by.split(",")
+                    if c.strip()
+                ]
+                or None
+                if args.partition_by
+                else None
             ),
         )
         removed = table.vacuum() if args.vacuum else []

@@ -323,6 +323,11 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: words/syllables are exact integers; the score is
     one identical IEEE double chain in both engines, rounded 6dp.
+    A zero-token document (empty/punctuation-only text) gets an
+    EXPLICIT NULL flesch in both engines — without the guard Spark's
+    non-ANSI divide-by-zero yields NULL while DuckDB's IEEE default
+    yields ±inf/NaN, so parity would silently depend on the corpus
+    never containing token-less docs.
 
     Scale: pure map (regexp per token inside codegen), no shuffle.
     """
@@ -339,15 +344,18 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "flesch",
-            F.round(
-                F.lit(206.835)
-                - F.lit(1.015) * F.col("n_words")
-                - F.lit(84.6)
-                * (
-                    F.col("n_syllables").cast("double")
-                    / F.col("n_words")
+            F.when(
+                F.col("n_words") >= 1,
+                F.round(
+                    F.lit(206.835)
+                    - F.lit(1.015) * F.col("n_words")
+                    - F.lit(84.6)
+                    * (
+                        F.col("n_syllables").cast("double")
+                        / F.col("n_words")
+                    ),
+                    6,
                 ),
-                6,
             ),
         )
     )
@@ -405,15 +413,17 @@ ORACLE = {
         ), c AS (
             SELECT doc_id,
                    CAST(len(tokens) AS INTEGER) AS n_words,
-                   CAST(list_aggregate(list_transform(tokens,
+                   CAST(COALESCE(list_aggregate(list_transform(tokens,
                         tk -> len(regexp_extract_all(tk, '[aeiou]+'))),
-                        'sum') AS INTEGER) AS n_syllables
+                        'sum'), 0) AS INTEGER) AS n_syllables
             FROM t
         )
         SELECT doc_id, n_words, n_syllables,
-               ROUND(206.835 - 1.015 * n_words
-                     - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6)
-                 AS flesch
+               CASE WHEN n_words >= 1 THEN
+                   ROUND(206.835 - 1.015 * n_words
+                         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                         6)
+               END AS flesch
         FROM c
     """,
     "text_bm25_scores": _SQL_BM25,

@@ -94,6 +94,22 @@ class AtomicParquetTable:
             m = json.load(f)
         return [os.path.join(self.root, d) for d in m["dirs"]]
 
+    def partition_schemas(self, version: int | None = None) -> dict:
+        """{rel_dir: {partition_col: ddl_type}} recorded at write time.
+
+        Hive directory names carry VALUES, not types — Spark re-infers
+        partition-column types on read, so a numeric-looking STRING
+        shard column ('01', '1') silently reads back as int, collapsing
+        distinct partition values; a compact() rewrite would then make
+        the inference permanent on disk.  Recording the writer's types
+        here lets ``read`` disable inference and cast back exactly.
+        """
+        v = self._latest_version() if version is None else version
+        if v == 0:
+            return {}
+        with open(self._manifest_path(v)) as f:
+            return json.load(f).get("partition_schemas", {})
+
     def meta(self, version: int | None = None) -> dict:
         """Caller-supplied metadata recorded with the commit (e.g. the
         last streaming batch_id) — the hook that makes foreachBatch
@@ -132,11 +148,39 @@ class AtomicParquetTable:
         dirs = [d for d in dirs if self._dir_has_parquet(d)]
         if not dirs:
             return None
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
+        part_schemas = self.partition_schemas(version)
+
+        def read_dir(d: str) -> DataFrame:
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            ps = part_schemas.get(os.path.relpath(d, self.root))
+            if not ps:
+                # legacy commit (pre-typed-partition manifests): keep
+                # the old inference behavior
+                return reader.parquet(d)
+            # partition dirs carry values, not types — read them as
+            # plain strings (inference OFF) and cast back to the
+            # writer-recorded types so '01' vs '1' shard values can
+            # never collapse via int inference
+            key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+            prev = spark.conf.get(key)
+            spark.conf.set(key, "false")
+            try:
+                # relation (and partition) resolution happens HERE,
+                # eagerly, so restoring the conf after is safe
+                df = reader.parquet(d)
+            finally:
+                spark.conf.set(key, prev)
+            from pyspark.sql import functions as F
+
+            for c, t in ps.items():
+                if c in df.columns:
+                    df = df.withColumn(c, F.col(c).cast(t))
+            return df
+
         if len(dirs) == 1:
-            return reader.parquet(dirs[0])
+            return read_dir(dirs[0])
         # multi-dir versions read per dir + unionByName: a multi-path
         # scan samples ONE footer for the schema, silently
         # dropping/null-filling evolved columns, and cannot infer
@@ -147,7 +191,7 @@ class AtomicParquetTable:
         # driver-side footer loads — compact() collapses them.
         out = None
         for d in dirs:
-            df = reader.parquet(d)
+            df = read_dir(d)
             out = (
                 df
                 if out is None
@@ -208,7 +252,11 @@ class AtomicParquetTable:
             os.close(pfd)
 
     def _publish(
-        self, version: int, rel_dirs: list[str], meta: dict | None = None
+        self,
+        version: int,
+        rel_dirs: list[str],
+        meta: dict | None = None,
+        partition_schemas: dict | None = None,
     ) -> None:
         final = self._manifest_path(version)
         tmp = os.path.join(
@@ -223,6 +271,7 @@ class AtomicParquetTable:
                         "version": version,
                         "dirs": rel_dirs,
                         "meta": meta or {},
+                        "partition_schemas": partition_schemas or {},
                     }
                 ).encode(),
             )
@@ -252,13 +301,29 @@ class AtomicParquetTable:
     ) -> int:
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         v = self._latest_version()
-        prev_rel = []
+        prev_rel: list[str] = []
+        prev_ps: dict = {}
         if keep_old and v:
             with open(self._manifest_path(v)) as f:
-                prev_rel = json.load(f)["dirs"]
+                prev_manifest = json.load(f)
+            prev_rel = prev_manifest["dirs"]
+            prev_ps = {
+                d: s
+                for d, s in prev_manifest.get(
+                    "partition_schemas", {}
+                ).items()
+                if d in prev_rel
+            }
         new_rel = self._write_data(df, v + 1, partition_by)
+        if partition_by:
+            # record the WRITER's partition-column types so reads can
+            # undo hive type inference (see partition_schemas())
+            prev_ps[new_rel] = {
+                c: df.schema[c].dataType.simpleString()
+                for c in partition_by
+            }
         self._fsync_tree(new_rel)
-        self._publish(v + 1, prev_rel + [new_rel], meta)
+        self._publish(v + 1, prev_rel + [new_rel], meta, prev_ps)
         return v + 1
 
     def append(

@@ -120,9 +120,17 @@ def accept_batch(
     batch_id: int | None = None,
 ) -> int:
     """Append the batch's band keys to the index (replay-idempotent
-    when ``batch_id`` is supplied)."""
+    when ``batch_id`` is supplied).
+
+    Replay guard is a HIGH-WATERMARK, not last-id equality: Structured
+    Streaming's foreachBatch ids are monotonically increasing, so ANY
+    ``batch_id <= last_batch_id`` is a replay of an already-applied
+    batch — equality-only would re-append the keys of any batch older
+    than the most recent one (duplicate index rows, meta stamp moving
+    backwards) if the checkpoint ever re-delivered it."""
     table = _index_table(root)
-    if batch_id is not None and table.meta().get("last_batch_id") == batch_id:
+    last = table.meta().get("last_batch_id")
+    if batch_id is not None and last is not None and batch_id <= last:
         return table.version()
     meta = dict(table.meta())
     if batch_id is not None:

@@ -75,7 +75,12 @@ def ingest_batch(
     replay-idempotence contract is directly testable — see
     tests/test_corpus_ingest.py crash-replay cases)."""
     sess = batch_df.sparkSession
-    if sig_index.meta().get("last_batch_id") == batch_id:
+    # high-watermark replay guard: foreachBatch ids are monotonic, so
+    # any batch_id <= the committed watermark is a replay — equality
+    # alone would re-append an older batch's rows if the checkpoint
+    # re-delivered one behind the latest
+    sig_last = sig_index.meta().get("last_batch_id")
+    if sig_last is not None and batch_id <= sig_last:
         return  # replay of a fully-committed batch
     # one materialization: quality, banding and both appends all
     # reuse the batch (same lineage-cut rationale as run_once)
@@ -113,7 +118,8 @@ def ingest_batch(
     accepted = passed.join(dups, "doc_id", "left_anti").localCheckpoint(
         eager=True
     )
-    if curated.meta().get("last_batch_id") != batch_id:
+    cur_last = curated.meta().get("last_batch_id")
+    if cur_last is None or batch_id > cur_last:
         curated.append(accepted, meta={"last_batch_id": batch_id})
     acc_bands = bands.join(
         accepted.select("doc_id"), "doc_id"

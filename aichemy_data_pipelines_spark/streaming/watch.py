@@ -863,7 +863,11 @@ def merge_ledger_batch(batch_df: DataFrame, batch_id: int, table) -> None:
     replay-idempotence contract is directly testable).  ``table`` is a
     pipeline.atomic.AtomicParquetTable; the merge no-ops when the
     ledger's manifest already carries this batch_id."""
-    if table.meta().get("last_batch_id") == batch_id:
+    # high-watermark, not equality: foreachBatch ids are monotonic,
+    # so any id <= the committed watermark is a replay (equality-only
+    # would re-merge an older re-delivered batch, double-counting it)
+    last = table.meta().get("last_batch_id")
+    if last is not None and batch_id <= last:
         return  # replay of an already-merged batch
     part = batch_df.groupBy("user_id").agg(
         F.count("*").alias("n_events"),

@@ -332,3 +332,53 @@ def test_empty_append_does_not_brick_reads(spark, tmp_path):
     t2 = AtomicParquetTable(str(tmp_path / "t2"))
     t2.append(empty, partition_by=["b"])
     assert t2.read(spark) is None
+
+
+def test_partition_type_survives_read_and_compact(spark, tmp_path):
+    """Hive dirs carry values, not types: a numeric-looking STRING
+    shard column ('01' vs '1' — distinct strings, equal ints) must
+    round-trip byte-exact through read() and compact(), not be
+    silently retyped to int by partition inference (which would
+    collapse the two partitions permanently once vacuumed)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    table = AtomicParquetTable(str(tmp_path / "typed"))
+    df = spark.createDataFrame(
+        [(1, "01"), (2, "1"), (3, "01"), (4, "2")], "id int, shard string"
+    )
+    table.overwrite(df, partition_by=["shard"])
+
+    got = table.read(spark)
+    assert dict(got.dtypes)["shard"] == "string"
+    assert sorted((r.id, r.shard) for r in got.collect()) == [
+        (1, "01"), (2, "1"), (3, "01"), (4, "2"),
+    ]
+
+    # compact must preserve both the type and the distinct dirs
+    table.compact(spark, partition_by=["shard"])
+    (d,) = table.current_dirs()
+    subdirs = {n for n in os.listdir(d) if os.path.isdir(os.path.join(d, n))}
+    assert {"shard=01", "shard=1", "shard=2"} <= subdirs
+    got2 = table.read(spark)
+    assert dict(got2.dtypes)["shard"] == "string"
+    assert sorted((r.id, r.shard) for r in got2.collect()) == [
+        (1, "01"), (2, "1"), (3, "01"), (4, "2"),
+    ]
+
+    # typed (int) partition columns keep their type too
+    t2 = AtomicParquetTable(str(tmp_path / "typed_int"))
+    t2.overwrite(
+        spark.range(4).withColumn("b", (F.col("id") % 2).cast("int")),
+        partition_by=["b"],
+    )
+    t2.append(
+        spark.range(4, 8).withColumn("b", (F.col("id") % 2).cast("int")),
+        partition_by=["b"],
+    )
+    got3 = t2.read(spark)
+    assert dict(got3.dtypes)["b"] == "int"
+    assert sorted(r.id for r in got3.collect()) == list(range(8))

@@ -65,11 +65,10 @@ def test_driver_window_is_mechanical_least_recently_attested():
     assert ks[: len(never)] == never
 
 
-def test_attestation_order_promotes_regressions(tmp_path, monkeypatch):
+def test_attestation_order_promotes_regressions(tmp_path):
     """Synthetic snapshots: green r01 then red r02 must sort with the
     never-attested group, ahead of a query green in r01 only."""
     import json
-    import os
 
     import __spark_entry__ as e
 
@@ -87,10 +86,9 @@ def test_attestation_order_promotes_regressions(tmp_path, monkeypatch):
             {"regressed": {"rows_match": True, "schema_match": True, "hash_match": False}}
         )
     )
-    monkeypatch.setattr(
-        os.path, "dirname", lambda p, _d=os.path.dirname: str(root)
+    order = e._attestation_order(
+        ["stale_green", "regressed", "fresh"], root=str(root)
     )
-    order = e._attestation_order(["stale_green", "regressed", "fresh"])
     assert order == ["fresh", "regressed", "stale_green"]
 
 

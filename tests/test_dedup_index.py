@@ -53,6 +53,13 @@ def test_accept_makes_batch_visible_and_is_idempotent(spark, tmp_path):
     # replay of the same batch_id is a no-op commit
     assert accept_batch(root, batch, batch_id=7) == v1
     assert _index_table(root).meta()["last_batch_id"] == 7
+    n_rows = _index_table(root).read(spark).count()
+    # replay of any OLDER batch id is also a no-op (high-watermark
+    # guard, not last-id equality): no duplicate band rows, and the
+    # meta stamp never moves backwards
+    assert accept_batch(root, batch, batch_id=3) == v1
+    assert _index_table(root).meta()["last_batch_id"] == 7
+    assert _index_table(root).read(spark).count() == n_rows
     # every batch doc with bands now matches ITSELF in the index
     rescreen = screen_batch(spark, root, batch).collect()
     assert rescreen

@@ -239,6 +239,40 @@ def test_cli_table_compact(spark, tmp_path, capsys):
     assert sorted(r.id for r in t.read(spark).collect()) == list(range(15))
 
 
+def test_cli_table_compact_partition_by_tolerates_spaces(
+    spark, tmp_path, capsys
+):
+    """'--partition-by \"shard, b\"' must parse to ['shard', 'b'] —
+    a bare split(',') used to produce a column named ' b' and fail
+    the rewrite on an otherwise valid invocation."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.cli import main
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    root = str(tmp_path / "ptbl")
+    t = AtomicParquetTable(root)
+    t.overwrite(
+        spark.range(8)
+        .withColumn("shard", (F.col("id") % 2).cast("string"))
+        .withColumn("b", (F.col("id") % 4).cast("string")),
+        partition_by=["shard", "b"],
+    )
+    rc = main(
+        ["table-compact", "--table-root", root, "--target-file-mb", "1",
+         "--partition-by", "shard, b,"]
+    )
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["version"] == 2
+    (d,) = t.current_dirs()
+    assert any(n.startswith("shard=") for n in os.listdir(d))
+    assert sorted(r.id for r in t.read(spark).collect()) == list(range(8))
+
+
 def test_cli_index_build(spark, tmp_path, capsys):
     import json as _json
 

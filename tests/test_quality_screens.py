@@ -131,3 +131,48 @@ def test_quantile_histogram_rollup_ground_truth(spark):
             # width-bounded error vs the exact quantile
             exact = sorted(vals)[max(0, -(-q * total // 100) - 1)]
             assert lo <= exact < lo + 2 * width
+
+
+def test_readability_empty_doc_is_explicit_null(spark, tmp_path):
+    """Empty/punctuation-only documents must agree between engines.
+
+    With the whitespace tokenizer, split('') returns [''] in BOTH
+    engines, so n_words is never 0 today — but the n_words >= 1 guard
+    pins flesch = explicit NULL for any future tokenizer that CAN
+    emit zero tokens (Spark's non-ANSI divide would give NULL, DuckDB
+    ±inf — a silent parity break).  This test locks the degenerate
+    inputs end-to-end against the DuckDB oracle."""
+    import duckdb
+
+    from aichemy_data_pipelines_spark.operators.textops import ORACLE
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en", "web", 19),
+            (2, "", "en", "web", 0),
+            (3, "!!! ??? ...", "en", "web", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {
+        r.doc_id: r
+        for r in text_readability(spark, sf).collect()
+    }
+    # split('') -> [''] in both engines: one degenerate empty token
+    assert rows[2].n_words == 1 and rows[2].n_syllables == 0
+    assert rows[3].n_words == 3 and rows[3].n_syllables == 0
+    assert rows[1].flesch is not None
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    orows = {
+        r[0]: r for r in con.sql(ORACLE["text_readability"]).fetchall()
+    }
+    for doc_id in (1, 2, 3):
+        s, o = rows[doc_id], orows[doc_id]
+        assert (s.n_words, s.n_syllables, s.flesch) == (o[1], o[2], o[3])
