@@ -102,6 +102,16 @@ def _attestation_order(names, root=None):
                 and row.get("hash_match")
             ):
                 last_green[name] = max(last_green.get(name, 0), rnd)
+            elif (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
+            ):
+                # the sanctioned rows-only attestation for queries
+                # declared without an oracle (e.g. xxhash64-based
+                # dedup_minhash_lsh_fast): the driver ran the query
+                # and recorded its rows — count it as attested, or it
+                # would jam the window front forever as a false red
+                last_green[name] = max(last_green.get(name, 0), rnd)
             else:
                 last_red[name] = max(last_red.get(name, 0), rnd)
 

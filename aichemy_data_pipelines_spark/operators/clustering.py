@@ -39,10 +39,35 @@ _JACCARD_MIN = 0.5
 _MAX_ITERS = 20
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _make_ckpt(spark: SparkSession, reliable_dir: str | None):
+    """Per-round lineage cut for the iterative loops.
+
+    Default: ``localCheckpoint`` — executor-storage-backed, zero
+    infra, right for local/bench runs.  Scale: on a 1000-executor
+    cluster a LOST EXECUTOR forfeits its localCheckpoint blocks and
+    the whole iteration (no lineage left to recompute from) — pass
+    ``reliable_dir`` (HDFS/S3 path) to use reliable ``checkpoint()``
+    to durable storage instead, which survives executor loss at the
+    cost of a write per round.
+    """
+    if reliable_dir is None:
+        return lambda df: df.localCheckpoint()
+    spark.sparkContext.setCheckpointDir(reliable_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
+def dedup_clusters(
+    spark: SparkSession,
+    sf_dir: str,
+    reliable_dir: str | None = None,
+) -> DataFrame:
     """Connected components over jaccard≥0.5 LSH pairs; every doc
     gets a cluster id (= min doc_id in its component; singletons are
-    their own cluster) and the cluster size."""
+    their own cluster) and the cluster size.
+
+    ``reliable_dir``: durable checkpoint location for cluster runs —
+    see ``_make_ckpt`` (localCheckpoint default dies with a lost
+    executor mid-iteration)."""
     # the label-propagation loop runs many small shuffles; a caller
     # session's default 200 partitions would mean 200 tiny tasks per
     # iteration — pin to the session's core count for this job, and
@@ -55,36 +80,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         str(spark.sparkContext.defaultParallelism),
     )
     try:
-        return _dedup_clusters_inner(spark, sf_dir)
+        return _dedup_clusters_inner(spark, sf_dir, reliable_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
-def _dedup_clusters_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dedup_clusters_inner(
+    spark: SparkSession, sf_dir: str, reliable_dir: str | None = None
+) -> DataFrame:
+    ckpt = _make_ckpt(spark, reliable_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .where(F.col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b")
     )
-    # localCheckpoint (NOT persist): each round's result must TRUNCATE
+    # checkpoint (NOT persist): each round's result must TRUNCATE
     # the logical plan, or round N's plan embeds rounds 1..N-1 and
     # Catalyst analysis (DeduplicateRelations) blows the heap after a
     # handful of rounds — persist caches data but keeps full lineage.
-    # On a real cluster swap for reliable checkpoint() to durable
-    # storage (localCheckpoint dies with an executor).
-    edges = pairs.union(
+    # ckpt = localCheckpoint by default, reliable checkpoint() when
+    # reliable_dir is set (see _make_ckpt).
+    edges = ckpt(pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
+    ))
 
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    labels = ckpt(docs.select("doc_id", F.col("doc_id").alias("label")))
     for _ in range(_MAX_ITERS):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy("doc_a")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        new_labels = ckpt(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.doc_a, "left")
             .select(
                 "doc_id",
@@ -92,7 +120,6 @@ def _dedup_clusters_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -120,6 +147,7 @@ def dedup_clusters_star(
     spark: SparkSession,
     sf_dir: str,
     _iters_out: list | None = None,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
     """Connected components via alternating LARGE-STAR / SMALL-STAR
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -137,6 +165,9 @@ def dedup_clusters_star(
     Output contract (and DuckDB oracle) is IDENTICAL to
     dedup_clusters: (doc_id, cluster_id = component min, cluster_size).
     ``_iters_out`` (tests) receives the converged round count.
+    ``reliable_dir``: durable checkpoint location (see ``_make_ckpt``
+    — localCheckpoint default forfeits the iteration on executor
+    loss at cluster scale).
     """
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -144,7 +175,9 @@ def dedup_clusters_star(
         str(spark.sparkContext.defaultParallelism),
     )
     try:
-        return _dedup_clusters_star_inner(spark, sf_dir, _iters_out)
+        return _dedup_clusters_star_inner(
+            spark, sf_dir, _iters_out, reliable_dir
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
@@ -183,22 +216,26 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _dedup_clusters_star_inner(
-    spark: SparkSession, sf_dir: str, _iters_out: list | None
+    spark: SparkSession,
+    sf_dir: str,
+    _iters_out: list | None,
+    reliable_dir: str | None = None,
 ) -> DataFrame:
+    ckpt = _make_ckpt(spark, reliable_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     pairs = (
         dedup_ngram_jaccard(spark, sf_dir)
         .where(F.col("jaccard") >= _JACCARD_MIN)
         .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     )
-    # localCheckpoint per round: truncates lineage so round N's plan
+    # checkpoint per round: truncates lineage so round N's plan
     # doesn't embed rounds 1..N-1 (see _dedup_clusters_inner note).
-    edges = pairs.localCheckpoint()
+    edges = ckpt(pairs)
     n_edges = edges.count()
     iters = 0
     for _ in range(_MAX_ITERS):
         iters += 1
-        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        new_edges = ckpt(_small_star(_large_star(edges)))
         # both sides are distinct sets (each star op ends in distinct),
         # so equal cardinality + empty one-sided difference ⇒ set
         # equality; counts on checkpointed frames are near-free

@@ -108,6 +108,24 @@ class PipelineConfig:
     max_attempts: int = 3
     fail_threshold: int = 10
     run_suffix: str = ".d"
+    #: Open extension point.  Recognized keys:
+    #:
+    #: * ``pool`` — Spark fair-scheduler pool (reference MS_POOL).
+    #: * ``converter`` — a picklable callable
+    #:   ``(run_dir, tmp_out_path, ctx) -> (n_bytes_in, n_bytes_out)``
+    #:   executed on EXECUTORS in place of the deterministic stub:
+    #:   it must write the converted output to ``tmp_out_path`` (the
+    #:   framework renames atomically and ledgers the attempt) and
+    #:   raise on failure.  This is the hook for the real
+    #:   msconvert-in-container invocation (reference
+    #:   msconvert_dag.py:249-343) — the callable shells out to
+    #:   docker/the tool using the knobs in ``ctx``.
+    #: * ``converter_ctx`` — dict passed verbatim to ``converter``:
+    #:   the container knobs the reference configures via env
+    #:   (msconvert_dag.py:48-60 — PWIZ_IMAGE, MS_DOCKER_PRIVILEGED,
+    #:   RUN_UID/RUN_GID, HOST_WINE_CACHE), e.g. ``{"image": ...,
+    #:   "privileged": True, "uid": 1000, "gid": 1000,
+    #:   "wine_cache": "/cache"}``.
     extra: dict = field(default_factory=dict)
 
 
@@ -200,11 +218,20 @@ class WatchConvertPipeline:
         file in the run dir, writes output atomically
         (.partial → rename, = reference's tmp.replace), tracks
         attempts, honors the existing-output idempotency check.
+
+        A REAL converter plugs in via ``cfg.extra["converter"]`` /
+        ``extra["converter_ctx"]`` (see PipelineConfig): the callable
+        runs on executors inside this same mapInPandas stage, writes
+        to the ``.partial`` path, and inherits the full
+        attempt/rename/ledger protocol — only the payload generation
+        is swapped.
         """
         cfg = self.cfg
         ext = "mzML" if cfg.fmt.lower() == "mzml" else "mzXML"
         gz = ".gz" if cfg.gzip_out else ""
         out_root = cfg.output_dir
+        converter = cfg.extra.get("converter")
+        converter_ctx = dict(cfg.extra.get("converter_ctx", {}))
         runs = self._with_prev_attempts(runs)
 
         def do_convert(batches):
@@ -234,35 +261,48 @@ class WatchConvertPipeline:
                         )
                         continue
                     try:
-                        h = hashlib.md5()
-                        n_in = 0
-                        for fn in sorted(os.listdir(r.run_dir)):
-                            fp = os.path.join(r.run_dir, fn)
-                            if os.path.isfile(fp):
-                                data = open(fp, "rb").read()
-                                if data.startswith(b"CORRUPT"):
-                                    # stand-in for the real tool's
-                                    # nonzero exit on unreadable input
-                                    raise ValueError(f"corrupt input {fp}")
-                                n_in += len(data)
-                                h.update(data)
-                        if n_in == 0:
-                            raise ValueError(f"empty run dir {r.run_dir}")
-                        payload = (
-                            f'<?xml version="1.0"?><{ext}><run base="{r.base}" '
-                            f'checksum="{h.hexdigest()}" bytes="{n_in}"/>'
-                            f"</{ext}>"
-                        ).encode()
-                        if cfg.gzip_out:
-                            payload = gzmod.compress(payload, mtime=0)
                         tmp = outfile + ".partial"
-                        with open(tmp, "wb") as f:
-                            f.write(payload)
+                        if converter is not None:
+                            # user-supplied real converter (e.g. the
+                            # containerized msconvert invocation):
+                            # writes tmp, returns byte counts, raises
+                            # on failure — rename/ledger stay ours
+                            n_in, n_out = converter(
+                                r.run_dir, tmp, converter_ctx
+                            )
+                        else:
+                            h = hashlib.md5()
+                            n_in = 0
+                            for fn in sorted(os.listdir(r.run_dir)):
+                                fp = os.path.join(r.run_dir, fn)
+                                if os.path.isfile(fp):
+                                    data = open(fp, "rb").read()
+                                    if data.startswith(b"CORRUPT"):
+                                        # stand-in for the real tool's
+                                        # nonzero exit on unreadable input
+                                        raise ValueError(
+                                            f"corrupt input {fp}"
+                                        )
+                                    n_in += len(data)
+                                    h.update(data)
+                            if n_in == 0:
+                                raise ValueError(f"empty run dir {r.run_dir}")
+                            payload = (
+                                f'<?xml version="1.0"?><{ext}>'
+                                f'<run base="{r.base}" '
+                                f'checksum="{h.hexdigest()}" bytes="{n_in}"/>'
+                                f"</{ext}>"
+                            ).encode()
+                            if cfg.gzip_out:
+                                payload = gzmod.compress(payload, mtime=0)
+                            with open(tmp, "wb") as f:
+                                f.write(payload)
+                            n_out = len(payload)
                         os.replace(tmp, outfile)
                         dur = int((time.perf_counter() - t_start) * 1000)
                         rows.append(
                             (r.base, r.plate_rel, outfile, n_in,
-                             len(payload), "ok", attempts, dur, now_iso)
+                             n_out, "ok", attempts, dur, now_iso)
                         )
                     except Exception:  # noqa: BLE001 — status ledger, not crash
                         dur = int((time.perf_counter() - t_start) * 1000)

@@ -5,13 +5,15 @@ from __future__ import annotations
 
 import __spark_entry__ as entry_mod
 
-#: Queries deliberately shipped WITHOUT a DuckDB oracle (driver
-#: records a weaker rows-only check). EMPTY since round 5
-#: (dedup_minhash_lsh_fast was undeclared — a query the driver can
-#: structurally never green is a standing defect, per the r04
-#: verdict). Growing this list is a deliberate act — every addition
-#: needs a pinned-semantics test like the lsh_fast recall test.
-ROWS_ONLY: set[str] = set()
+#: Queries deliberately shipped WITHOUT a DuckDB oracle (the driver
+#: records the sanctioned weaker rows-only check: err='no_oracle' +
+#: spark_rows). dedup_minhash_lsh_fast re-entered in round 6 per the
+#: r05 verdict: xxhash64 has no DuckDB twin, a rows-only driver row
+#: beats no driver row, and _attestation_order counts such rows as
+#: attested so it cannot jam the window. Growing this list is a
+#: deliberate act — every addition needs a pinned-semantics test
+#: like the lsh_fast recall test (tests/test_dedup.py).
+ROWS_ONLY: set[str] = {"dedup_minhash_lsh_fast"}
 
 
 def test_every_query_has_oracle_or_declared_rows_only():
@@ -46,6 +48,9 @@ def test_driver_window_is_mechanical_least_recently_attested():
                 row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
+            ) or (
+                row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
             ):
                 last_green[name] = max(last_green.get(name, 0), rnd)
             else:
@@ -134,5 +139,6 @@ def test_all_operator_modules_import_cleanly():
         assert isinstance(mod.QUERIES, dict) and mod.QUERIES, name
         assert isinstance(mod.ORACLE, dict), name
         # every declared query in the module has an oracle twin
-        missing = set(mod.QUERIES) - set(mod.ORACLE)
+        # (except the explicit rows-only roster)
+        missing = set(mod.QUERIES) - set(mod.ORACLE) - ROWS_ONLY
         assert not missing, (name, missing)

@@ -320,3 +320,36 @@ def test_cluster_stats_consistency(spark):
     dropped = sum(r.n_dropped for r in stats)
     keep = dedup_keep_one(spark, SF_SMOKE).collect()
     assert dropped == sum(1 for r in keep if not r.keep)
+
+
+def test_reliable_checkpoint_path_matches_local(spark, tmp_path):
+    """dedup_clusters(reliable_dir=...) must produce the identical
+    labeling through durable checkpoint() (the cluster-scale path —
+    localCheckpoint forfeits the iteration on executor loss) and
+    actually materialize checkpoint data under the given dir."""
+    import os
+
+    from aichemy_data_pipelines_spark.operators.clustering import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    base = sorted(
+        tuple(r) for r in dedup_clusters(spark, SF_SMOKE).collect()
+    )
+    ck = str(tmp_path / "ckpt")
+    rel = sorted(
+        tuple(r)
+        for r in dedup_clusters(spark, SF_SMOKE, reliable_dir=ck).collect()
+    )
+    assert rel == base
+    assert any(os.scandir(ck)), "no reliable checkpoint data written"
+
+    ck2 = str(tmp_path / "ckpt_star")
+    rel_star = sorted(
+        tuple(r)
+        for r in dedup_clusters_star(
+            spark, SF_SMOKE, reliable_dir=ck2
+        ).collect()
+    )
+    assert rel_star == base

@@ -61,6 +61,13 @@ def test_no_array_output_columns(spark, name):
 
 @pytest.mark.parametrize("name", _WINDOW)
 def test_driver_representation_parity(spark, name):
+    if name not in _ORACLE:
+        # declared rows-only (tests/test_contract.py ROWS_ONLY): the
+        # driver records err='no_oracle' + spark_rows — replicate
+        # that weaker check (runs + canonicalizes + nonempty)
+        spdf = canon(_QUERIES[name](spark, SF_ORACLE).toPandas())
+        assert len(spdf) > 0, f"{name}: rows-only query returned 0 rows"
+        return
     spdf = canon(_QUERIES[name](spark, SF_ORACLE).toPandas())
     con = _duck(SF_ORACLE)
     dpdf = canon(con.sql(_ORACLE[name]).df())

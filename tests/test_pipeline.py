@@ -287,3 +287,89 @@ def test_cli_index_build(spark, tmp_path, capsys):
         assert rc == 0
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert out == {"kind": kind, "version": 1}
+
+
+def test_user_converter_hook_end_to_end(spark, tmp_path):
+    """cfg.extra['converter'] + ['converter_ctx'] (the real-tool hook,
+    reference msconvert_dag.py:48-60 container knobs) must run inside
+    the mapInPandas stage through run_once: output written via the
+    .partial -> rename protocol, ledger rows ok, byte counts from the
+    converter's return."""
+
+    # nested (not module-level) so cloudpickle ships it BY VALUE to
+    # executors — a test-module global would pickle by reference and
+    # fail to import on the worker
+    def _fake_msconvert(run_dir, tmp_out, ctx):
+        data = b""
+        for fn in sorted(os.listdir(run_dir)):
+            fp = os.path.join(run_dir, fn)
+            if os.path.isfile(fp):
+                data += open(fp, "rb").read()
+        if not data:
+            raise ValueError("empty run")
+        payload = (
+            b"FAKE-MSCONVERT image=" + ctx["image"].encode()
+            + b" uid=" + str(ctx["uid"]).encode()
+            + b" bytes=" + str(len(data)).encode()
+        )
+        with open(tmp_out, "wb") as f:
+            f.write(payload)
+        return len(data), len(payload)
+
+    watch = str(tmp_path / "watch")
+    out = str(tmp_path / "out")
+    arc = str(tmp_path / "arc")
+    make_tree(
+        watch,
+        {"plateX": {"runA": {"a.bin": b"payload-a"},
+                    "runB": {"b.bin": b"payload-bb"}}},
+    )
+    cfg = PipelineConfig(
+        watch_dir=watch, output_dir=out, archive_dir=arc,
+        quiet_seconds=0, gzip_out=False,
+        extra={
+            "converter": _fake_msconvert,
+            "converter_ctx": {
+                "image": "chambm/pwiz-skyline-i-agree:latest",
+                "privileged": True, "uid": 1000, "gid": 1000,
+                "wine_cache": "/tmp/winecache",
+            },
+        },
+    )
+    pipe = WatchConvertPipeline(spark, cfg)
+    stats = pipe.run_once()
+    assert stats["succeeded"] == 2, stats
+    fa = os.path.join(out, "plateX", "runA-converted.mzML")
+    assert os.path.exists(fa)
+    body = open(fa, "rb").read()
+    assert body.startswith(b"FAKE-MSCONVERT image=chambm/pwiz")
+    assert b"uid=1000" in body and b"bytes=9" in body
+    assert not os.path.exists(fa + ".partial")
+    # re-run is idempotent: the ledger suppresses re-discovery
+    stats2 = pipe.run_once()
+    assert stats2["total"] == 0, stats2
+
+
+def test_user_converter_failure_ledgers_attempt(spark, tmp_path):
+    """A converter that raises must produce a 'failed' ledger row and
+    count an attempt, same as the stub path."""
+    watch = str(tmp_path / "watch")
+    make_tree(watch, {"p": {"bad": {"a.bin": b"x"}}})
+
+    def boom(run_dir, tmp_out, ctx):
+        raise RuntimeError("tool exit 1")
+
+    cfg = PipelineConfig(
+        watch_dir=watch, output_dir=str(tmp_path / "o"),
+        archive_dir=str(tmp_path / "a"), quiet_seconds=0,
+        extra={"converter": boom},
+    )
+    pipe = WatchConvertPipeline(spark, cfg)
+    # single-run batch, converter raises -> all failed -> verify raises
+    with pytest.raises(RuntimeError, match="All 1 conversions failed"):
+        pipe.run_once()
+    led = pipe._read_ledger()
+    row = led.where(F.col("base") == "bad").orderBy(
+        F.desc("attempts")
+    ).first()
+    assert row.status == "failed" and row.attempts == 1
