@@ -11,7 +11,12 @@ COPY pyproject.toml README.md ./
 COPY aichemy_data_pipelines_spark ./aichemy_data_pipelines_spark
 COPY __spark_entry__.py bench.py ./
 
-RUN pip install --no-cache-dir .
+# [statev2] pulls protobuf, which the State V2 streaming twin
+# (transformWithStateInPandas, streaming/watch.py) needs for its
+# Python worker protocol. The build sandbox this repo is developed in
+# cannot pip install (no network), so tests/test_streaming.py skips
+# that one twin there — in THIS image it runs.
+RUN pip install --no-cache-dir ".[statev2]"
 
 # default command: the daemon watch loop (the reference's */5 cron
 # schedule); override WATCH/OUTPUT/ARCHIVE or the whole command

@@ -291,9 +291,130 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix — the standard
+    behavioral-diversity feature (bot screens: near-zero entropy =
+    single-action automation; engagement scoring: high entropy =
+    broad usage).
+
+    Determinism (the ln recipe of tfidf_ops/dsir_ops): each term
+    p·ln(p) is built from 9dp-snapped DECIMAL factors — p as
+    round(n_ut/n_u, 9) and ln(p) as round(ln, 9) — so the per-user
+    sum is EXACT decimal arithmetic, order-independent under partial
+    aggregation; only the final entropy is a 6dp double.
+
+    Scale: one (user_id, event_type) count (well-distributed keys)
+    re-aggregated by user_id — two shuffles, both map-side-combined;
+    no windows, no explode.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_ut")
+    )
+    per_user = ut.withColumn(
+        "n_u", F.sum("n_ut").over(Window.partitionBy("user_id"))
+    )
+    term = (
+        "cast(round(n_ut / n_u, 9) as decimal(18,9)) * "
+        "cast(round(ln(n_ut / n_u), 9) as decimal(18,9))"
+    )
+    return (
+        per_user.withColumn("term", F.expr(term))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_ut").cast("long").alias("n_events"),
+            F.count("*").cast("long").alias("n_types"),
+            F.round(-F.sum("term").cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: event counts,
+    exact-decimal value totals, and each hour's share of its type's
+    traffic — the shape behind load forecasting and anomaly baselines
+    ("is 3am volume normal for clicks?").
+
+    Determinism: counts are integers; value totals are exact decimal
+    sums cast to double at 6dp; shares are integer ratios rounded
+    6dp.  Hours derive from the session-TZ timestamp (UTC in both
+    engines).
+
+    Scale: ONE groupBy on (event_type, hour) — 24×|types| groups,
+    virtually all work in the map-side partial agg; the share window
+    runs over the tiny aggregated frame.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour")
+    ).agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.expr(
+            "cast(cast(sum(cast(value as decimal(8,2))) as decimal(38,6))"
+            " as double)"
+        ).alias("total_value"),
+    )
+    w = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+        F.round(
+            F.col("n_events") * 100.0 / F.sum("n_events").over(w), 6
+        ).alias("pct_of_type"),
+    )
+
+
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-gap statistics (count, min/max/mean gap
+    in MICROSECONDS) — the cadence feature behind rate-limiting, bot
+    screens (metronomic gaps) and churn models (stretching gaps).
+    Users with one event have no gaps and are excluded.
+
+    Determinism: gaps are exact integer epoch-MICROsecond differences
+    (unix_micros ↔ epoch_us; whole seconds would silently truncate
+    sub-second timestamps differently across engines), ordered by
+    (ts, event_id) — a total order; min/max/sum are integer
+    aggregates; the mean is reported in SECONDS as a 6dp double
+    (6dp of a ~1e10 µs mean would sit past double precision).
+
+    Scale: ONE shuffle on user_id feeding a 1-lag window, then the
+    per-user agg reuses the same partitioning (no second exchange).
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.withColumn(
+        "gap_us",
+        F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        # mean reported in SECONDS: a 6dp round of a ~1e10-microsecond
+        # mean sits past double precision (engine ulps surface); the
+        # ~1e4-second scale is exactly representable at 6dp
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("*") / 1000000.0, 6
+        ).alias("mean_gap_s"),
+    )
+
+
 QUERIES = {
     "events_ewma": events_ewma,
     "events_cusum": events_cusum,
+    "events_user_entropy": events_user_entropy,
+    "events_hourly_seasonality": events_hourly_seasonality,
+    "events_inter_arrival_stats": events_inter_arrival_stats,
     "events_anomaly_zscore": events_anomaly_zscore,
     "orders_retention_cohorts": orders_retention_cohorts,
     "part_price_histogram": part_price_histogram,
@@ -331,6 +452,56 @@ def _ewma_sql() -> str:
 
 
 ORACLE = {
+    "events_user_entropy": """
+        WITH ut AS (
+            SELECT user_id, event_type, COUNT(*) AS n_ut
+            FROM events GROUP BY user_id, event_type
+        ), pu AS (
+            SELECT user_id, n_ut,
+                   SUM(n_ut) OVER (PARTITION BY user_id) AS n_u
+            FROM ut
+        )
+        SELECT user_id,
+               CAST(SUM(n_ut) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               round(-CAST(SUM(
+                   CAST(round(n_ut / n_u, 9) AS DECIMAL(18,9)) *
+                   CAST(round(ln(n_ut / n_u), 9) AS DECIMAL(18,9))
+               ) AS DOUBLE), 6) AS entropy
+        FROM pu GROUP BY user_id
+    """,
+    "events_hourly_seasonality": """
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(8,2)))
+                        AS DECIMAL(38,6)) AS DOUBLE) AS total_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour, n_events,
+               round(total_value, 6) AS total_value,
+               round(n_events * 100.0 /
+                     SUM(n_events) OVER (PARTITION BY event_type),
+                     6) AS pct_of_type
+        FROM agg
+    """,
+    "events_inter_arrival_stats": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_gaps,
+               CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+               CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+               round(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0,
+                     6) AS mean_gap_s
+        FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
     "events_ewma": _ewma_sql(),
     "events_cusum": f"""
         WITH ev AS (

@@ -308,7 +308,37 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_length_percentiles_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact doc-length (n_chars) quartiles + p95 per source — the
+    length-distribution audit every corpus intake runs (truncated
+    scrapes collapse the upper tail; template farms collapse the
+    IQR to a point).
+
+    Determinism: exact linear-interpolation percentiles
+    (Spark ``percentile`` ↔ DuckDB ``quantile_cont``, the
+    events_percentiles recipe), rounded 6dp; counts exact.
+
+    Scale: exact per-group percentiles sort within each source
+    group — fine for bounded group counts; the 100 TB path swaps
+    approx_percentile (t-digest, map-side mergeable) into the same
+    output shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
 QUERIES = {
+    "docs_length_percentiles_by_source": docs_length_percentiles_by_source,
     "dedup_keep_one": dedup_keep_one,
     "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
     "decontam_ngram_overlap": decontam_ngram_overlap,
@@ -322,6 +352,17 @@ from aichemy_data_pipelines_spark.operators.textops import _BPE_RE_SQL  # noqa: 
 _T = SQL_TOKENS
 
 ORACLE = {
+    "docs_length_percentiles_by_source": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+               round(quantile_cont(n_chars, 0.25), 6) AS p25,
+               round(quantile_cont(n_chars, 0.5), 6) AS p50,
+               round(quantile_cont(n_chars, 0.75), 6) AS p75,
+               round(quantile_cont(n_chars, 0.95), 6) AS p95,
+               CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY source
+    """,
     "dedup_keep_one": f"""
         WITH clusters AS ({_SQL_CLUSTERS})
         SELECT c.doc_id, d.source, c.cluster_id, c.cluster_size,

@@ -259,7 +259,70 @@ def events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association metrics over the co-purchase pairs:
+    support counts, confidence P(b|a) and lift
+    P(ab)/(P(a)·P(b)) = n_ab·N/(n_a·n_b) — the promotion/bundling
+    signal on top of raw pair counts (lift > 1 ⇒ genuinely
+    associated, not just two independently popular items).
+
+    Determinism: all inputs are integer order counts; confidence and
+    lift are single IEEE divisions of exact integers, rounded 6dp —
+    identical chains in both engines (n_ab·N stays far inside
+    bigint/double-exact range).
+
+    Scale: pair counts inherit parts_copurchase's equi-join on
+    l_orderkey (bounded fanout per order); the per-part order counts
+    join back on part ids UNHINTED (part cardinality is
+    catalog-bounded but large — AQE broadcasts when it fits);
+    total-order count is a 1-row broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = parts_copurchase(spark, sf_dir)
+    per_part = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_part")
+    )
+    n_total = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_total")
+    )
+    return (
+        pairs.join(
+            per_part.select(
+                F.col("l_partkey").alias("part_a"),
+                F.col("n_part").alias("n_a"),
+            ),
+            "part_a",
+        )
+        .join(
+            per_part.select(
+                F.col("l_partkey").alias("part_b"),
+                F.col("n_part").alias("n_b"),
+            ),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_orders") / F.col("n_a"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                (F.col("n_orders") * F.col("n_total"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 QUERIES = {
+    "parts_copurchase_lift": parts_copurchase_lift,
     "events_dau_mau": events_dau_mau,
     "parts_abc_analysis": parts_abc_analysis,
     "parts_copurchase": parts_copurchase,
@@ -269,6 +332,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "parts_copurchase_lift": f"""
+        WITH pairs AS (
+            SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                   COUNT(DISTINCT a.l_orderkey) AS n_orders
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+            GROUP BY a.l_partkey, b.l_partkey
+            HAVING COUNT(DISTINCT a.l_orderkey) >= {_MIN_CO_ORDERS}
+        ), per_part AS (
+            SELECT l_partkey,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_part
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+            SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_total
+            FROM lineitem
+        )
+        SELECT p.part_a, p.part_b, p.n_orders,
+               pa.n_part AS n_a, pb.n_part AS n_b,
+               round(p.n_orders / pa.n_part, 6) AS confidence,
+               round((p.n_orders * t.n_total) / (pa.n_part * pb.n_part),
+                     6) AS lift
+        FROM pairs p
+        JOIN per_part pa ON p.part_a = pa.l_partkey
+        JOIN per_part pb ON p.part_b = pb.l_partkey, tot t
+    """,
     "events_dau_mau": """
         WITH ev AS (
             SELECT CAST(ts AS DATE) AS d, user_id FROM events

@@ -152,7 +152,57 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIX_TAU = "0.7"  # temperature exponent (UniMax/mT5-style rebalancing)
+
+
+def corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling weights, w_s ∝ (n_s/N)^τ
+    with τ=0.7 — the standard multilingual/multi-domain rebalancing
+    rule (mT5/UniMax): τ<1 upweights small sources toward uniform
+    without drowning large ones.
+
+    Float portability (the tfidf/dsir ln recipe): (n_s/N)^τ is
+    computed as exp(τ·ln(n_s/N)) with BOTH transcendentals snapped to
+    9dp decimals — ln before the exact-decimal τ product, exp after —
+    so normalization sums exact decimals; the published frac/weight
+    are 6dp doubles from identical IEEE divisions.
+
+    Scale: one per-source count (map-side combined, |sources| rows),
+    then all arithmetic runs on the aggregated frame — window over
+    |sources| rows, no second corpus pass.
+    """
+    counts = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    total = Window.partitionBy()  # |sources| rows — bounded frame
+    p = (
+        counts.withColumn("n_total", F.sum("n_docs").over(total))
+        .withColumn(
+            "p_dec",
+            F.expr(
+                "cast(round(exp(cast("
+                f"cast(round(ln(n_docs / n_total), 9) as decimal(18,9)) "
+                f"* cast({_MIX_TAU} as decimal(2,1)) "
+                "as double)), 9) as decimal(18,9))"
+            ),
+        )
+        .withColumn("p_sum", F.sum("p_dec").over(total))
+    )
+    return p.select(
+        "source",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("n_total"), 6).alias("frac"),
+        F.round(
+            F.col("p_dec").cast("double") / F.col("p_sum").cast("double"),
+            6,
+        ).alias("weight"),
+    )
+
+
 QUERIES = {
+    "corpus_temperature_mix": corpus_temperature_mix,
     "sample_weighted_reservoir": sample_weighted_reservoir,
     "sample_split": sample_split,
     "sample_stratified": sample_stratified,
@@ -165,6 +215,26 @@ _H7 = sql_hash64("CAST(doc_id AS VARCHAR)", seed=7)
 _H29 = sql_hash64("CAST(doc_id AS VARCHAR)", seed=_RES_SEED)
 
 ORACLE = {
+    "corpus_temperature_mix": f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ), p AS (
+            SELECT source, n_docs,
+                   SUM(n_docs) OVER () AS n_total,
+                   CAST(round(exp(CAST(
+                       CAST(round(ln(n_docs / (SUM(n_docs) OVER ())), 9)
+                            AS DECIMAL(18,9))
+                       * CAST({_MIX_TAU} AS DECIMAL(2,1))
+                   AS DOUBLE)), 9) AS DECIMAL(18,9)) AS p_dec
+            FROM counts
+        )
+        SELECT source, n_docs,
+               round(n_docs / n_total, 6) AS frac,
+               round(CAST(p_dec AS DOUBLE) /
+                     CAST(SUM(p_dec) OVER () AS DOUBLE), 6) AS weight
+        FROM p
+    """,
     "sample_weighted_reservoir": f"""
         WITH keyed AS (
             SELECT doc_id, n_chars,

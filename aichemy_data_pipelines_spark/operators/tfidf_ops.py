@@ -228,10 +228,67 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: token count, distinct
+    types, type-token ratio and hapax fraction (share of types
+    occurring exactly once) — the classic template/spam screens (low
+    TTR = repetitive boilerplate, near-1 hapax on long docs = noise).
+
+    Determinism: all counts are integers; TTR and hapax_frac are one
+    IEEE division each, rounded 6dp.
+
+    Scale: one explode feeding ONE (doc_id, term) groupBy, then the
+    per-doc re-agg rides the same doc_id keys; no windows, no joins.
+    """
+    tc = _term_counts(spark, sf_dir)
+    return tc.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.round(F.count("*") / F.sum("tf"), 6).alias("ttr"),
+        F.round(
+            F.sum(F.expr("cast(tf = 1 as bigint)")) / F.count("*"), 6
+        ).alias("hapax_frac"),
+    )
+
+
+def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy — the information-density
+    screen (near-zero entropy = a document of one repeated token;
+    natural prose at this synthetic vocab sits near ln(vocab)).
+
+    Determinism: the tfidf/dsir ln recipe — each p·ln(p) term is a
+    product of two 9dp-snapped decimals (p = tf/n_tokens and its
+    log), so the per-doc sum is exact decimal; entropy publishes as
+    a 6dp double.
+
+    Scale: same single-explode shape as docs_lexical_diversity; the
+    per-doc total rides a window on the already-grouped (doc, term)
+    frame — still one corpus-scale shuffle.
+    """
+    tc = _term_counts(spark, sf_dir)
+    per_doc = tc.withColumn(
+        "n_tok", F.sum("tf").over(Window.partitionBy("doc_id"))
+    )
+    term = (
+        "cast(round(tf / n_tok, 9) as decimal(18,9)) * "
+        "cast(round(ln(tf / n_tok), 9) as decimal(18,9))"
+    )
+    return (
+        per_doc.withColumn("term", F.expr(term))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(-F.sum("term").cast("double"), 6).alias("entropy"),
+        )
+    )
+
+
 QUERIES = {
     "docs_tfidf_topterms": docs_tfidf_topterms,
     "terms_zipf_fit": terms_zipf_fit,
     "corpus_vocab_growth": corpus_vocab_growth,
+    "docs_lexical_diversity": docs_lexical_diversity,
+    "docs_token_entropy": docs_token_entropy,
 }
 
 _SQL_TC = f"""
@@ -246,6 +303,31 @@ _SQL_TC = f"""
 """
 
 ORACLE = {
+    "docs_lexical_diversity": f"""
+        WITH {_SQL_TC}
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               round(COUNT(*) / SUM(tf), 6) AS ttr,
+               round(SUM(CAST(tf = 1 AS BIGINT)) / COUNT(*), 6)
+                 AS hapax_frac
+        FROM tc GROUP BY doc_id
+    """,
+    "docs_token_entropy": f"""
+        WITH {_SQL_TC},
+        pd AS (
+            SELECT doc_id, tf,
+                   SUM(tf) OVER (PARTITION BY doc_id) AS n_tok
+            FROM tc
+        )
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               round(-CAST(SUM(
+                   CAST(round(tf / n_tok, 9) AS DECIMAL(18,9)) *
+                   CAST(round(ln(tf / n_tok), 9) AS DECIMAL(18,9))
+               ) AS DOUBLE), 6) AS entropy
+        FROM pd GROUP BY doc_id
+    """,
     "corpus_vocab_growth": f"""
         WITH toks AS (
             SELECT doc_id, {SQL_TOKENS} AS tokens FROM documents

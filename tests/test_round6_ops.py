@@ -1,0 +1,136 @@
+"""Ground-truth pins for the round-6 analytics/curation additions.
+
+The driver/oracle gates prove engine parity; these tests prove the
+MATH — on synthetic inputs where the right answer is computable by
+hand (the testdata's uniform source mix, for instance, cannot
+distinguish temperature scaling from plain normalization).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_temperature_mix_upweights_small_sources(spark, tmp_path):
+    """τ=0.7 must pull small sources ABOVE their raw share and large
+    sources below (toward uniform), with weights summing to 1."""
+    from aichemy_data_pipelines_spark.operators.sampling_ops import (
+        corpus_temperature_mix,
+    )
+
+    sf = str(tmp_path)
+    rows = [(i, f"text {i}", "en", "big" if i < 90 else "small", 10)
+            for i in range(100)]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r.source: r for r in corpus_temperature_mix(spark, sf).collect()}
+    assert got["big"].frac == 0.9 and got["small"].frac == 0.1
+    assert got["small"].weight > got["small"].frac
+    assert got["big"].weight < got["big"].frac
+    assert abs(got["big"].weight + got["small"].weight - 1.0) < 2e-6
+    # closed form: w_small = .1^.7 / (.1^.7 + .9^.7)
+    expect = 0.1**0.7 / (0.1**0.7 + 0.9**0.7)
+    assert abs(got["small"].weight - expect) < 1e-4
+
+
+def test_user_entropy_bounds(spark):
+    """Entropy is 0 for single-type users and ≤ ln(n_types) always;
+    verified against a plain-Python recomputation at smoke SF."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_user_entropy,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    truth = {}
+    for r in ev.select("user_id", "event_type").collect():
+        truth.setdefault(r.user_id, {}).setdefault(r.event_type, 0)
+        truth[r.user_id][r.event_type] += 1
+    for r in events_user_entropy(spark, SF_SMOKE).collect():
+        counts = truth[r.user_id]
+        n = sum(counts.values())
+        expect = -sum(c / n * math.log(c / n) for c in counts.values())
+        assert abs(r.entropy - expect) < 1e-6, r.user_id
+        assert r.entropy <= math.log(r.n_types) + 1e-9
+        if r.n_types == 1:
+            assert r.entropy == 0.0
+
+
+def test_lexical_diversity_ground_truth(spark, tmp_path):
+    """Hand-checkable doc: 'a a a b c' → 5 tokens, 3 types,
+    ttr=0.6, hapax b,c of 3 types = 2/3."""
+    from aichemy_data_pipelines_spark.operators.tfidf_ops import (
+        docs_lexical_diversity,
+        docs_token_entropy,
+    )
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, "a a a b c", "en", "s", 9), (2, "x x x x", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    ld = {r.doc_id: r for r in docs_lexical_diversity(spark, sf).collect()}
+    assert (ld[1].n_tokens, ld[1].n_types) == (5, 3)
+    assert ld[1].ttr == 0.6
+    assert abs(ld[1].hapax_frac - 2 / 3) < 1e-6
+    assert (ld[2].n_tokens, ld[2].n_types, ld[2].ttr) == (4, 1, 0.25)
+    assert ld[2].hapax_frac == 0.0
+
+    te = {r.doc_id: r for r in docs_token_entropy(spark, sf).collect()}
+    assert te[2].entropy == 0.0  # one repeated token = zero entropy
+    expect = -(0.6 * math.log(0.6) + 2 * 0.2 * math.log(0.2))
+    assert abs(te[1].entropy - expect) < 1e-6
+
+
+def test_inter_arrival_ground_truth(spark, tmp_path):
+    """Three events at t, t+1s, t+3s → gaps 1s and 2s."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_inter_arrival_stats,
+    )
+
+    sf = str(tmp_path)
+    spark.sql(
+        "SELECT * FROM VALUES "
+        "(1L, timestamp'2024-01-01 00:00:00', 7L, 'view', 1.0D, '{}'),"
+        "(2L, timestamp'2024-01-01 00:00:01', 7L, 'view', 1.0D, '{}'),"
+        "(3L, timestamp'2024-01-01 00:00:03', 7L, 'view', 1.0D, '{}'),"
+        "(4L, timestamp'2024-01-01 00:00:00', 8L, 'view', 1.0D, '{}') "
+        "AS t(event_id, ts, user_id, event_type, value, props)"
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    rows = {r.user_id: r for r in
+            events_inter_arrival_stats(spark, sf).collect()}
+    assert 8 not in rows  # single event -> no gaps
+    r = rows[7]
+    assert (r.n_gaps, r.min_gap_us, r.max_gap_us) == (2, 1_000_000,
+                                                      2_000_000)
+    assert r.mean_gap_s == 1.5
+
+
+def test_copurchase_lift_identity(spark):
+    """lift · n_a · n_b == n_ab · N exactly (integer identity) and
+    confidence = n_ab/n_a for every emitted pair."""
+    from aichemy_data_pipelines_spark.operators.insights_ops import (
+        parts_copurchase_lift,
+    )
+
+    rows = parts_copurchase_lift(spark, SF_SMOKE).collect()
+    assert rows
+    n_total = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_orderkey").distinct().count()
+    )
+    for r in rows[:200]:
+        # emitted values are 6dp-rounded: the true value sits within
+        # half a grid step (plus float fuzz at the exact midpoint)
+        assert abs(r.confidence - round(r.n_orders / r.n_a, 6)) <= 1e-9
+        assert (
+            abs(r.lift - round((r.n_orders * n_total) / (r.n_a * r.n_b), 6))
+            <= 1e-9
+        )
