@@ -33,6 +33,8 @@ log = logging.getLogger(__name__)
 # set them to 0 to force the fallback path).
 DECONTAM_MAX_EVAL_DOCS = "spark.graft.decontam.maxBroadcastEvalDocs"
 RAG_MAX_QUERY_DOCS = "spark.graft.rag.maxBroadcastQueryDocs"
+DEDUP_MAX_BATCH_DOCS = "spark.graft.dedup.maxBroadcastBatchDocs"
+COMPLIANCE_MAX_COHORT = "spark.graft.compliance.maxBroadcastCohort"
 
 
 def conf_int(spark: SparkSession, key: str, default: int) -> int:

@@ -120,7 +120,20 @@ def compliance_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-bounded by the cohort size. The actual delete is the same
     anti-join materialized back to storage (dynamic partition
     overwrite in sources/formats.py).
+
+    PRECONDITION (enforced): the cohort broadcast assumes a
+    request-queue-sized deletion list.  The testdata stand-in is a
+    customer FRACTION (c_custkey % 37 ≈ 2.7%), which at 1e9+
+    customers would not broadcast — a row-count guard
+    (``spark.graft.compliance.maxBroadcastCohort``, default 1e7
+    keys) falls back to unhinted semi-joins past the bound.
     """
+    from aichemy_data_pipelines_spark.functions.hints import (
+        COMPLIANCE_MAX_COHORT,
+        broadcast_when,
+        conf_int,
+    )
+
     cust = load_table(spark, sf_dir, "customer").where(
         F.col("c_custkey") % 37 == 0
     ).select(F.col("c_custkey").alias("key"))
@@ -129,13 +142,19 @@ def compliance_delete_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     n_cust = cust.count()
+    cohort = broadcast_when(
+        cust,
+        n_cust,
+        conf_int(spark, COMPLIANCE_MAX_COHORT, 10_000_000),
+        "compliance_delete_plan",
+    )
     ev_cnt = (
         events.join(
-            F.broadcast(cust), events.user_id == cust.key, "left_semi"
+            cohort, events.user_id == cust.key, "left_semi"
         ).count()
     )
     ord_rows = orders.join(
-        F.broadcast(cust), orders.o_custkey == cust.key, "left_semi"
+        cohort, orders.o_custkey == cust.key, "left_semi"
     )
     ord_cnt = ord_rows.count()
     li_cnt = li.join(

@@ -94,6 +94,11 @@ def screen_batch(
         F.col("doc_id").alias("corpus_doc"), "band", "key"
     )
     batch_bands = band_keys_for(batch_docs)
+    # broadcast precondition: batch_docs is a streaming micro-batch,
+    # bounded by the trigger (maxFilesPerTrigger / availableNow
+    # chunking) — not a corpus fraction; the caller controls batch
+    # sizing, so no runtime count is spent here (unlike the
+    # self-contained dedup_incremental query, which guards it)
     matches = (
         F.broadcast(batch_bands.select("doc_id", "band", "key"))
         .join(idx, ["band", "key"])

@@ -265,26 +265,22 @@ def _collect_sorted(df):
             "decontam_ngram_overlap",
         ),
         ("spark.graft.rag.maxBroadcastQueryDocs", "rag_chunk_retrieval"),
+        ("spark.graft.dedup.maxBroadcastBatchDocs", "dedup_incremental"),
+        (
+            "spark.graft.compliance.maxBroadcastCohort",
+            "compliance_delete_plan",
+        ),
     ],
 )
 def test_guarded_broadcast_falls_back_past_threshold(spark, conf_key, opname):
     """The broadcast-precondition guard: with the threshold forced to
     0 the small side no longer carries a hint (shuffle/AQE join), and
     the results are identical to the hinted plan."""
-    from aichemy_data_pipelines_spark.operators.corpus_ops import (
-        decontam_ngram_overlap,
-    )
-    from aichemy_data_pipelines_spark.operators.rag_ops import (
-        rag_chunk_retrieval,
-    )
     from aichemy_data_pipelines_spark.plans.explain import (
         assert_no_broadcast_hint,
     )
 
-    fn = {
-        "decontam_ngram_overlap": decontam_ngram_overlap,
-        "rag_chunk_retrieval": rag_chunk_retrieval,
-    }[opname]
+    fn = _QUERIES[opname]
     hinted = _collect_sorted(fn(spark, SF_SMOKE))
     spark.conf.set(conf_key, "0")
     try:
