@@ -28,6 +28,7 @@ from aichemy_data_pipelines_spark.operators.analytics_ext import (
 from aichemy_data_pipelines_spark.streaming.watch import (
     stream_click_attribution,
     stream_user_ewma,
+    stream_user_gap_alerts,
     stream_dedup_keys,
     stream_enrich_counts,
     stream_sessionize,
@@ -111,6 +112,16 @@ def streaming_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_gap_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the per-event cadence screen (one long of state per
+    user) and dedupe on event_id (retried drains may re-emit; gaps
+    are deterministic for a given prefix)."""
+    df = _drain(spark, stream_user_gap_alerts, sf_dir)
+    return df.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "gap_us", "is_rapid"
+    )
+
+
 def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(spark, stream_click_attribution, sf_dir)
 
@@ -120,6 +131,7 @@ def streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "streaming_gap_alerts": streaming_gap_alerts,
     "streaming_user_ewma": streaming_user_ewma,
     "streaming_click_attribution": streaming_click_attribution,
     "streaming_dedup_keys": streaming_dedup_keys,
@@ -133,6 +145,20 @@ QUERIES = {
 _batch_ewma_sql = _ANALYTICS_ORACLE["events_ewma"]
 
 ORACLE = {
+    # the streamed per-event gap stamps must equal a batch lag window
+    # exactly (pure integer microsecond arithmetic, no float path)
+    "streaming_gap_alerts": """
+        SELECT event_id, user_id,
+               gap_us,
+               COALESCE(gap_us < 3600000000, FALSE) AS is_rapid
+        FROM (
+            SELECT event_id, user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) AS gap_us
+            FROM events
+        )
+    """,
     # the streamed per-event EWMA must equal the BATCH operator's
     # oracle exactly (same decimal->double->half-up chain)
     "streaming_user_ewma": (

@@ -858,6 +858,96 @@ def stream_dedup_keys(
     q.awaitTermination()
 
 
+def stream_user_gap_alerts(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    table_name: str = "stream_user_gap_alerts",
+    glob: str = "events.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Per-EVENT cadence screen with MINIMAL state (one long per
+    user): each arriving event is stamped with the gap to the user's
+    previous event (exact epoch-microsecond integers) and a
+    rapid-fire flag (gap < 1 h) — the real-time half of
+    analytics_ext.events_inter_arrival_stats, and the primitive
+    behind rate limiting / bot cadence alerts.
+
+    State = last event's epoch-µs per user — the smallest possible
+    stateful-streaming footprint (O(active users) longs; production
+    adds EventTimeTimeout to drop idle users).
+
+    Exactness: gaps are integer µs differences — no float path at
+    all, so the streamed rows are byte-identical to a batch lag
+    window and hash-checkable in DuckDB (the declared oracle).
+
+    Ordering: per-user (ts, event_id) sort inside the micro-batch;
+    the AvailableNow drain over one parquet file is a single batch,
+    so the per-user order is total (same contract as
+    stream_user_ewma).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import BooleanType
+
+    ev = load_events_stream(
+        spark, sf_dir, glob=glob,
+        max_files_per_trigger=max_files_per_trigger,
+    ).select("event_id", "user_id", "ts")
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("gap_us", LongType()),
+            StructField("is_rapid", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("last_us", LongType())])
+    rapid_us = 3_600_000_000  # < 1 hour between events
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        last_us = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ids, gaps, rapid = [], [], []
+        for event_id, ts in zip(pdf["event_id"], pdf["ts"]):
+            # pandas Timestamp.value is epoch NANOseconds (the events
+            # source is µs-precision, so the ns→µs division is exact)
+            now_us = ts.value // 1000
+            gap = None if last_us is None else now_us - last_us
+            ids.append(int(event_id))
+            gaps.append(gap)
+            rapid.append(bool(gap is not None and gap < rapid_us))
+            last_us = now_us
+        state.update((last_us,))
+        yield pd.DataFrame(
+            {
+                "event_id": ids,
+                "user_id": [key[0]] * len(ids),
+                "gap_us": pd.array(gaps, dtype="Int64"),
+                "is_rapid": rapid,
+            }
+        )
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def merge_ledger_batch(batch_df: DataFrame, batch_id: int, table) -> None:
     """One micro-batch of the upsert ledger (module-level so the
     replay-idempotence contract is directly testable).  ``table`` is a

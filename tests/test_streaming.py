@@ -474,3 +474,62 @@ def test_streaming_ewma_equals_batch(spark):
         for r in streaming_user_ewma(spark, SF_SMOKE).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_gap_alerts_state_continues_across_batches(
+    spark, tmp_path
+):
+    """The cadence screen's one-long state must carry across
+    micro-batches: with maxFilesPerTrigger=1 the two files drain as
+    two batches, and the batch-2 event's gap must be measured against
+    the user's LAST batch-1 event, not NULL."""
+    import time as _time
+    import uuid
+
+    import pandas as pd
+
+    from aichemy_data_pipelines_spark.streaming.watch import (
+        stream_user_gap_alerts,
+    )
+
+    src_dir = tmp_path / "evsrc"
+    src_dir.mkdir()
+
+    def write_file(events, name):
+        pd.DataFrame(
+            {
+                "event_id": [e[0] for e in events],
+                "ts": pd.array(
+                    [pd.Timestamp(e[1]).value for e in events],
+                    dtype="int64",
+                ),
+                "user_id": [7] * len(events),
+                "event_type": ["view"] * len(events),
+                "value": [1.0] * len(events),
+                "props": ["{}"] * len(events),
+            }
+        ).to_parquet(str(src_dir / name))
+
+    write_file(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:10:00")],
+        "events_a.parquet",
+    )
+    _time.sleep(0.05)  # distinct mtimes -> deterministic batch order
+    write_file([(3, "2024-01-01 02:10:00")], "events_b.parquet")
+
+    name = f"gaps_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream_user_gap_alerts(
+            spark, str(src_dir), str(tmp_path / "ckpt"),
+            table_name=name, glob="*.parquet", max_files_per_trigger=1,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows = {r.event_id: r for r in spark.table(name).collect()}
+    assert rows[1].gap_us is None and not rows[1].is_rapid
+    assert rows[2].gap_us == 600_000_000 and rows[2].is_rapid
+    # the batch-2 event: state supplied 00:10 -> gap = 2h, not NULL
+    assert rows[3].gap_us == 7_200_000_000
+    assert not rows[3].is_rapid  # 2 h >= the 1 h rapid threshold
