@@ -118,7 +118,53 @@ def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIQ_KEYS = [
+    ("orders", "o_orderkey"),
+    ("customer", "c_custkey"),
+    ("part", "p_partkey"),
+    ("supplier", "s_suppkey"),
+    ("events", "event_id"),
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+]
+
+
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across every keyed table: row
+    count vs distinct-key count and the duplicate rate — the first
+    DQ gate of any ingest (a join against a dup-keyed dimension
+    silently fans out downstream row counts).
+
+    One lazy union of per-table aggregates (the dq_orphan_check
+    shape): all audits schedule together, each is a single
+    scan+agg with map-side partial distinct.
+
+    Scale: COUNT(DISTINCT key) shuffles the key space once per
+    table; for hot-keyed 100 TB facts swap in the salted two-phase
+    variant (functions/skew.salted_distinct_count) or
+    approx_count_distinct with the same output shape.
+    """
+    out = None
+    for table, key in _UNIQ_KEYS:
+        t = load_table(spark, sf_dir, table)
+        agg = t.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.countDistinct(key).cast("long").alias("n_keys"),
+        ).select(
+            F.lit(table).alias("table_name"),
+            F.lit(key).alias("key_col"),
+            "n_rows",
+            "n_keys",
+            F.round(
+                (F.col("n_rows") - F.col("n_keys")) / F.col("n_rows"), 6
+            ).alias("dup_rate"),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 QUERIES = {
+    "dq_uniqueness": dq_uniqueness,
     "dq_orphan_check": dq_orphan_check,
     "dq_k_anonymity": dq_k_anonymity,
     "dq_null_profile": dq_null_profile,
@@ -165,6 +211,17 @@ def _value_ranges_sql() -> str:
 
 
 ORACLE = {
+    "dq_uniqueness": " UNION ALL ".join(
+        f"""
+        SELECT '{table}' AS table_name, '{key}' AS key_col,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT {key}) AS BIGINT) AS n_keys,
+               round((COUNT(*) - COUNT(DISTINCT {key})) / COUNT(*), 6)
+                 AS dup_rate
+        FROM {table}
+        """
+        for table, key in _UNIQ_KEYS
+    ),
     "dq_k_anonymity": f"""
         SELECT c_nationkey, c_mktsegment, COUNT(*) AS k,
                CASE WHEN COUNT(*) < {_K_ANON} THEN 1 ELSE 0 END AS at_risk

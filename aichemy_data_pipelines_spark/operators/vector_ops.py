@@ -92,9 +92,67 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"embeddings_quantize_int8": embeddings_quantize_int8}
+def embeddings_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label L2-norm profile (count, min/max/mean norm) — the
+    embedding-store health check: un-normalized stragglers, collapsed
+    clusters (norm → 0) and scale drift between labels all show up
+    here before they poison cosine-based retrieval.
+
+    Determinism: each norm is sqrt of the exact-decimal self-dot
+    (functions/vectors recipe), snapped to a 6dp decimal BEFORE the
+    mean's sum — so the per-label accumulation is exact decimal and
+    order-independent; min/max are selections (no accumulation).
+
+    Scale: pure map for norms (JVM-side aggregate over the array),
+    one tiny groupBy(label) with map-side combine — a single pass.
+    """
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+    )
+
+    norm = (
+        f"cast(round(sqrt({spark_dot_exact('embedding', 'embedding')}), 6)"
+        " as decimal(18,6))"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label", F.expr(norm).alias("nrm")
+    )
+    return e.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.min("nrm").cast("double").alias("min_norm"),
+        F.max("nrm").cast("double").alias("max_norm"),
+        F.round(
+            F.sum("nrm").cast("double") / F.count("*"), 6
+        ).alias("mean_norm"),
+    )
+
+
+QUERIES = {
+    "embeddings_quantize_int8": embeddings_quantize_int8,
+    "embeddings_norm_stats": embeddings_norm_stats,
+}
 
 ORACLE = {
+    "embeddings_norm_stats": """
+        WITH ex AS (
+            SELECT vec_id, label, unnest(embedding) AS x
+            FROM embeddings
+        ), norms AS (
+            SELECT label,
+                   CAST(round(sqrt(
+                       CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))
+                                * CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12)))
+                            AS DOUBLE)
+                   ), 6) AS DECIMAL(18,6)) AS nrm
+            FROM ex GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+               CAST(MAX(nrm) AS DOUBLE) AS max_norm,
+               round(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS mean_norm
+        FROM norms GROUP BY label
+    """,
     "embeddings_quantize_int8": """
         WITH ex AS (
             SELECT vec_id, label,
