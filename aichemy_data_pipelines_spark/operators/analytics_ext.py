@@ -322,13 +322,17 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum is EXACT decimal arithmetic, order-independent under partial
     aggregation; only the final entropy is a 6dp double.
 
-    Scale: one (user_id, event_type) count (well-distributed keys)
-    re-aggregated by user_id — two shuffles, both map-side-combined;
-    no windows, no explode.
+    Scale: ONE shuffle total — the explicit repartition on user_id
+    satisfies every downstream clustering requirement
+    (HashPartitioning on a PREFIX of the grouping keys satisfies the
+    (user, type) groupBy's ClusteredDistribution, the user window,
+    and the final per-user agg), so the count, total-window and
+    entropy agg all run shuffle-free on the same partitioning
+    (plan-pinned in tests/test_plans.py).
     """
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").repartition("user_id")
     ut = ev.groupBy("user_id", "event_type").agg(
         F.count("*").alias("n_ut")
     )

@@ -51,11 +51,23 @@ _TOP_K = 3  # keywords per document
 _ZIPF_R = 100  # top terms entering the Zipf fit
 
 
-def _term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, term, tf) exploded token counts."""
+def _term_counts(
+    spark: SparkSession, sf_dir: str, by_doc: bool = False
+) -> DataFrame:
+    """(doc_id, term, tf) exploded token counts.
+
+    ``by_doc``: pre-partition on doc_id BEFORE the explode —
+    HashPartitioning on a prefix of the grouping keys satisfies the
+    (doc, term) groupBy's ClusteredDistribution, so purely per-doc
+    consumers (lexical diversity, token entropy) run their window +
+    final agg on the SAME single shuffle.  Term-keyed consumers
+    (tf-idf's df join) keep the default (doc, term) shuffle, which
+    distributes better for the term-side join."""
+    d = load_table(spark, sf_dir, "documents")
+    if by_doc:
+        d = d.repartition("doc_id")
     return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("term"))
+        d.select("doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
@@ -237,10 +249,10 @@ def docs_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: all counts are integers; TTR and hapax_frac are one
     IEEE division each, rounded 6dp.
 
-    Scale: one explode feeding ONE (doc_id, term) groupBy, then the
-    per-doc re-agg rides the same doc_id keys; no windows, no joins.
+    Scale: ONE shuffle — doc_id pre-partitioning satisfies both the
+    (doc, term) groupBy and the per-doc re-agg (plan-pinned).
     """
-    tc = _term_counts(spark, sf_dir)
+    tc = _term_counts(spark, sf_dir, by_doc=True)
     return tc.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("n_tokens"),
         F.count("*").cast("long").alias("n_types"),
@@ -261,11 +273,11 @@ def docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     log), so the per-doc sum is exact decimal; entropy publishes as
     a 6dp double.
 
-    Scale: same single-explode shape as docs_lexical_diversity; the
-    per-doc total rides a window on the already-grouped (doc, term)
-    frame — still one corpus-scale shuffle.
+    Scale: same ONE-shuffle shape as docs_lexical_diversity — the
+    doc_id pre-partitioning carries the groupBy, the per-doc total
+    window AND the final agg (plan-pinned).
     """
-    tc = _term_counts(spark, sf_dir)
+    tc = _term_counts(spark, sf_dir, by_doc=True)
     per_doc = tc.withColumn(
         "n_tok", F.sum("tf").over(Window.partitionBy("doc_id"))
     )

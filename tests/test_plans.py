@@ -289,3 +289,29 @@ def test_guarded_broadcast_falls_back_past_threshold(spark, conf_key, opname):
         assert _collect_sorted(fallback_df) == hinted
     finally:
         spark.conf.unset(conf_key)
+
+
+@pytest.mark.parametrize(
+    ("name", "budget"),
+    [
+        # single-shuffle contract: the explicit parent-key repartition
+        # satisfies every downstream clustering requirement
+        ("events_user_entropy", 1),
+        ("docs_lexical_diversity", 1),
+        ("docs_token_entropy", 1),
+        ("events_inter_arrival_stats", 1),
+        ("embeddings_norm_stats", 1),
+        ("docs_length_percentiles_by_source", 1),
+        # tiny-frame window over a 24x|types| aggregate
+        ("events_hourly_seasonality", 2),
+    ],
+)
+def test_round6_shuffle_budget(spark, name, budget):
+    plan = (
+        _QUERIES[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange")
+    assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
