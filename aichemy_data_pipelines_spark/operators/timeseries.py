@@ -814,7 +814,46 @@ def events_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session summary over the gap-based sessionizer:
+    session count, total events, mean events/session, mean and max
+    session duration in seconds — the engagement profile product
+    dashboards aggregate sessions into.
+
+    Composed VERBATIM from events_sessionize (one definition of a
+    "session"; the oracle wraps the sessionize oracle the same way,
+    the screens_matrix composition pattern) — so the two can never
+    drift.
+
+    Determinism: counts and µs durations are exact integers; the two
+    means are single IEEE division chains rounded 6dp (seconds scale
+    keeps 6dp inside double precision).
+
+    Scale: the sessionizer's one user_id shuffle carries this final
+    per-user agg too (grouping on a prefix of (user, session) —
+    no new Exchange, pinned).
+    """
+    s = events_sessionize(spark, sf_dir)
+    return s.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count("*"), 6
+        ).alias("mean_events"),
+        F.round(
+            F.sum("duration_us").cast("double")
+            / F.count("*")
+            / 1000000.0,
+            6,
+        ).alias("mean_duration_s"),
+        F.round(
+            F.max("duration_us").cast("double") / 1000000.0, 6
+        ).alias("max_duration_s"),
+    )
+
+
 QUERIES = {
+    "events_session_stats": events_session_stats,
     "events_lag_features": events_lag_features,
     "events_gapfill_hourly": events_gapfill_hourly,
     "events_moving_avg": events_moving_avg,
@@ -837,6 +876,30 @@ QUERIES = {
     "events_running_total": events_running_total,
     "events_json_props": events_json_props,
 }
+
+_SQL_SESSIONIZE = f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                > {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), sessions AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, session_id,
+               strftime(MIN(ts), '{_SQL_TS_FMT}') AS session_start,
+               COUNT(*) AS n_events,
+               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
+        FROM sessions GROUP BY user_id, session_id
+    """
 
 _SQL_SUM_VALUE = (
     "CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE)"
@@ -921,29 +984,22 @@ ORACLE = {
                {_SQL_SUM_VALUE} AS sum_value
         FROM expanded GROUP BY 1
     """,
-    "events_sessionize": f"""
-        WITH flagged AS (
-            SELECT user_id, ts, event_id,
-                   CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                             OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                                > {_SESSION_GAP_US}
-                        THEN 1 ELSE 0 END AS new_session
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ), sessions AS (
-            SELECT user_id, ts,
-                   CAST(SUM(new_session) OVER (PARTITION BY user_id
-                                          ORDER BY ts, event_id
-                                          ROWS UNBOUNDED PRECEDING)
-                        AS BIGINT) AS session_id
-            FROM flagged
-        )
-        SELECT user_id, session_id,
-               strftime(MIN(ts), '{_SQL_TS_FMT}') AS session_start,
-               COUNT(*) AS n_events,
-               MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us
-        FROM sessions GROUP BY user_id, session_id
-    """,
+    "events_sessionize": _SQL_SESSIONIZE,
+    # session stats compose the sessionize oracle VERBATIM (the
+    # screens_matrix pattern): one definition of a session
+    "events_session_stats": f"""
+        WITH s AS ({{_S}})
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n_events) AS BIGINT) AS n_events,
+               round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_events,
+               round(CAST(SUM(duration_us) AS DOUBLE) / COUNT(*)
+                     / 1000000.0, 6) AS mean_duration_s,
+               round(CAST(MAX(duration_us) AS DOUBLE) / 1000000.0, 6)
+                 AS max_duration_s
+        FROM s GROUP BY user_id
+    """.format(_S=_SQL_SESSIONIZE),
     "events_topk_per_user": """
         SELECT user_id, rk, event_id, value FROM (
             SELECT user_id, event_id, value,

@@ -304,6 +304,8 @@ def test_guarded_broadcast_falls_back_past_threshold(spark, conf_key, opname):
         ("docs_length_percentiles_by_source", 1),
         # tiny-frame window over a 24x|types| aggregate
         ("events_hourly_seasonality", 2),
+        # rides the sessionizer's one user_id shuffle
+        ("events_session_stats", 1),
     ],
 )
 def test_round6_shuffle_budget(spark, name, budget):
