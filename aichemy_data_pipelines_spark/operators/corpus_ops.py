@@ -308,6 +308,43 @@ def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTES saved by dedup per source — the number a dedup report
+    actually leads with (storage + training-compute savings), the
+    size-weighted companion of corpus_dup_rate_by_source's doc
+    counts: a source dropping a few huge duplicates outranks one
+    dropping many tiny ones.
+
+    Composed from dedup_keep_one's verdicts joined back to doc sizes
+    (one definition of "dropped"; the oracle composes the cluster
+    CTE the same way).
+
+    Output: (source, total_chars, chars_dropped, savings_rate).
+
+    Scale: inherits the dedup stack; the join back to sizes is
+    doc_id-keyed and the report is one bounded agg on source.
+    """
+    v = dedup_keep_one(spark, sf_dir)
+    sizes = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    return (
+        v.join(sizes, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum(
+                F.col("n_chars") * (1 - F.col("keep"))
+            ).cast("long").alias("chars_dropped"),
+            F.round(
+                F.sum(F.col("n_chars") * (1 - F.col("keep")))
+                / F.sum("n_chars"),
+                6,
+            ).alias("savings_rate"),
+        )
+    )
+
+
 def docs_length_percentiles_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -338,6 +375,7 @@ def docs_length_percentiles_by_source(
 
 
 QUERIES = {
+    "corpus_dedup_savings": corpus_dedup_savings,
     "docs_length_percentiles_by_source": docs_length_percentiles_by_source,
     "dedup_keep_one": dedup_keep_one,
     "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
@@ -369,6 +407,22 @@ ORACLE = {
                CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END AS keep
         FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
     """,
+    "corpus_dedup_savings": f"""
+        WITH clusters AS ({{_SQL_CLUSTERS}}),
+        v AS (
+            SELECT c.doc_id, d.source, d.n_chars,
+                   CASE WHEN c.doc_id = c.cluster_id THEN 1 ELSE 0 END
+                     AS keep
+            FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+        )
+        SELECT source,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_chars * (1 - keep)) AS BIGINT)
+                 AS chars_dropped,
+               round(CAST(SUM(n_chars * (1 - keep)) AS DOUBLE)
+                     / SUM(n_chars), 6) AS savings_rate
+        FROM v GROUP BY source
+    """.format(_SQL_CLUSTERS=_SQL_CLUSTERS),
     "corpus_dup_rate_by_source": f"""
         WITH clusters AS ({{_SQL_CLUSTERS}}),
         v AS (

@@ -330,7 +330,47 @@ def orders_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lineitem_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency profile per order month: the
+    operational-SLA view (is fulfillment drifting?) over the ONE
+    fact-fact join in the schema (lineitem ⋈ orders on orderkey).
+
+    Determinism: latencies are exact integer day differences;
+    min/max/sum are integer aggregates; the mean is one 6dp IEEE
+    division.
+
+    Scale: THE canonical big join — two fact tables equi-joined on
+    orderkey.  Neither side broadcasts; the plan is a shuffled
+    hash/sort-merge join (AQE picks), and at 100 TB both sides would
+    be bucketed by orderkey to pre-co-locate it
+    (sources/formats.bucketed_join shows that variant).  The month
+    agg after the join is map-side combined into ~84 groups.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("long").alias("lat_days"),
+    )
+    return j.groupBy("order_month").agg(
+        F.count("*").cast("long").alias("n_lineitems"),
+        F.min("lat_days").cast("long").alias("min_days"),
+        F.max("lat_days").cast("long").alias("max_days"),
+        F.round(
+            F.sum("lat_days").cast("double") / F.count("*"), 6
+        ).alias("mean_days"),
+    )
+
+
 QUERIES = {
+    "lineitem_ship_latency": lineitem_ship_latency,
     "orders_spend_deciles": orders_spend_deciles,
     "customer_scd2": customer_scd2,
     "orders_incremental_agg": orders_incremental_agg,
@@ -353,6 +393,22 @@ _SQL_REV = (
 )
 
 ORACLE = {
+    "lineitem_ship_latency": """
+        SELECT strftime(o.o_orderdate, '%Y-%m') AS order_month,
+               CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+               CAST(MIN(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)))
+                    AS BIGINT) AS min_days,
+               CAST(MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                  CAST(l.l_shipdate AS DATE)))
+                    AS BIGINT) AS max_days,
+               round(CAST(SUM(date_diff('day',
+                                        CAST(o.o_orderdate AS DATE),
+                                        CAST(l.l_shipdate AS DATE)))
+                          AS DOUBLE) / COUNT(*), 6) AS mean_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    """,
     "orders_spend_deciles": """
         WITH spend AS (
             SELECT o_custkey,
