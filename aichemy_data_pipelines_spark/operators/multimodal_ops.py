@@ -220,7 +220,33 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-modality corpus audit over the REAL decode path: media
+    counts, payload bytes, mean intensity proxy and DISTINCT
+    perceptual hashes per mime — the intake dashboard of a multimodal
+    corpus (n_media vs n_distinct_phash gap = exact-duplicate media).
+
+    The features flow through the genuine Arrow mapInPandas decode
+    stage (decode_features), then one bounded groupBy(mime) — so the
+    oracle proves the UDF path end-to-end, aggregated.
+
+    Scale: pure map + 3-group agg; countDistinct(phash) shuffles the
+    hash space once (swap approx_count_distinct at 100 TB for the
+    same shape).
+    """
+    f = decode_features(synthetic_media(spark, sf_dir))
+    return f.groupBy("mime").agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.round(
+            F.sum("byte_sum_mod").cast("double") / F.count("*"), 6
+        ).alias("mean_byte_sum"),
+        F.countDistinct("phash").cast("long").alias("n_distinct_phash"),
+    )
+
+
 QUERIES = {
+    "multimodal_mix_report": multimodal_mix_report,
     "multimodal_scene_cuts": multimodal_scene_cuts,
     "multimodal_meta": multimodal_meta,
     "multimodal_frames": multimodal_frames,
@@ -332,6 +358,26 @@ ORACLE = {
                           {_FRAME_BYTES * 2})) AS frame_hash
         FROM documents, unnest([{_FRAME_IDXS}]) AS t(f)
         WHERE doc_id % 3 = 2
+    """,
+    "multimodal_mix_report": f"""
+        WITH meta AS (
+            SELECT doc_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                        WHEN 0 THEN 'image/png'
+                        WHEN 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS mime,
+                   32 AS n_bytes,
+                   CAST({_BYTE_SUM} AS INTEGER) AS byte_sum_mod,
+                   md5(lower({_HEX})) AS phash
+            FROM documents
+        )
+        SELECT mime,
+               CAST(COUNT(*) AS BIGINT) AS n_media,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               round(CAST(SUM(byte_sum_mod) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_byte_sum,
+               CAST(COUNT(DISTINCT phash) AS BIGINT) AS n_distinct_phash
+        FROM meta GROUP BY mime
     """,
     "multimodal_meta": f"""
         SELECT doc_id,
