@@ -134,3 +134,35 @@ def test_copurchase_lift_identity(spark):
             abs(r.lift - round((r.n_orders * n_total) / (r.n_a * r.n_b), 6))
             <= 1e-9
         )
+
+
+def test_broadcast_when_hint_boundary(spark):
+    """broadcast_when attaches the hint exactly at n <= max and not
+    past it (analyzed-plan ResolvedHint presence)."""
+    from aichemy_data_pipelines_spark.functions.hints import broadcast_when
+
+    df = spark.range(10)
+    hinted = spark.range(5).join(
+        broadcast_when(df, 10, 10, "t"), "id"
+    )
+    assert "ResolvedHint" in (
+        hinted._jdf.queryExecution().analyzed().toString()
+    )
+    unhinted = spark.range(5).join(
+        broadcast_when(df, 11, 10, "t"), "id"
+    )
+    assert "ResolvedHint" not in (
+        unhinted._jdf.queryExecution().analyzed().toString()
+    )
+
+
+def test_conf_int_default_and_override(spark):
+    from aichemy_data_pipelines_spark.functions.hints import conf_int
+
+    key = "spark.graft.test.someGuard"
+    assert conf_int(spark, key, 42) == 42
+    spark.conf.set(key, "7")
+    try:
+        assert conf_int(spark, key, 42) == 7
+    finally:
+        spark.conf.unset(key)
