@@ -104,7 +104,7 @@ def _attestation_order(names, root=None):
                 last_green[name] = max(last_green.get(name, 0), rnd)
             elif (
                 row.get("err") == "no_oracle"
-                and row.get("spark_rows") is not None
+                and (row.get("spark_rows") or 0) > 0
             ):
                 # the sanctioned rows-only attestation for queries
                 # declared without an oracle (e.g. xxhash64-based

@@ -14,10 +14,14 @@ this module encodes:
   runtime statistics when it actually fits.
 
 ``broadcast_when`` implements the first rule.  Callers count a cheap
-proxy of the side (e.g. the pre-explode document count, a
-column-pruned scan) rather than the exploded side itself, so the
-guard costs one metadata-cheap job, not a second pass over the heavy
-derivation.
+proxy of the side (a column-pruned scan) rather than the exploded
+side itself, so the guard costs one metadata-cheap job, not a second
+pass over the heavy derivation — but the THRESHOLD is stated in
+estimated rows OF THE HINTED SIDE, so every caller must scale its
+proxy by the per-row fanout of the derivation it actually
+broadcasts (shingles per doc, weights per query, bands per doc).
+A doc-count guard against a doc-count bound would admit multi-GB
+exploded broadcasts — the exact OOM this module exists to prevent.
 """
 
 from __future__ import annotations
@@ -30,11 +34,16 @@ from pyspark.sql import functions as F
 log = logging.getLogger(__name__)
 
 # Conf keys (override per-session to tighten/loosen the guards; tests
-# set them to 0 to force the fallback path).
-DECONTAM_MAX_EVAL_DOCS = "spark.graft.decontam.maxBroadcastEvalDocs"
-RAG_MAX_QUERY_DOCS = "spark.graft.rag.maxBroadcastQueryDocs"
-DEDUP_MAX_BATCH_DOCS = "spark.graft.dedup.maxBroadcastBatchDocs"
+# set them to 0 to force the fallback path).  Every bound is in
+# estimated ROWS OF THE BROADCAST SIDE — callers convert their cheap
+# proxy (doc counts, char sums) into that unit before comparing.
+DECONTAM_MAX_EVAL_ROWS = "spark.graft.decontam.maxBroadcastEvalRows"
+RAG_MAX_QUERY_ROWS = "spark.graft.rag.maxBroadcastQueryRows"
+DEDUP_MAX_BATCH_ROWS = "spark.graft.dedup.maxBroadcastBatchRows"
 COMPLIANCE_MAX_COHORT = "spark.graft.compliance.maxBroadcastCohort"
+# ~10M smallish rows ≈ low-hundreds of MB broadcast relation — the
+# conventional upper edge of safe for a forced broadcast
+DEFAULT_MAX_BROADCAST_ROWS = 10_000_000
 
 
 def conf_int(spark: SparkSession, key: str, default: int) -> int:

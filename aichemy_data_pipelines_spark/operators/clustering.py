@@ -49,11 +49,34 @@ def _make_ckpt(spark: SparkSession, reliable_dir: str | None):
     ``reliable_dir`` (HDFS/S3 path) to use reliable ``checkpoint()``
     to durable storage instead, which survives executor loss at the
     cost of a write per round.
+
+    Lifecycle contract for ``reliable_dir``: the CALLER owns it.
+    Spark does not delete reliable checkpoints unless
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (off
+    by default), and each iteration writes one corpus-scale copy —
+    delete the dir after the result is materialized, or point
+    recurring runs at a dated path they vacuum.  The session's
+    previous checkpoint dir is restored by ``_restore_ckpt_dir`` so
+    the setting doesn't leak into unrelated jobs in the session.
     """
     if reliable_dir is None:
         return lambda df: df.localCheckpoint()
     spark.sparkContext.setCheckpointDir(reliable_dir)
     return lambda df: df.checkpoint(eager=True)
+
+
+def _prev_ckpt_dir(spark: SparkSession) -> str | None:
+    opt = spark.sparkContext._jsc.sc().getCheckpointDir()  # noqa: SLF001
+    return opt.get() if opt.isDefined() else None
+
+
+def _restore_ckpt_dir(spark: SparkSession, prev: str | None) -> None:
+    """Put back the caller's checkpoint dir (session-global state).
+    An unset dir cannot be restored to None through the public API;
+    leaving ours in place then is harmless for correctness but noted
+    in _make_ckpt's contract."""
+    if prev is not None:
+        spark.sparkContext.setCheckpointDir(prev)
 
 
 def dedup_clusters(
@@ -79,10 +102,13 @@ def dedup_clusters(
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    prev_ckpt = _prev_ckpt_dir(spark)
     try:
         return _dedup_clusters_inner(spark, sf_dir, reliable_dir)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if reliable_dir is not None:
+            _restore_ckpt_dir(spark, prev_ckpt)
 
 
 def _dedup_clusters_inner(
@@ -174,12 +200,15 @@ def dedup_clusters_star(
         "spark.sql.shuffle.partitions",
         str(spark.sparkContext.defaultParallelism),
     )
+    prev_ckpt = _prev_ckpt_dir(spark)
     try:
         return _dedup_clusters_star_inner(
             spark, sf_dir, _iters_out, reliable_dir
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if reliable_dir is not None:
+            _restore_ckpt_dir(spark, prev_ckpt)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:

@@ -95,22 +95,31 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRECONDITION (enforced): the broadcast is only safe because the
     eval split is benchmark-sized — a held-out suite, not a corpus
     fraction.  The testdata models it as ``doc_id % 10 == 0``, which
-    is 10% of the corpus and would NOT broadcast at 100 TB; a
-    row-count guard (``spark.graft.decontam.maxBroadcastEvalDocs``,
-    default 1e6 eval docs, counted on a cheap column-pruned scan)
-    falls back to an unhinted join — AQE/shuffle — past the bound,
-    so misuse degrades to a slower plan instead of an OOM.
+    is 10% of the corpus and would NOT broadcast at 100 TB; a guard
+    (``spark.graft.decontam.maxBroadcastEvalRows``, default 1e7
+    estimated SHINGLE rows — the side actually hinted, estimated as
+    eval chars / 6 ≈ eval tokens ≥ distinct shingles, from a cheap
+    column-pruned scan) falls back to an unhinted join —
+    AQE/shuffle — past the bound, so misuse degrades to a slower
+    plan instead of an OOM.
     """
     from aichemy_data_pipelines_spark.functions.hints import (
-        DECONTAM_MAX_EVAL_DOCS,
+        DECONTAM_MAX_EVAL_ROWS,
+        DEFAULT_MAX_BROADCAST_ROWS,
         broadcast_when,
         conf_int,
     )
     base = load_table(spark, sf_dir, "documents")
-    # Cheap proxy for the eval side's size: eval DOC count on a
-    # column-pruned scan (not the exploded shingles — no second pass).
-    n_eval_docs = (
-        base.where(F.col("doc_id") % _EVAL_MOD == 0).select("doc_id").count()
+    # Cheap proxy for the HINTED side's size (the exploded distinct
+    # shingles, ≤ eval token count): eval char total / 6 on a
+    # column-pruned scan — no second pass over the derivation.
+    est_eval_rows = int(
+        (
+            base.where(F.col("doc_id") % _EVAL_MOD == 0)
+            .agg(F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"))
+            .first()["c"]
+        )
+        // 6
     )
     d = exploded_shingles(
         base.repartition(spark.sparkContext.defaultParallelism)
@@ -125,8 +134,8 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = d.where(F.col("doc_id") % _EVAL_MOD != 0)
     ev_side = broadcast_when(
         ev,
-        n_eval_docs,
-        conf_int(spark, DECONTAM_MAX_EVAL_DOCS, 1_000_000),
+        est_eval_rows,
+        conf_int(spark, DECONTAM_MAX_EVAL_ROWS, DEFAULT_MAX_BROADCAST_ROWS),
         "decontam_ngram_overlap",
     )
     return (

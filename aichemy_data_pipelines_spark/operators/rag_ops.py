@@ -23,11 +23,11 @@ Why this is the 100 TB shape:
   PRECONDITION (enforced): broadcast is only safe because the query
   set is a bounded batch — the testdata models it as a corpus
   fraction (``doc_id % 100 == 0``), which would NOT broadcast at
-  100 TB, so a row-count guard
-  (``spark.graft.rag.maxBroadcastQueryDocs``, default 1e6 query
-  docs, counted on a column-pruned scan) falls back to an unhinted
-  join past the bound — misuse degrades to a shuffle plan, not an
-  OOM;
+  100 TB, so a guard (``spark.graft.rag.maxBroadcastQueryRows``,
+  default 1e7 estimated WEIGHT rows — the side actually hinted:
+  query docs × ≤_DIM nonzero weights each, doc count from a
+  column-pruned scan) falls back to an unhinted join past the
+  bound — misuse degrades to a shuffle plan, not an OOM;
 * weights are 6dp decimals, so pair scores are EXACT decimal sums —
   order-independent, rank-stable, and hash-checkable in DuckDB.
 
@@ -129,13 +129,15 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("weight", "qweight")
     cw = _unit_weights(chunks, ["doc_id", "chunk_idx"])
     from aichemy_data_pipelines_spark.functions.hints import (
-        RAG_MAX_QUERY_DOCS,
+        DEFAULT_MAX_BROADCAST_ROWS,
+        RAG_MAX_QUERY_ROWS,
         broadcast_when,
         conf_int,
     )
 
-    # Cheap proxy for the broadcast side: query DOC count on a
-    # column-pruned scan (each doc fans out to ≤ _DIM weight rows).
+    # Cheap proxy for the HINTED side's size: each query doc fans out
+    # to ≤ _DIM nonzero weight rows, so estimated broadcast rows =
+    # doc count (column-pruned scan) × _DIM.
     n_query_docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.col("doc_id") % _Q_MOD == 0)
@@ -144,8 +146,8 @@ def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qw_side = broadcast_when(
         qw,
-        n_query_docs,
-        conf_int(spark, RAG_MAX_QUERY_DOCS, 1_000_000),
+        n_query_docs * _DIM,
+        conf_int(spark, RAG_MAX_QUERY_ROWS, DEFAULT_MAX_BROADCAST_ROWS),
         "rag_chunk_retrieval",
     )
     scores = (

@@ -140,7 +140,12 @@ class AtomicParquetTable:
         merging reads every file footer up front, which a fixed-schema
         table shouldn't pay.
         """
-        dirs = self.current_dirs(version)
+        # resolve the version ONCE: current_dirs and partition_schemas
+        # must come from the SAME manifest, or a commit racing this
+        # read could pair version-v dirs with version-v+1 schemas and
+        # silently revive hive partition-type inference for them
+        v = self._latest_version() if version is None else version
+        dirs = self.current_dirs(v)
         # an empty commit (e.g. a foreachBatch replay with zero rows)
         # writes only _SUCCESS — reading such a dir in isolation
         # raises UNABLE_TO_INFER_SCHEMA and would brick the table, so
@@ -148,7 +153,7 @@ class AtomicParquetTable:
         dirs = [d for d in dirs if self._dir_has_parquet(d)]
         if not dirs:
             return None
-        part_schemas = self.partition_schemas(version)
+        part_schemas = self.partition_schemas(v)
 
         def read_dir(d: str) -> DataFrame:
             reader = spark.read

@@ -305,6 +305,15 @@ class WatchConvertPipeline:
                              n_out, "ok", attempts, dur, now_iso)
                         )
                     except Exception:  # noqa: BLE001 — status ledger, not crash
+                        # a real converter may have written PART of
+                        # tmp before dying — remove it or the orphan
+                        # .partial lingers in the output tree forever
+                        # (the stub buffers in memory, but the hook
+                        # contract writes incrementally)
+                        try:
+                            os.unlink(tmp)
+                        except OSError:
+                            pass
                         dur = int((time.perf_counter() - t_start) * 1000)
                         rows.append(
                             (r.base, r.plate_rel, "", r.total_bytes, 0,

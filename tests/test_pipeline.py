@@ -352,11 +352,16 @@ def test_user_converter_hook_end_to_end(spark, tmp_path):
 
 def test_user_converter_failure_ledgers_attempt(spark, tmp_path):
     """A converter that raises must produce a 'failed' ledger row and
-    count an attempt, same as the stub path."""
+    count an attempt, same as the stub path — and any partial output
+    it wrote must be cleaned up (no orphaned .partial files)."""
     watch = str(tmp_path / "watch")
     make_tree(watch, {"p": {"bad": {"a.bin": b"x"}}})
 
     def boom(run_dir, tmp_out, ctx):
+        # write SOME bytes first (the real external-tool failure
+        # mode), then die — the framework must unlink the .partial
+        with open(tmp_out, "wb") as f:
+            f.write(b"half-written")
         raise RuntimeError("tool exit 1")
 
     cfg = PipelineConfig(
@@ -373,3 +378,10 @@ def test_user_converter_failure_ledgers_attempt(spark, tmp_path):
         F.desc("attempts")
     ).first()
     assert row.status == "failed" and row.attempts == 1
+    partials = [
+        os.path.join(base, f)
+        for base, _, files in os.walk(str(tmp_path / "o"))
+        for f in files
+        if f.endswith(".partial")
+    ]
+    assert not partials, partials

@@ -261,11 +261,11 @@ def _collect_sorted(df):
     ("conf_key", "opname"),
     [
         (
-            "spark.graft.decontam.maxBroadcastEvalDocs",
+            "spark.graft.decontam.maxBroadcastEvalRows",
             "decontam_ngram_overlap",
         ),
-        ("spark.graft.rag.maxBroadcastQueryDocs", "rag_chunk_retrieval"),
-        ("spark.graft.dedup.maxBroadcastBatchDocs", "dedup_incremental"),
+        ("spark.graft.rag.maxBroadcastQueryRows", "rag_chunk_retrieval"),
+        ("spark.graft.dedup.maxBroadcastBatchRows", "dedup_incremental"),
         (
             "spark.graft.compliance.maxBroadcastCohort",
             "compliance_delete_plan",
