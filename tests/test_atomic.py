@@ -382,3 +382,30 @@ def test_partition_type_survives_read_and_compact(spark, tmp_path):
     got3 = t2.read(spark)
     assert dict(got3.dtypes)["b"] == "int"
     assert sorted(r.id for r in got3.collect()) == list(range(8))
+
+
+def test_time_travel_uses_matching_partition_schema(spark, tmp_path):
+    """read(version=v) must pair version-v dirs with version-v
+    partition schemas — after a later commit changes the layout, the
+    pinned read still casts its shard column from ITS manifest (the
+    double-resolution race fix, exercised via time travel)."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+
+    table = AtomicParquetTable(str(tmp_path / "tt"))
+    table.overwrite(
+        spark.createDataFrame(
+            [(1, "01"), (2, "1")], "id int, shard string"
+        ),
+        partition_by=["shard"],
+    )
+    # v2: unpartitioned, different shape entirely
+    table.overwrite(spark.range(3).withColumn("b", F.lit("x")))
+
+    old = table.read(spark, version=1)
+    assert dict(old.dtypes)["shard"] == "string"
+    assert sorted((r.id, r.shard) for r in old.collect()) == [
+        (1, "01"), (2, "1"),
+    ]
+    assert sorted(r.id for r in table.read(spark).collect()) == [0, 1, 2]
