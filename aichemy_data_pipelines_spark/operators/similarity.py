@@ -335,3 +335,67 @@ ORACLE = {
         WHERE rk <= {_KNN_K}
     """,
 }
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the LSH index against the exact baseline, per
+    query — the evaluation harness every ANN deployment runs before
+    trusting an index, expressed as a first-class query.
+
+    Composed VERBATIM from ann_cosine_topk (ground truth) and
+    ann_lsh_topk (the index under test); the oracle nests both
+    oracle texts as CTEs, so the eval can never drift from the
+    operators it evaluates (the screens_matrix pattern).
+
+    Output: (query_id, n_exact, n_hits, recall) — recall@3: both
+    sides truncated to their top-3 before comparing; n_hits = exact
+    top-3 neighbors the index also returned.  LSH's candidate
+    contract means a query may return fewer than 3 rows, which
+    recall penalizes correctly.
+
+    Scale: both inputs are query-bounded (constant _N_QUERIES);
+    the comparison join and agg run on ≤ 3·|Q| rows.
+    """
+    # both sides truncated to the same k: the exact baseline emits
+    # top-5, the LSH index top-3 — recall@3 compares like with like
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .where(F.col("rk") <= 3)
+        .select("query_id", "cand_id")
+    )
+    approx = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("hit_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.cand_id == approx.hit_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit_id").cast("long").alias("n_hits"),
+            F.round(
+                F.count("hit_id") / F.count("*"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+
+ORACLE["ann_recall_eval"] = f"""
+    WITH exact_all AS ({ORACLE["ann_cosine_topk"]}),
+    exact AS (SELECT * FROM exact_all WHERE rk <= 3),
+    approx AS ({ORACLE["ann_lsh_topk"]})
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.cand_id) AS BIGINT) AS n_hits,
+           round(COUNT(a.cand_id) / COUNT(*), 6) AS recall
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+    GROUP BY e.query_id
+"""
