@@ -497,7 +497,164 @@ def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each (type, day)'s
+    event count with the count 7 days earlier, score MAE and mean
+    bias per type over the days that have a 7-day-old baseline — the
+    canonical forecasting BASELINE every capacity model must beat,
+    and the backtest harness shape (join actuals to lagged
+    predictions, aggregate errors).
+
+    Determinism: daily counts and absolute errors are exact
+    integers; MAE/bias are single 6dp IEEE divisions.
+
+    Scale: one (type, day) groupBy (map-side combined to a tiny
+    frame), then a 7-day self-join and error agg run on the
+    aggregate — no second corpus pass.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    pred = daily.select(
+        "event_type",
+        F.date_add("day", 7).alias("day"),
+        F.col("n").alias("n_pred"),
+    )
+    scored = daily.join(pred, ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "n",
+        "n_pred",
+        F.abs(F.col("n") - F.col("n_pred")).alias("abs_err"),
+        (F.col("n") - F.col("n_pred")).alias("err"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum("n").cast("long").alias("n_actual"),
+        F.round(
+            F.sum("abs_err").cast("double") / F.count("*"), 6
+        ).alias("mae"),
+        F.round(
+            F.sum("err").cast("double") / F.count("*"), 6
+        ).alias("mean_bias"),
+    )
+
+
+_MAD_K = 5.0  # |v - median| > K·MAD flags an outlier
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly screen per event type — the
+    outlier detector that survives what breaks z-scores: a few huge
+    outliers inflate the mean AND the stddev, masking themselves;
+    the median and the median absolute deviation barely move.
+
+    Output: per type (n, median, mad, n_outliers at |v-med| > 5·MAD).
+
+    Determinism: medians are exact interpolated percentiles
+    (percentile ↔ quantile_cont, the events_percentiles recipe),
+    rounded 6dp BEFORE the deviation pass so both engines threshold
+    against the identical double; outlier counts are integer.
+
+    Scale: two passes over the type groups (median, then MAD of
+    deviations) + one counting pass — each a map-side-combined agg;
+    the per-type medians broadcast back (bounded type registry).
+    At 100 TB swap approx_percentile into the same shape.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("median"))
+    )
+    mad = dev.groupBy("event_type", "median").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"),
+    )
+    flagged = (
+        dev.join(
+            F.broadcast(mad.select("event_type", "n", "mad")),
+            "event_type",
+        )
+        .where(F.col("adev") > F.lit(_MAD_K) * F.col("mad"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_outliers"))
+    )
+    return (
+        mad.join(flagged, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "median",
+            "mad",
+            F.coalesce("n_outliers", F.lit(0).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )
+
+
+def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of corpus mass across sources, for both doc
+    counts and char volume — the concentration diagnostic of a data
+    mix (G→0: balanced; G→1: one source dominates; feeds the
+    temperature-mix decision).
+
+    G = (2·Σ i·wᵢ)/(n·Σw) − (n+1)/n over weights sorted ascending
+    (i = 1-based rank) — all rank products and sums are exact
+    integers; the two divisions are a single 6dp double chain.
+
+    Scale: one per-source agg (bounded), rank windows over
+    |sources| rows — nothing corpus-scale after the first groupBy.
+    """
+    from pyspark.sql.window import Window
+
+    per = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("w_docs"),
+            F.sum("n_chars").cast("long").alias("w_chars"),
+        )
+    )
+
+    ranked = per.select(
+        "source",
+        "w_docs",
+        "w_chars",
+        F.row_number()
+        .over(Window.orderBy(F.col("w_docs"), F.col("source")))
+        .alias("rk_docs"),
+        F.row_number()
+        .over(Window.orderBy(F.col("w_chars"), F.col("source")))
+        .alias("rk_chars"),
+    )
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.round(
+            (2 * F.sum(F.col("w_docs") * F.col("rk_docs")).cast("double"))
+            / (F.count("*") * F.sum("w_docs").cast("double"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini_docs"),
+        F.round(
+            (2 * F.sum(F.col("w_chars") * F.col("rk_chars")).cast("double"))
+            / (F.count("*") * F.sum("w_chars").cast("double"))
+            - (F.count("*") + 1) / F.count("*"),
+            6,
+        ).alias("gini_chars"),
+    )
+
+
 QUERIES = {
+    "events_forecast_backtest": events_forecast_backtest,
+    "events_anomaly_mad": events_anomaly_mad,
+    "corpus_source_gini": corpus_source_gini,
     "events_kl_drift": events_kl_drift,
     "events_ewma": events_ewma,
     "events_cusum": events_cusum,
@@ -541,6 +698,71 @@ def _ewma_sql() -> str:
 
 
 ORACLE = {
+    "events_forecast_backtest": """
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), scored AS (
+            SELECT a.event_type, a.n, p.n AS n_pred,
+                   abs(a.n - p.n) AS abs_err, a.n - p.n AS err
+            FROM daily a
+            JOIN daily p ON a.event_type = p.event_type
+                        AND a.day = p.day + INTERVAL 7 DAY
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n) AS BIGINT) AS n_actual,
+               round(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) AS mae,
+               round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6)
+                 AS mean_bias
+        FROM scored GROUP BY event_type
+    """,
+    "events_anomaly_mad": f"""
+        WITH med AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS median
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, m.median,
+                   abs(e.value - m.median) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, median,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   round(quantile_cont(adev, 0.5), 6) AS mad
+            FROM dev GROUP BY event_type, median
+        )
+        SELECT m.event_type, m.n, m.median, m.mad,
+               CAST(COALESCE(SUM(CASE WHEN d.adev > {_MAD_K} * m.mad
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_outliers
+        FROM mad m JOIN dev d USING (event_type)
+        GROUP BY m.event_type, m.n, m.median, m.mad
+    """,
+    "corpus_source_gini": """
+        WITH per AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS w_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS w_chars
+            FROM documents GROUP BY source
+        ), ranked AS (
+            SELECT w_docs, w_chars,
+                   row_number() OVER (ORDER BY w_docs, source)
+                     AS rk_docs,
+                   row_number() OVER (ORDER BY w_chars, source)
+                     AS rk_chars
+            FROM per
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+               round((2 * CAST(SUM(w_docs * rk_docs) AS DOUBLE))
+                     / (COUNT(*) * CAST(SUM(w_docs) AS DOUBLE))
+                     - (COUNT(*) + 1) / COUNT(*), 6) AS gini_docs,
+               round((2 * CAST(SUM(w_chars * rk_chars) AS DOUBLE))
+                     / (COUNT(*) * CAST(SUM(w_chars) AS DOUBLE))
+                     - (COUNT(*) + 1) / COUNT(*), 6) AS gini_chars
+        FROM ranked
+    """,
     "events_kl_drift": f"""
         WITH ev AS (
             SELECT strftime(ts, '%Y-%m-%d') AS day,

@@ -202,3 +202,79 @@ def test_kl_drift_zero_for_identical_days(spark, tmp_path):
     assert got["2024-01-01"] == got["2024-01-02"]
     # the concentrated day diverges more than the spread days
     assert got["2024-01-03"] > got["2024-01-01"] >= 0
+
+
+def test_gini_bounds(spark, tmp_path):
+    """Equal sources → gini 0; near-total concentration → gini → 1."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        corpus_source_gini,
+    )
+
+    sf = str(tmp_path / "eq")
+    spark.createDataFrame(
+        [(i, "t", "en", f"s{i % 4}", 100) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf}/documents.parquet")
+    r = corpus_source_gini(spark, sf).first()
+    assert r.n_sources == 4 and r.gini_docs == 0.0 and r.gini_chars == 0.0
+
+    sf2 = str(tmp_path / "conc")
+    rows = [(i, "t", "en", "whale", 1000) for i in range(97)] + [
+        (100 + j, "t", "en", f"m{j}", 1) for j in range(3)
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{sf2}/documents.parquet")
+    r2 = corpus_source_gini(spark, sf2).first()
+    assert r2.gini_docs > 0.7 and r2.gini_chars > 0.7
+
+
+def test_mad_screen_survives_outlier_that_breaks_zscore(spark, tmp_path):
+    """One huge outlier: the MAD screen still flags exactly it, with
+    the median/MAD barely moved — the robustness motivation."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_anomaly_mad,
+    )
+
+    sf = str(tmp_path)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 10.2, 9.8, 1000.0]
+    spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i:02d}", 1, "view", v, "{}")
+         for i, v in enumerate(vals)],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(f"{sf}/events.parquet")
+    r = events_anomaly_mad(spark, sf).first()
+    assert r.n == 9 and abs(r.median - 10.0) < 0.3
+    assert r.n_outliers == 1  # exactly the 1000.0
+
+
+def test_forecast_backtest_perfect_weekly_series(spark, tmp_path):
+    """A perfectly 7-periodic daily series backtests to MAE 0."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_forecast_backtest,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    eid = 0
+    for day in range(14):
+        # count pattern repeats with period 7: day % 7 + 1 events
+        for _ in range(day % 7 + 1):
+            eid += 1
+            rows.append(
+                (eid, f"2024-01-{day + 1:02d} 01:00:00", 1, "view",
+                 1.0, "{}")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(f"{sf}/events.parquet")
+    r = events_forecast_backtest(spark, sf).first()
+    assert r.n_days == 7 and r.mae == 0.0 and r.mean_bias == 0.0
