@@ -66,6 +66,19 @@ def _build_parser() -> argparse.ArgumentParser:
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--limit", type=int, default=20)
 
+    au = sub.add_parser(
+        "audit",
+        help="run the data-health report (uniqueness, orphans, "
+        "drift, concentration) and print one JSON document",
+    )
+    au.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    au.add_argument(
+        "--max-rows",
+        type=int,
+        default=64,
+        help="cap rows recorded per audit section",
+    )
+
     cb = sub.add_parser(
         "corpus-build",
         help="build a versioned curated training corpus "
@@ -286,6 +299,34 @@ def main(argv: list[str] | None = None) -> int:
             )
             return 2
         qs[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "audit":
+        # the ops one-shot: every cross-cutting data-health query in
+        # one JSON document (the report a scheduler ships nightly).
+        # Sections are bounded aggregates, so the driver materializes
+        # at most max_rows per section — no corpus-sized collect.
+        from aichemy_data_pipelines_spark.operators.analytics_ext import (
+            corpus_source_gini,
+            events_kl_drift,
+        )
+        from aichemy_data_pipelines_spark.operators.quality_ops import (
+            dq_orphan_check,
+            dq_uniqueness,
+        )
+
+        sections = {
+            "uniqueness": dq_uniqueness,
+            "orphans": dq_orphan_check,
+            "value_drift": events_kl_drift,
+            "source_concentration": corpus_source_gini,
+        }
+        report = {}
+        for name, fn in sections.items():
+            df = fn(spark, args.sf_dir)
+            rows = df.limit(args.max_rows).collect()
+            report[name] = [r.asDict() for r in rows]
+        print(json.dumps(report, default=str))
         return 0
 
     if args.cmd == "metrics":

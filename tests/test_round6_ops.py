@@ -278,3 +278,24 @@ def test_forecast_backtest_perfect_weekly_series(spark, tmp_path):
     ).write.parquet(f"{sf}/events.parquet")
     r = events_forecast_backtest(spark, sf).first()
     assert r.n_days == 7 and r.mae == 0.0 and r.mean_bias == 0.0
+
+
+def test_cli_audit_emits_all_sections(spark, capsys):
+    """The audit subcommand runs every health section and prints one
+    parseable JSON document with non-empty sections."""
+    import json as _json
+
+    from aichemy_data_pipelines_spark.cli import main
+    from tests.conftest import SF_SMOKE
+
+    rc = main(["audit", "--sf-dir", SF_SMOKE, "--max-rows", "8"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(out) == {
+        "uniqueness", "orphans", "value_drift", "source_concentration",
+    }
+    assert all(out[k] for k in out)
+    assert {r["table_name"] for r in out["uniqueness"]} >= {
+        "orders", "documents",
+    }
+    assert 0.0 <= out["source_concentration"][0]["gini_docs"] <= 1.0
