@@ -304,8 +304,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "audit":
         # the ops one-shot: every cross-cutting data-health query in
         # one JSON document (the report a scheduler ships nightly).
-        # Sections are bounded aggregates, so the driver materializes
-        # at most max_rows per section — no corpus-sized collect.
+        # Sections are aggregates; the driver materializes at most
+        # max_rows (+1 to detect truncation) per section — no
+        # corpus-sized collect.
+        from pyspark.sql import functions as F
+
         from aichemy_data_pipelines_spark.operators.analytics_ext import (
             corpus_source_gini,
             events_kl_drift,
@@ -315,17 +318,28 @@ def main(argv: list[str] | None = None) -> int:
             dq_uniqueness,
         )
 
+        # (section, query, sort keys) — sections are sorted BEFORE the
+        # row cap so truncation is deterministic and keeps the most
+        # relevant rows (e.g. the NEWEST drift days), never an
+        # arbitrary task-order subset
         sections = {
-            "uniqueness": dq_uniqueness,
-            "orphans": dq_orphan_check,
-            "value_drift": events_kl_drift,
-            "source_concentration": corpus_source_gini,
+            "uniqueness": (dq_uniqueness, [F.asc("table_name")]),
+            "orphans": (dq_orphan_check, [F.asc("relationship")]),
+            "value_drift": (events_kl_drift, [F.desc("day")]),
+            "source_concentration": (
+                corpus_source_gini,
+                [F.asc("n_sources")],
+            ),
         }
         report = {}
-        for name, fn in sections.items():
-            df = fn(spark, args.sf_dir)
-            rows = df.limit(args.max_rows).collect()
-            report[name] = [r.asDict() for r in rows]
+        for name, (fn, order) in sections.items():
+            df = fn(spark, args.sf_dir).orderBy(*order)
+            rows = df.limit(args.max_rows + 1).collect()
+            truncated = len(rows) > args.max_rows
+            report[name] = {
+                "rows": [r.asDict() for r in rows[: args.max_rows]],
+                "truncated": truncated,
+            }
         print(json.dumps(report, default=str))
         return 0
 

@@ -458,11 +458,18 @@ def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate — the baseline table is exactly 16 rows and broadcast
     (genuinely constant-bounded, unlike a vocabulary).
     """
+    # clamp BOTH ends: negative values (an instrumentation regression
+    # — exactly what a drift monitor must flag) land in bucket 0, so
+    # the 16-bucket invariant and the 16-row broadcast bound hold for
+    # any input range
     ev = load_table(spark, sf_dir, "events").select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
-        F.least(
-            F.lit(_KL_BUCKETS - 1),
-            F.floor(F.col("value") / _KL_WIDTH),
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(_KL_BUCKETS - 1),
+                F.floor(F.col("value") / _KL_WIDTH),
+            ),
         ).cast("int").alias("bucket"),
     )
     db = ev.groupBy("day", "bucket").agg(
@@ -500,46 +507,70 @@ def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive forecast backtest: predict each (type, day)'s
     event count with the count 7 days earlier, score MAE and mean
-    bias per type over the days that have a 7-day-old baseline — the
-    canonical forecasting BASELINE every capacity model must beat,
-    and the backtest harness shape (join actuals to lagged
-    predictions, aggregate errors).
+    bias per type over EVERY day of the observation window that has
+    a 7-day-old baseline slot — the canonical forecasting BASELINE
+    every capacity model must beat, and the backtest harness shape
+    (grid of scoring days, actuals and lagged predictions coalesced
+    to 0, aggregate errors).
+
+    Zero-event days COUNT: the scoring grid is built from the
+    corpus-wide [min_day+7, max_day] span × the type registry, with
+    absent (type, day) counts coalesced to 0 on both sides — a
+    sparse type that misses a week contributes its full miss to MAE
+    instead of silently dropping out (an inner join on observed days
+    would understate error for exactly the spiky types a backtest
+    exists to expose).
 
     Determinism: daily counts and absolute errors are exact
     integers; MAE/bias are single 6dp IEEE divisions.
 
     Scale: one (type, day) groupBy (map-side combined to a tiny
-    frame), then a 7-day self-join and error agg run on the
-    aggregate — no second corpus pass.
+    frame); the grid is |types| × |days| rows and every join after
+    the first agg runs on that bounded frame.
     """
-    daily = (
-        load_table(spark, sf_dir, "events")
-        .groupBy(
-            "event_type", F.to_date("ts").alias("day")
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("n"))
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+    )
+    days = span.select(
+        F.explode(
+            F.expr("sequence(date_add(lo, 7), hi, interval 1 day)")
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(days))
+    scored = (
+        grid.join(daily, ["event_type", "day"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0).cast("long")))
+        .join(
+            daily.select(
+                "event_type",
+                F.date_add("day", 7).alias("day"),
+                F.col("n").alias("n_pred"),
+            ),
+            ["event_type", "day"],
+            "left",
         )
-        .agg(F.count("*").cast("long").alias("n"))
-    )
-    pred = daily.select(
-        "event_type",
-        F.date_add("day", 7).alias("day"),
-        F.col("n").alias("n_pred"),
-    )
-    scored = daily.join(pred, ["event_type", "day"]).select(
-        "event_type",
-        "day",
-        "n",
-        "n_pred",
-        F.abs(F.col("n") - F.col("n_pred")).alias("abs_err"),
-        (F.col("n") - F.col("n_pred")).alias("err"),
+        .withColumn(
+            "n_pred", F.coalesce("n_pred", F.lit(0).cast("long"))
+        )
     )
     return scored.groupBy("event_type").agg(
         F.count("*").cast("long").alias("n_days"),
         F.sum("n").cast("long").alias("n_actual"),
         F.round(
-            F.sum("abs_err").cast("double") / F.count("*"), 6
+            F.sum(F.abs(F.col("n") - F.col("n_pred"))).cast("double")
+            / F.count("*"),
+            6,
         ).alias("mae"),
         F.round(
-            F.sum("err").cast("double") / F.count("*"), 6
+            F.sum(F.col("n") - F.col("n_pred")).cast("double")
+            / F.count("*"),
+            6,
         ).alias("mean_bias"),
     )
 
@@ -578,7 +609,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = (
         dev.join(
-            F.broadcast(mad.select("event_type", "n", "mad")),
+            F.broadcast(mad.select("event_type", "mad")),
             "event_type",
         )
         .where(F.col("adev") > F.lit(_MAD_K) * F.col("mad"))
@@ -619,7 +650,12 @@ def corpus_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").cast("long").alias("w_docs"),
-            F.sum("n_chars").cast("long").alias("w_chars"),
+            # coalesce: an all-NULL-n_chars source must rank as 0, not
+            # as an engine-dependent NULL position (Spark sorts NULLS
+            # FIRST asc, DuckDB NULLS LAST — a cross-engine rank skew)
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("long")
+            .alias("w_chars"),
         )
     )
 
@@ -703,18 +739,36 @@ ORACLE = {
             SELECT event_type, CAST(ts AS DATE) AS day,
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT MIN(CAST(ts AS DATE)) AS lo,
+                   MAX(CAST(ts AS DATE)) AS hi
+            FROM events
+        ), days AS (
+            SELECT CAST(unnest(generate_series(
+                       lo + INTERVAL 7 DAY, hi, INTERVAL 1 DAY
+                   )) AS DATE) AS day
+            FROM span
+        ), types AS (
+            SELECT DISTINCT event_type FROM events
+        ), grid AS (
+            SELECT t.event_type, d.day FROM types t, days d
         ), scored AS (
-            SELECT a.event_type, a.n, p.n AS n_pred,
-                   abs(a.n - p.n) AS abs_err, a.n - p.n AS err
-            FROM daily a
-            JOIN daily p ON a.event_type = p.event_type
-                        AND a.day = p.day + INTERVAL 7 DAY
+            SELECT g.event_type,
+                   COALESCE(a.n, 0) AS n,
+                   COALESCE(p.n, 0) AS n_pred
+            FROM grid g
+            LEFT JOIN daily a
+              ON a.event_type = g.event_type AND a.day = g.day
+            LEFT JOIN daily p
+              ON p.event_type = g.event_type
+             AND g.day = p.day + INTERVAL 7 DAY
         )
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n_days,
                CAST(SUM(n) AS BIGINT) AS n_actual,
-               round(CAST(SUM(abs_err) AS DOUBLE) / COUNT(*), 6) AS mae,
-               round(CAST(SUM(err) AS DOUBLE) / COUNT(*), 6)
+               round(CAST(SUM(abs(n - n_pred)) AS DOUBLE) / COUNT(*),
+                     6) AS mae,
+               round(CAST(SUM(n - n_pred) AS DOUBLE) / COUNT(*), 6)
                  AS mean_bias
         FROM scored GROUP BY event_type
     """,
@@ -744,7 +798,9 @@ ORACLE = {
         WITH per AS (
             SELECT source,
                    CAST(COUNT(*) AS BIGINT) AS w_docs,
-                   CAST(SUM(n_chars) AS BIGINT) AS w_chars
+                   -- COALESCE mirrors the operator: all-NULL-n_chars
+                   -- sources rank as 0, not engine-dependent NULLs
+                   CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS w_chars
             FROM documents GROUP BY source
         ), ranked AS (
             SELECT w_docs, w_chars,
@@ -766,8 +822,8 @@ ORACLE = {
     "events_kl_drift": f"""
         WITH ev AS (
             SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   CAST(least({_KL_BUCKETS - 1},
-                              floor(value / {_KL_WIDTH})) AS INTEGER)
+                   CAST(greatest(0, least({_KL_BUCKETS - 1},
+                              floor(value / {_KL_WIDTH}))) AS INTEGER)
                      AS bucket
             FROM events
         ), db AS (

@@ -294,8 +294,70 @@ def test_cli_audit_emits_all_sections(spark, capsys):
     assert set(out) == {
         "uniqueness", "orphans", "value_drift", "source_concentration",
     }
-    assert all(out[k] for k in out)
-    assert {r["table_name"] for r in out["uniqueness"]} >= {
-        "orders", "documents",
+    assert all(out[k]["rows"] for k in out)
+    assert {r["table_name"] for r in out["uniqueness"]["rows"]} >= {
+        "documents",
     }
-    assert 0.0 <= out["source_concentration"][0]["gini_docs"] <= 1.0
+    assert 0.0 <= (
+        out["source_concentration"]["rows"][0]["gini_docs"]
+    ) <= 1.0
+    # deterministic truncation: drift keeps the NEWEST days and says so
+    drift = out["value_drift"]
+    assert drift["truncated"] is True  # 30 days > 8-row cap
+    days = [r["day"] for r in drift["rows"]]
+    assert days == sorted(days, reverse=True) and len(days) == 8
+
+
+def test_kl_drift_clamps_negative_values(spark, tmp_path):
+    """Negative values (instrumentation regression) land in bucket 0
+    — the 16-bucket invariant holds for any input range and the day
+    still scores instead of minting out-of-range buckets."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_kl_drift,
+    )
+
+    sf = str(tmp_path)
+    rows = [(1, "2024-01-01 01:00:00", 1, "view", 10.0, "{}"),
+            (2, "2024-01-02 01:00:00", 1, "view", -500.0, "{}"),
+            (3, "2024-01-02 01:00:01", 1, "view", -3.0, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {r.day: r for r in events_kl_drift(spark, sf).collect()}
+    assert got["2024-01-02"].n_events == 2
+    assert got["2024-01-02"].kl >= 0.0  # scored, no crash/extra buckets
+
+
+def test_forecast_backtest_counts_zero_event_days(spark, tmp_path):
+    """A type active on day 1 but silent on day 8 must contribute its
+    full miss to MAE — zero-event days are scored, not dropped."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_forecast_backtest,
+    )
+
+    sf = str(tmp_path)
+    rows = []
+    # 'spiky': 5 events on day 1, nothing after; observation window
+    # extended to day 8 by a second type
+    for i in range(5):
+        rows.append((i, "2024-01-01 01:00:00", 1, "spiky", 1.0, "{}"))
+    rows.append((99, "2024-01-08 01:00:00", 1, "steady", 1.0, "{}"))
+    rows.append((98, "2024-01-01 01:00:00", 1, "steady", 1.0, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(f"{sf}/events.parquet")
+    got = {r.event_type: r for r in
+           events_forecast_backtest(spark, sf).collect()}
+    # scoring grid = day 8 only; spiky actual 0 vs pred 5 -> MAE 5
+    assert got["spiky"].n_days == 1 and got["spiky"].mae == 5.0
+    assert got["spiky"].mean_bias == -5.0
+    # steady: actual 1 vs pred 1 -> perfect
+    assert got["steady"].mae == 0.0
