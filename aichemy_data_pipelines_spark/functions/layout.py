@@ -1,0 +1,56 @@
+"""Input-layout helpers: fix degenerate scan splits without paying a
+corpus-sized shuffle at real scale.
+
+Background (round-6 verdict, systemic finding #1): a small parquet
+file is ONE scan split, which serializes all hash-heavy per-row map
+work (shingling, PQ encoding, regex tokenizing) onto a single core at
+test SFs. The old workaround — an unconditional
+``repartition(defaultParallelism)`` baked into ~15 operators — fixed
+that but at 100 TB would round-robin-shuffle the ENTIRE corpus
+payload before the first map: at real scale the scan already arrives
+in ~``maxPartitionBytes``-sized splits, so the Exchange is pure loss
+and is the single largest byte movement in otherwise
+shuffle-disciplined plans.
+
+:func:`spread_small_input` is the conditional replacement: it checks
+the plan's actual partition count (metadata only — no job runs) and
+repartitions ONLY when the scan produced fewer splits than the
+session's parallelism. At 100 TB it is a no-op; at sf0.001 it spreads
+the single split across all cores. A conf kill-switch
+(``spark.graft.spreadSmallInput=false``) lets callers that control
+layout upstream disable it wholesale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Set to "false" to disable the spread entirely (plan tests use this
+#: to pin the no-Exchange at-scale plan shape).
+SPREAD_CONF = "spark.graft.spreadSmallInput"
+
+
+def spread_small_input(
+    df: DataFrame, min_partitions: int | None = None
+) -> DataFrame:
+    """Round-robin repartition ``df`` ONLY when its plan has fewer
+    partitions than ``min_partitions`` (default: the session's
+    ``defaultParallelism``); otherwise return ``df`` unchanged.
+
+    ``df.rdd.getNumPartitions()`` plans the query but runs no job —
+    for a parquet scan it is the split count derived from the file
+    listing, exactly the quantity we need. Callers pass the raw
+    ``load_table`` scan (before any wide transform) so the check sees
+    the scan's own layout.
+    """
+    spark = df.sparkSession
+    if str(spark.conf.get(SPREAD_CONF, "true")).lower() == "false":
+        return df
+    target = int(
+        min_partitions
+        if min_partitions is not None
+        else spark.sparkContext.defaultParallelism
+    )
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

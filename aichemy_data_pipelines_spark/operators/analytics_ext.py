@@ -449,8 +449,9 @@ def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: bucket ids and all counts are exact integers; each
     p·ln(p/q) term is a product of two 9dp-snapped decimals — p from
-    integer division, the log of the integer-ratio odds
-    (n_db·N)/(day_tot·n_b) — so per-day sums are exact decimal;
+    integer division, ln(p/q) as the difference of logs
+    ln(n_db/day_tot) − ln(n_b/n_total) (overflow-safe: no int64
+    product to wrap/raise) — so per-day sums are exact decimal;
     published KL is a 6dp double.
 
     Scale: ONE corpus shuffle (groupBy day × bucket, map-side
@@ -489,9 +490,14 @@ def events_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_db").over(Window.partitionBy(F.lit(1))),
         )
     )
+    # ln(p/q) as ln(n_db/day_tot) - ln(n_b/n_total): each division is
+    # a BIGINT→double true division, so no int64 product can overflow
+    # (n_db·n_total wraps silently in Spark's non-ANSI multiply but
+    # RAISES in DuckDB — the engines would diverge in failure mode;
+    # r06 ADVICE). Same double ops in both engines → bit-identical.
     term = (
         "cast(round(n_db / day_tot, 9) as decimal(18,9)) * "
-        "cast(round(ln((n_db * n_total) / (day_tot * n_b)), 9) "
+        "cast(round(ln(n_db / day_tot) - ln(n_b / n_total), 9) "
         "as decimal(18,9))"
     )
     return (
@@ -536,7 +542,12 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.to_date("ts")).alias("lo"),
         F.max(F.to_date("ts")).alias("hi"),
     )
-    days = span.select(
+    # guard the grid: Spark's sequence() RAISES when start > stop
+    # (ILLEGAL_SEQUENCE_BOUNDARIES) while DuckDB's generate_series
+    # returns an empty set — on a corpus spanning < 8 days the two
+    # engines would diverge (crash vs zero rows; r06 ADVICE). Filter
+    # the 1-row span frame first so both yield an empty backtest.
+    days = span.where(F.expr("hi >= date_add(lo, 7)")).select(
         F.explode(
             F.expr("sequence(date_add(lo, 7), hi, interval 1 day)")
         ).alias("day")
@@ -840,7 +851,7 @@ ORACLE = {
                CAST(SUM(n_db) AS BIGINT) AS n_events,
                round(CAST(SUM(
                    CAST(round(n_db / day_tot, 9) AS DECIMAL(18,9)) *
-                   CAST(round(ln((n_db * n_total) / (day_tot * n_b)), 9)
+                   CAST(round(ln(n_db / day_tot) - ln(n_b / n_total), 9)
                         AS DECIMAL(18,9))
                ) AS DOUBLE), 6) AS kl
         FROM j GROUP BY day

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.text import (
     SPARK_TOKENS,
     SQL_TOKENS,
@@ -122,7 +123,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         // 6
     )
     d = exploded_shingles(
-        base.repartition(spark.sparkContext.defaultParallelism)
+        base.transform(spread_small_input)
         .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
         .where(F.size("tokens") >= _DECON_N),
         _DECON_N,
@@ -166,7 +167,7 @@ def docs_distinct_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tok = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_small_input)
         .select("doc_id", F.explode(F.expr(SPARK_TOKENS)).alias("token"))
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -199,7 +200,7 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_small_input)
         .select(
             "source",
             F.size(F.expr(SPARK_TOKENS)).alias("ws"),

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
 
 _N_QUERIES = 10
@@ -107,9 +108,7 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over k-means lists: nprobe=2, exact cosine top-3."""
     cents, lists = _kmeans(spark, sf_dir)
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table(spark, sf_dir, "embeddings").transform(spread_small_input)
 
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
 from aichemy_data_pipelines_spark.operators import ivf as _ivf
 from aichemy_data_pipelines_spark.operators import pq as _pq
@@ -65,9 +66,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = _probe_lists(e, cents)
 
     # --- PQ side: trained codebooks, corpus codes, query tables ----
-    subs = _pq._subs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    subs = _pq._subs(spark, sf_dir).transform(spread_small_input)
     seeds = (
         e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 
 # No backslashes: identical literal in Java regex and RE2.
 EMAIL_RE = "[a-z0-9]+@[a-z0-9.]+[a-z]"
@@ -62,7 +63,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_small_input)
         .select("doc_id", F.expr(_RAW.replace("VARCHAR", "STRING")).alias("raw"))
     )
     clean = F.regexp_replace(

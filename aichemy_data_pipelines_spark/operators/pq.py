@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.vectors import (
     spark_dot_exact,
     sql_dot_exact,
@@ -105,9 +106,7 @@ def embeddings_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined (stringified because the driver's pandas
     canonicalizer cannot sort/hash array columns — r04 red row).
     """
-    subs = _subs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    subs = _subs(spark, sf_dir).transform(spread_small_input)
     e = load_table(spark, sf_dir, "embeddings")
     seeds = (
         e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
@@ -157,9 +156,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (query_id, rk, cand_id, adc_d2), rk by ascending ADC
     distance, ties to lower cand_id.
     """
-    subs = _subs(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    subs = _subs(spark, sf_dir).transform(spread_small_input)
     e = load_table(spark, sf_dir, "embeddings")
     seeds = (
         e.withColumn("h", F.md5(F.col("vec_id").cast("string")))

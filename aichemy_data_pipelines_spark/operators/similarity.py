@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.vectors import (
     spark_cosine_exact,
     spark_dot_exact,
@@ -89,9 +90,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking via window — no corpus shuffle at all. The per-row cost
     is O(|Q|·dim) JVM work inside codegen.
     """
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table(spark, sf_dir, "embeddings").transform(spread_small_input)
     # norms once per VECTOR, not per pair — 3x less decimal work for
     # bit-identical cosines (norm is the same double either way)
     norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"

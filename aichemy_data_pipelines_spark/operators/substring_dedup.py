@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.hashing import (
     spark_hash64,
     sql_hash64,
@@ -59,7 +60,7 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         exploded_shingles(
             load_table(spark, sf_dir, "documents")
-            .repartition(spark.sparkContext.defaultParallelism)
+            .transform(spread_small_input)
             .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
             .where(F.size("tokens") >= _WIN),
             _WIN,

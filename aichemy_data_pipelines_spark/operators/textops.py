@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.text import (
     SPARK_TOKENS,
     SQL_TOKENS,
@@ -35,11 +36,12 @@ _BPE_RE_SQL = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition before HOF-heavy per-row work: small single-row-group
-    # parquet files give the scan exactly one task (see dedup.py)
+    # conditional spread before HOF-heavy per-row work: small
+    # single-row-group parquet files give the scan exactly one task;
+    # no-op on an already-split input (see functions/layout.py)
     return (
         load_table(spark, sf_dir, "documents")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_small_input)
         .withColumn("tokens", F.expr(SPARK_TOKENS))
     )
 

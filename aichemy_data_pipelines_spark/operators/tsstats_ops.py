@@ -73,8 +73,11 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags 1 and 7 (day-over-day persistence and weekly seasonality).
 
     acf_k = (np*Sxy - Sx*Sy) / sqrt((np*Sxx - Sx^2)(np*Syy - Sy^2))
-    over the (x_t, x_{t+k}) pairs of the zero-filled grid; all five
-    sums are exact BIGINTs, the final chain one rounded double.
+    over the (x_t, x_{t+k}) pairs of the zero-filled grid; counts are
+    BIGINT and the moment sums/products exact DECIMALs (overflow-safe
+    to 10^38 — sx² wraps int64 silently in Spark but raises in
+    DuckDB, so BIGINT math would diverge in failure mode at scale);
+    the final chain is one rounded double.
     Constant series (zero variance on either side) emit NULL.
 
     Scale: corpus collapses in one groupBy; the lag self-join and the
@@ -94,17 +97,33 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         g.select("event_type", "day", F.col("n").alias("y")),
         ["event_type", "day"],
     )
+    # Moment sums and their products run in DECIMAL, not BIGINT: at
+    # large scale sx² / Σx² exceed int64, where Spark's non-ANSI
+    # multiply WRAPS silently (wrong acf) while DuckDB RAISES — the
+    # engines would diverge in failure mode (r06 ADVICE). The decimal
+    # shapes below bind identically in both engines (products capped
+    # at DECIMAL(38,0)), stay exact to 10^38, and produce the same
+    # integers as the old BIGINT math at any non-overflowing scale.
+    d19 = "decimal(19,0)"
     m = pairs.groupBy("event_type", "lag").agg(
         F.count("*").cast("long").alias("np"),
         F.sum("x").cast("long").alias("sx"),
         F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19)).alias("syy"),
     )
-    varx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
-    vary = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
-    cov = F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+
+    def _var(n, s2, s):
+        return F.col(n).cast("decimal(8,0)") * F.col(s2).cast(
+            "decimal(30,0)"
+        ) - F.col(s).cast(d19) * F.col(s).cast(d19)
+
+    varx = _var("np", "sxx", "sx")
+    vary = _var("np", "syy", "sy")
+    cov = F.col("np").cast("decimal(8,0)") * F.col("sxy").cast(
+        "decimal(30,0)"
+    ) - F.col("sx").cast(d19) * F.col("sy").cast(d19)
     return m.select(
         "event_type",
         "lag",
@@ -258,21 +277,37 @@ ORACLE = {
                    CAST(COUNT(*) AS BIGINT) AS np,
                    CAST(SUM(x) AS BIGINT) AS sx,
                    CAST(SUM(y) AS BIGINT) AS sy,
-                   CAST(SUM(x * y) AS BIGINT) AS sxy,
-                   CAST(SUM(x * x) AS BIGINT) AS sxx,
-                   CAST(SUM(y * y) AS BIGINT) AS syy
+                   SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                     AS sxy,
+                   SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                     AS sxx,
+                   SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                     AS syy
             FROM pairs GROUP BY 1, 2
+        ), v AS (
+            -- overflow-safe moments: decimal products (exact to
+            -- 10^38), mirroring the Spark side bit-for-bit
+            SELECT event_type, lag, np,
+                   CAST(np AS DECIMAL(8,0)) * CAST(sxx AS DECIMAL(30,0))
+                     - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))
+                     AS varx,
+                   CAST(np AS DECIMAL(8,0)) * CAST(syy AS DECIMAL(30,0))
+                     - CAST(sy AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                     AS vary,
+                   CAST(np AS DECIMAL(8,0)) * CAST(sxy AS DECIMAL(30,0))
+                     - CAST(sx AS DECIMAL(19,0)) * CAST(sy AS DECIMAL(19,0))
+                     AS cov
+            FROM m
         )
         SELECT event_type, lag, np AS n_pairs,
-               CASE WHEN np * sxx - sx * sx > 0
-                     AND np * syy - sy * sy > 0
+               CASE WHEN varx > 0 AND vary > 0
                     THEN round(
-                        CAST(np * sxy - sx * sy AS DOUBLE)
-                        / sqrt(CAST(np * sxx - sx * sx AS DOUBLE)
-                               * CAST(np * syy - sy * sy AS DOUBLE)),
+                        CAST(cov AS DOUBLE)
+                        / sqrt(CAST(varx AS DOUBLE)
+                               * CAST(vary AS DOUBLE)),
                         6)
                END AS acf
-        FROM m
+        FROM v
     """,
     "events_changepoint_cusum": f"""
         WITH {_SQL_GRID}, scored AS (

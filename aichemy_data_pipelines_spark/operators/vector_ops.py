@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 
 
 def quantize_codes_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,9 +54,7 @@ def embeddings_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages can verify after transport.  Internal consumers use
     :func:`quantize_codes_df`, which restores the array form.
     """
-    e = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    e = load_table(spark, sf_dir, "embeddings").transform(spread_small_input)
     ex = e.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
     )

@@ -317,3 +317,82 @@ def test_round6_shuffle_budget(spark, name, budget):
     )
     n = plan.count("Exchange")
     assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+# ---------------------------------------------------------------- #
+# spread_small_input: the r06-verdict systemic fix. The old
+# unconditional repartition(defaultParallelism) in ~15 operators was
+# a corpus-sized Exchange at 100 TB; the helper must (a) spread a
+# single-split scan at test SF, (b) NO-OP on an already-split input,
+# (c) honor the conf kill-switch — pinning the at-scale plan shape.
+# ---------------------------------------------------------------- #
+
+
+def test_spread_small_input_spreads_single_split(spark):
+    from aichemy_data_pipelines_spark.catalog import load_table
+    from aichemy_data_pipelines_spark.functions.layout import (
+        spread_small_input,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert docs.rdd.getNumPartitions() < 8
+    out = spread_small_input(docs)
+    assert (
+        out.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+
+
+def test_spread_small_input_noops_on_presplit_input(spark):
+    from aichemy_data_pipelines_spark.functions.layout import (
+        spread_small_input,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    pre = spark.range(10_000).repartition(target)
+    out = spread_small_input(pre)
+    # identity: no new plan node, hence no second Exchange
+    assert out is pre
+    over = spark.range(10_000).repartition(target * 2)
+    assert spread_small_input(over) is over
+
+
+def test_spread_small_input_conf_kill_switch(spark):
+    from aichemy_data_pipelines_spark.catalog import load_table
+    from aichemy_data_pipelines_spark.functions.layout import (
+        SPREAD_CONF,
+        spread_small_input,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    spark.conf.set(SPREAD_CONF, "false")
+    try:
+        assert spread_small_input(docs) is docs
+    finally:
+        spark.conf.unset(SPREAD_CONF)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_quality", "dedup_simhash", "embeddings_quantize_int8"],
+)
+def test_no_input_exchange_when_spread_disabled(spark, name):
+    """At-scale plan pin: with the spread disabled (the 100 TB
+    condition — input already split), the operators that used to
+    carry the unconditional repartition have NO round-robin Exchange
+    anywhere in the executed plan, and results are unchanged."""
+    from aichemy_data_pipelines_spark.functions.layout import SPREAD_CONF
+
+    fn = _QUERIES[name]
+    with_spread = _collect_sorted(fn(spark, SF_SMOKE))
+    spark.conf.set(SPREAD_CONF, "false")
+    try:
+        df = fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "RoundRobinPartitioning" not in plan, (
+            f"{name}: round-robin Exchange survives the spread gate\n"
+            f"{plan}"
+        )
+        assert _collect_sorted(df) == with_spread
+    finally:
+        spark.conf.unset(SPREAD_CONF)

@@ -117,3 +117,27 @@ def test_autocorrelation_counts_zero_days(spark, tmp_path):
     }
     assert got[("sparse", 1)].n_pairs == 2
     assert got[("sparse", 1)].acf == -1.0
+
+
+def test_forecast_backtest_short_span_yields_empty(spark, tmp_path):
+    """r06 ADVICE: on a corpus spanning < 8 days, Spark's sequence()
+    would raise ILLEGAL_SEQUENCE_BOUNDARIES while the DuckDB oracle's
+    generate_series returns zero rows — the span guard must make the
+    operator return an empty (not crash) backtest, matching the
+    oracle's empty set."""
+    from aichemy_data_pipelines_spark.operators.analytics_ext import (
+        events_forecast_backtest,
+    )
+
+    rows = [
+        (i, f"2024-01-{d:02d} 01:00:00", 1, "a", 1.0, "{}")
+        for i, d in enumerate((1, 2, 3))
+    ]
+    sf = str(tmp_path)
+    _write_events(spark, sf, rows)
+    out = events_forecast_backtest(spark, sf)
+    assert out.count() == 0
+    # schema intact even when empty (driver canonicalizer relies on it)
+    assert out.columns == [
+        "event_type", "n_days", "n_actual", "mae", "mean_bias"
+    ]
