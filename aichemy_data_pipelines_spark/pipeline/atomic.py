@@ -164,25 +164,18 @@ class AtomicParquetTable:
                 # legacy commit (pre-typed-partition manifests): keep
                 # the old inference behavior
                 return reader.parquet(d)
-            # partition dirs carry values, not types — read them as
-            # plain strings (inference OFF) and cast back to the
-            # writer-recorded types so '01' vs '1' shard values can
-            # never collapse via int inference
-            key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-            prev = spark.conf.get(key)
-            spark.conf.set(key, "false")
-            try:
-                # relation (and partition) resolution happens HERE,
-                # eagerly, so restoring the conf after is safe
-                df = reader.parquet(d)
-            finally:
-                spark.conf.set(key, prev)
-            from pyspark.sql import functions as F
-
-            for c, t in ps.items():
-                if c in df.columns:
-                    df = df.withColumn(c, F.col(c).cast(t))
-            return df
+            # partition dirs carry values, not types. Hand the reader
+            # an EXPLICIT schema — data fields from a footer, partition
+            # fields at the writer-recorded types — so hive type
+            # inference never runs and '01' vs '1' shard values can
+            # never collapse. Per-read, unlike the old session-global
+            # partitionColumnTypeInference conf toggle, which raced
+            # concurrent reads on the same session (a foreachBatch or
+            # another thread reading mid-window silently lost/gained
+            # inference — r06 ADVICE).
+            return reader.schema(
+                self._dir_schema(spark, d, ps, merge_schema)
+            ).parquet(d)
 
         if len(dirs) == 1:
             return read_dir(dirs[0])
@@ -205,6 +198,51 @@ class AtomicParquetTable:
                 )
             )
         return out
+
+    def _dir_schema(
+        self,
+        spark: SparkSession,
+        d: str,
+        part_schema: dict,
+        merge: bool,
+    ) -> "StructType":
+        """Explicit read schema for one version dir: data fields from
+        the dir's parquet footers + partition fields at the
+        writer-recorded types.
+
+        Footers are loaded via single-FILE reads — a concrete file
+        path carries no partition dirs, so Spark runs no partition
+        discovery (and hence no type inference) resolving it; no
+        session conf is touched, making concurrent reads safe. A
+        commit dir is one Spark write, so its footers agree; the
+        ``merge`` walk (schema-evolution reads) still reconciles
+        per-file fields by name, first-seen order, for belt and
+        braces.
+        """
+        from pyspark.sql.types import StructType
+
+        files: list[str] = []
+        for base, _dirs, fs in os.walk(d):
+            files.extend(
+                os.path.join(base, f)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        files.sort()
+        fields = list(spark.read.parquet(files[0]).schema.fields)
+        if merge:
+            names = {f.name for f in fields}
+            for f in files[1:]:
+                for fld in spark.read.parquet(f).schema.fields:
+                    if fld.name not in names:
+                        names.add(fld.name)
+                        fields.append(fld)
+        part_fields = [
+            StructType.fromDDL(f"`{c}` {t}")[0]
+            for c, t in part_schema.items()
+            if c not in {f.name for f in fields}
+        ]
+        return StructType(fields + part_fields)
 
     @staticmethod
     def _dir_has_parquet(d: str) -> bool:

@@ -41,6 +41,7 @@ from aichemy_data_pipelines_spark.operators.dedup import (
     _spark_band_keys,
 )
 from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+from aichemy_data_pipelines_spark.pipeline.replay import is_replay, stamp
 
 
 def _index_table(root: str) -> AtomicParquetTable:
@@ -123,6 +124,7 @@ def accept_batch(
     root: str,
     batch_docs: DataFrame,
     batch_id: int | None = None,
+    run_id: str | None = None,
 ) -> int:
     """Append the batch's band keys to the index (replay-idempotent
     when ``batch_id`` is supplied).
@@ -132,16 +134,17 @@ def accept_batch(
     ``batch_id <= last_batch_id`` is a replay of an already-applied
     batch — equality-only would re-append the keys of any batch older
     than the most recent one (duplicate index rows, meta stamp moving
-    backwards) if the checkpoint ever re-delivered it."""
+    backwards) if the checkpoint ever re-delivered it.
+
+    ``run_id`` scopes the watermark to one checkpoint lifetime (pass
+    :func:`pipeline.replay.checkpoint_identity`): a deleted/recreated
+    checkpoint restarts ids at 0, and without the identity the stale
+    watermark would silently drop every new batch (r06 ADVICE)."""
     table = _index_table(root)
-    last = table.meta().get("last_batch_id")
-    if batch_id is not None and last is not None and batch_id <= last:
+    if is_replay(table.meta(), batch_id, run_id):
         return table.version()
-    meta = dict(table.meta())
-    if batch_id is not None:
-        meta["last_batch_id"] = batch_id
     return table.append(
         band_keys_for(batch_docs).select("doc_id", "band", "key"),
         partition_by=["band"],
-        meta=meta,
+        meta=stamp(table.meta(), batch_id, run_id),
     )

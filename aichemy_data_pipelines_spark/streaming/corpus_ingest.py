@@ -63,6 +63,11 @@ from aichemy_data_pipelines_spark.operators.textops import (
     repetition_metrics,
 )
 from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
+from aichemy_data_pipelines_spark.pipeline.replay import (
+    checkpoint_identity,
+    is_replay,
+    stamp,
+)
 
 
 def ingest_batch(
@@ -70,17 +75,18 @@ def ingest_batch(
     batch_id: int,
     curated: AtomicParquetTable,
     sig_index: AtomicParquetTable,
+    run_id: str | None = None,
 ) -> None:
     """One micro-batch of the curation stream (module-level so the
     replay-idempotence contract is directly testable — see
     tests/test_corpus_ingest.py crash-replay cases)."""
     sess = batch_df.sparkSession
-    # high-watermark replay guard: foreachBatch ids are monotonic, so
-    # any batch_id <= the committed watermark is a replay — equality
-    # alone would re-append an older batch's rows if the checkpoint
-    # re-delivered one behind the latest
-    sig_last = sig_index.meta().get("last_batch_id")
-    if sig_last is not None and batch_id <= sig_last:
+    # high-watermark replay guard, scoped to the checkpoint lifetime
+    # via run_id: foreachBatch ids are monotonic PER CHECKPOINT, so
+    # any batch_id <= the committed watermark from the SAME run is a
+    # replay — while a recreated checkpoint (ids restart at 0) gets a
+    # fresh identity and is NOT silently dropped (r06 ADVICE)
+    if is_replay(sig_index.meta(), batch_id, run_id):
         return  # replay of a fully-committed batch
     # one materialization: quality, banding and both appends all
     # reuse the batch (same lineage-cut rationale as run_once)
@@ -118,13 +124,16 @@ def ingest_batch(
     accepted = passed.join(dups, "doc_id", "left_anti").localCheckpoint(
         eager=True
     )
-    cur_last = curated.meta().get("last_batch_id")
-    if cur_last is None or batch_id > cur_last:
-        curated.append(accepted, meta={"last_batch_id": batch_id})
+    if not is_replay(curated.meta(), batch_id, run_id):
+        curated.append(
+            accepted, meta=stamp(curated.meta(), batch_id, run_id)
+        )
     acc_bands = bands.join(
         accepted.select("doc_id"), "doc_id"
     ).select("doc_id", "band", "key")
-    sig_index.append(acc_bands, meta={"last_batch_id": batch_id})
+    sig_index.append(
+        acc_bands, meta=stamp(sig_index.meta(), batch_id, run_id)
+    )
 
 
 def stream_corpus_ingest(
@@ -159,7 +168,15 @@ def stream_corpus_ingest(
     docs = reader.parquet(src_dir)
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(batch_df, batch_id, curated, sig_index)
+        # identity read lazily: the checkpoint's metadata file exists
+        # once the query has started, i.e. before any batch runs
+        ingest_batch(
+            batch_df,
+            batch_id,
+            curated,
+            sig_index,
+            run_id=checkpoint_identity(checkpoint_dir),
+        )
 
     q = (
         docs.writeStream.foreachBatch(ingest)

@@ -948,16 +948,28 @@ def stream_user_gap_alerts(
     q.awaitTermination()
 
 
-def merge_ledger_batch(batch_df: DataFrame, batch_id: int, table) -> None:
+def merge_ledger_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    table,
+    run_id: str | None = None,
+) -> None:
     """One micro-batch of the upsert ledger (module-level so the
     replay-idempotence contract is directly testable).  ``table`` is a
     pipeline.atomic.AtomicParquetTable; the merge no-ops when the
     ledger's manifest already carries this batch_id."""
+    from aichemy_data_pipelines_spark.pipeline.replay import (
+        is_replay,
+        stamp,
+    )
+
     # high-watermark, not equality: foreachBatch ids are monotonic,
     # so any id <= the committed watermark is a replay (equality-only
-    # would re-merge an older re-delivered batch, double-counting it)
-    last = table.meta().get("last_batch_id")
-    if last is not None and batch_id <= last:
+    # would re-merge an older re-delivered batch, double-counting it).
+    # run_id scopes the watermark to one checkpoint lifetime — a
+    # recreated checkpoint restarts ids at 0 and must NOT be dropped
+    # against the stale stamp (r06 ADVICE)
+    if is_replay(table.meta(), batch_id, run_id):
         return  # replay of an already-merged batch
     part = batch_df.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
@@ -975,7 +987,7 @@ def merge_ledger_batch(batch_df: DataFrame, batch_id: int, table) -> None:
         )
     table.overwrite(
         part.localCheckpoint(eager=True),
-        meta={"last_batch_id": batch_id},
+        meta=stamp(table.meta(), batch_id, run_id),
     )
     table.vacuum()
 
@@ -1026,7 +1038,16 @@ def stream_upsert_ledger(
     ).select("user_id", "value")
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        merge_ledger_batch(batch_df, batch_id, table)
+        from aichemy_data_pipelines_spark.pipeline.replay import (
+            checkpoint_identity,
+        )
+
+        merge_ledger_batch(
+            batch_df,
+            batch_id,
+            table,
+            run_id=checkpoint_identity(checkpoint_dir),
+        )
 
     q = (
         ev.writeStream.foreachBatch(merge)

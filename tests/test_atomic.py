@@ -409,3 +409,39 @@ def test_time_travel_uses_matching_partition_schema(spark, tmp_path):
         (1, "01"), (2, "1"),
     ]
     assert sorted(r.id for r in table.read(spark).collect()) == [0, 1, 2]
+
+
+def test_read_never_touches_session_conf(spark, tmp_path):
+    """r06 ADVICE: the typed-partition read must not toggle the
+    session-global partitionColumnTypeInference conf — a concurrent
+    read on the same session during the toggle window would silently
+    change inference behavior. Pin: read() makes NO conf.set calls,
+    yet still preserves writer-typed partition values ('01' vs '1')."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.pipeline.atomic import (
+        AtomicParquetTable,
+    )
+
+    t = AtomicParquetTable(str(tmp_path / "tbl"))
+    df = spark.createDataFrame(
+        [(1, "01"), (2, "1"), (3, "02")], "a int, shard string"
+    )
+    t.overwrite(df, partition_by=["shard"])
+
+    calls = []
+    orig_set = type(spark.conf).set
+
+    def spy_set(self, key, value):
+        calls.append(key)
+        return orig_set(self, key, value)
+
+    type(spark.conf).set = spy_set
+    try:
+        got = t.read(spark)
+        vals = sorted(r.shard for r in got.collect())
+    finally:
+        type(spark.conf).set = orig_set
+    assert vals == ["01", "02", "1"]
+    assert got.schema["shard"].dataType.simpleString() == "string"
+    assert not any("partitionColumnTypeInference" in k for k in calls), calls

@@ -141,3 +141,67 @@ def test_compacting_grown_index_preserves_screens(spark, tmp_path):
         for r in screen_batch(spark, root, probe).collect()
     )
     assert after == before
+
+
+def test_fresh_checkpoint_identity_defeats_stale_watermark(
+    spark, tmp_path
+):
+    """r06 ADVICE: if the streaming checkpoint is deleted/recreated
+    while the index table is kept, foreachBatch ids restart at 0 —
+    the bare watermark would silently drop every new batch until ids
+    exceed the stale stamp. With the run-identity recorded alongside,
+    a new identity re-opens the gate (and rolls the stamp over),
+    while a same-identity replay still no-ops."""
+    root = str(tmp_path / "lsh")
+    build_dedup_index(
+        spark, SF_SMOKE, root, corpus_filter=F.col("doc_id") % _INCR_MOD != 0
+    )
+    batch = _docs_with_shingles(spark, SF_SMOKE).where(
+        F.col("doc_id") % _INCR_MOD == 0
+    )
+    v1 = accept_batch(root, batch, batch_id=5, run_id="ckpt-A")
+    n1 = _index_table(root).read(spark).count()
+    # same identity, id <= watermark: replay, no-op
+    assert accept_batch(root, batch, batch_id=5, run_id="ckpt-A") == v1
+    assert accept_batch(root, batch, batch_id=2, run_id="ckpt-A") == v1
+    assert _index_table(root).read(spark).count() == n1
+    # NEW identity (recreated checkpoint), ids restart at 0: must be
+    # PROCESSED, not dropped — and the stamp rolls to the new run
+    v2 = accept_batch(root, batch, batch_id=0, run_id="ckpt-B")
+    assert v2 > v1
+    meta = _index_table(root).meta()
+    assert meta["last_batch_id"] == 0
+    assert meta["last_run_id"] == "ckpt-B"
+    # next replay under the NEW identity no-ops again
+    assert accept_batch(root, batch, batch_id=0, run_id="ckpt-B") == v2
+
+
+def test_replay_helpers_legacy_compat(tmp_path):
+    """Legacy stamps (no identity) and identity-less callers keep the
+    bare-watermark semantics; checkpoint_identity reads the streaming
+    metadata file and degrades to None."""
+    import json
+
+    from aichemy_data_pipelines_spark.pipeline.replay import (
+        checkpoint_identity,
+        is_replay,
+        stamp,
+    )
+
+    # legacy stamp, identity-less caller: watermark decides
+    assert is_replay({"last_batch_id": 5}, 5, None)
+    assert is_replay({"last_batch_id": 5}, 3, "ckpt-A")  # legacy stamp
+    assert not is_replay({"last_batch_id": 5}, 6, None)
+    assert not is_replay({}, 0, "ckpt-A")
+    # identity-scoped: mismatch re-opens the gate
+    m = stamp({}, 5, "ckpt-A")
+    assert is_replay(m, 5, "ckpt-A")
+    assert not is_replay(m, 0, "ckpt-B")
+    # stamp without run_id stays legacy-shaped
+    assert "last_run_id" not in stamp({}, 5, None)
+    # metadata file round-trip + unreadable dir
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "q-123"}))
+    assert checkpoint_identity(str(ck)) == "q-123"
+    assert checkpoint_identity(str(tmp_path / "nope")) is None
