@@ -67,7 +67,36 @@ def _suites():
 # the front as other queries get re-checked.
 
 
-def _attestation_order(names, root=None):
+def _source_hash(fn, oracle: str | None) -> str:
+    """Stable stamp of one query's behavior-relevant source: the
+    operator function's text + its oracle SQL. Helper/module changes
+    outside the function body are covered by the local oracle-parity
+    gate instead — hashing whole modules would reset every query in a
+    file on any edit and flood the driver window."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except (OSError, TypeError):  # builtins / dynamically-built fns
+        src = repr(fn)
+    return hashlib.sha256(
+        (src + "\x00" + (oracle or "")).encode()
+    ).hexdigest()
+
+
+def _current_hashes() -> dict[str, str]:
+    merged_q: dict = {}
+    merged_o: dict = {}
+    for mod in _suites():
+        merged_q.update(mod.QUERIES)
+        merged_o.update(mod.ORACLE)
+    return {
+        n: _source_hash(fn, merged_o.get(n)) for n, fn in merged_q.items()
+    }
+
+
+def _attestation_order(names, root=None, current_hashes=None):
     """Sort query names least-recently-driver-attested-first.
 
     A query's attestation round is the newest CORRECTNESS_r*.json in
@@ -75,6 +104,15 @@ def _attestation_order(names, root=None):
     Never-attested queries get round 0 and lead the order.
     ``root`` (default: this module's directory) is where the
     CORRECTNESS snapshots live — injectable for tests.
+
+    Source changes RESET attestation age (r06 verdict #3): the
+    committed ``ATTEST_HASHES.json`` stamp records each query's
+    source hash and the round that hash first appeared
+    (scripts/update_attest_hashes.py regenerates it per round). A
+    query whose current hash differs from the stamp, or whose stamp
+    round is newer than its last green driver row, sorts with the
+    never-attested group — a rewritten operator cannot hide behind a
+    green row earned by its old plan.
     """
     import glob
     import json
@@ -83,6 +121,12 @@ def _attestation_order(names, root=None):
 
     if root is None:
         root = os.path.dirname(os.path.abspath(__file__))
+    stamps: dict = {}
+    try:
+        with open(os.path.join(root, "ATTEST_HASHES.json")) as fh:
+            stamps = json.load(fh)
+    except (OSError, ValueError):
+        stamps = {}
     last_green: dict[str, int] = {}
     last_red: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
@@ -115,12 +159,25 @@ def _attestation_order(names, root=None):
             else:
                 last_red[name] = max(last_red.get(name, 0), rnd)
 
+    if current_hashes is None and stamps:
+        current_hashes = _current_hashes()
+
     def key(n: str) -> int:
         # a red row NEWER than the last green means the query
         # REGRESSED — it must re-enter the front of the window with
         # the never-attested group, not hide behind its stale green
         if last_red.get(n, 0) > last_green.get(n, 0):
             return 0
+        stamp = stamps.get(n)
+        if stamp is not None and current_hashes is not None:
+            if current_hashes.get(n) != stamp.get("hash"):
+                # source changed since the stamp was cut: the green
+                # row belongs to a different plan
+                return 0
+            if stamp.get("round", 0) > last_green.get(n, 0):
+                # stamp says this source first appeared AFTER the
+                # last green row — same thing, recorded mechanically
+                return 0
         return last_green.get(n, 0)
 
     return sorted(names, key=lambda n: (key(n), n))

@@ -47,6 +47,20 @@ HEADLINE = [
     "text_quality",
 ]
 
+# Corpus/LLM-data panel (r06 verdict #6): the headline set is
+# relational/dedup-heavy, so the curation tier had no cross-round
+# perf signal. Six representative ops, SAME min-of-N protocol,
+# reported as a SECOND corpus_suite_total field — the frozen
+# headline set above is untouched, keeping r01..r06 comparable.
+CORPUS_SUITE = [
+    "corpus_screens_matrix",
+    "corpus_curation_funnel",
+    "dedup_incremental",
+    "ann_ivf_pq_topk",
+    "text_bpe_tokencount",
+    "corpus_bigram_perplexity",
+]
+
 
 def main() -> None:
     from aichemy_data_pipelines_spark.session import get_spark
@@ -57,23 +71,35 @@ def main() -> None:
 
     qs = entry_mod.queries()
     names = [n for n in HEADLINE if n in qs]
+    corpus_names = [n for n in CORPUS_SUITE if n in qs]
     # Warm codegen/JIT per operator family at the smallest SF so the
     # timed section measures steady-state throughput at SF_DIR, not
     # first-compile latency. (Same generated classes; 100x less data.)
     warm_sf = "/root/testdata/sf0.001"
-    for warm in names:
+    for warm in names + corpus_names:
         qs[warm](spark, warm_sf).collect()
     qs["q6_revenue_forecast"](spark, SF_DIR).collect()
 
     n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
-    samples: dict[str, list[float]] = {n: [] for n in names}
+    samples: dict[str, list[float]] = {
+        n: [] for n in names + corpus_names
+    }
+    # headline passes FIRST, corpus passes after — the headline loop
+    # runs under the same conditions as r01..r06 (no foreign queries
+    # interleaved), keeping its totals cross-round comparable
     for _ in range(n_passes):
         for name in names:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
             samples[name].append(round(time.perf_counter() - t0, 3))
+    for _ in range(n_passes):
+        for name in corpus_names:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).collect()
+            samples[name].append(round(time.perf_counter() - t0, 3))
 
-    timings = {n: min(s) for n, s in samples.items()}
+    timings = {n: min(samples[n]) for n in names}
+    corpus_timings = {n: min(samples[n]) for n in corpus_names}
     # Cross-protocol honesty (r04 ADVICE): r01-r03 recorded a single
     # pass, r04+ headline min-of-N. Report the per-pass totals and
     # first-pass total alongside so protocol effect and real speedup
@@ -99,6 +125,10 @@ def main() -> None:
                 "single_pass_totals": pass_totals,
                 "single_pass_mean": round(mean, 3),
                 "single_pass_stdev": round(stdev, 3),
+                "corpus_suite_total": round(
+                    sum(corpus_timings.values()), 3
+                ),
+                "corpus_queries": corpus_timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

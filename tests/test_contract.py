@@ -56,18 +56,40 @@ def test_driver_window_is_mechanical_least_recently_attested():
             else:
                 last_red[name] = max(last_red.get(name, 0), rnd)
 
+    stamps = json.load(open("ATTEST_HASHES.json"))
+    hashes = entry_mod._current_hashes()
+
     def key(n):
         # a regression (red newer than the last green) re-enters the
         # front with the never-attested group
         if last_red.get(n, 0) > last_green.get(n, 0):
             return 0
+        # as does a source change newer than the last green (r06
+        # verdict #3): a rewritten operator can't hide behind a green
+        # row earned by its old plan
+        st = stamps.get(n)
+        if st is not None and (
+            hashes.get(n) != st.get("hash")
+            or st.get("round", 0) > last_green.get(n, 0)
+        ):
+            return 0
         return last_green.get(n, 0)
 
     keys = [(key(n), n) for n in ks]
     assert keys == sorted(keys), "queries() not least-recently-attested order"
-    # every never-attested/regressed query outranks every attested one
+    # every never-attested/regressed/source-changed query outranks
+    # every attested one
     never = [n for n in ks if key(n) == 0]
     assert ks[: len(never)] == never
+    # the committed stamp file covers exactly the query set, and every
+    # stamp hash matches the current source (regenerate via
+    # scripts/update_attest_hashes.py after changing an operator)
+    assert set(stamps) == set(ks)
+    mismatched = [n for n in ks if stamps[n]["hash"] != hashes[n]]
+    assert not mismatched, (
+        f"stale ATTEST_HASHES.json for {mismatched}; run "
+        "scripts/update_attest_hashes.py <round>"
+    )
 
 
 def test_attestation_order_promotes_regressions(tmp_path):
@@ -142,3 +164,70 @@ def test_all_operator_modules_import_cleanly():
         # (except the explicit rows-only roster)
         missing = set(mod.QUERIES) - set(mod.ORACLE) - ROWS_ONLY
         assert not missing, (name, missing)
+
+
+def test_every_query_is_listed_in_survey_section_2():
+    """SURVEY §2 is the coverage contract the judge audits line by
+    line — r06 found 5 implemented, driver-green queries silently
+    missing from it (inventory drift). Pin: every name in queries()
+    appears as a backtick reference somewhere in SURVEY.md's §2
+    block, so adding a query without its checklist bullet fails CI."""
+    import os
+    import re
+
+    survey = os.path.join(os.path.dirname(__file__), "..", "SURVEY.md")
+    with open(survey) as f:
+        text = f.read()
+    # §2 block: from the '## 2' heading to the next '## ' heading
+    m = re.search(r"^## §2 .*?(?=^## §)", text, re.M | re.S)
+    assert m, "SURVEY.md section 2 heading not found"
+    sec2 = m.group(0)
+    listed = set(re.findall(r"`([A-Za-z0-9_./]+)`", sec2))
+    missing = sorted(
+        name for name in entry_mod.queries() if name not in listed
+    )
+    assert not missing, (
+        f"queries() entries absent from SURVEY.md §2: {missing}"
+    )
+
+
+def test_attestation_order_resets_on_source_change(tmp_path):
+    """r06 verdict #3: a query whose source hash changed since its
+    last green driver row must sort with the never-attested group.
+    Both reset paths: a hash mismatch vs the stamp, and a stamp round
+    newer than the green row."""
+    import json
+
+    import __spark_entry__ as e
+
+    root = tmp_path
+    (root / "CORRECTNESS_r05.json").write_text(
+        json.dumps(
+            {
+                n: {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                }
+                for n in ("rewritten", "restamped", "steady")
+            }
+        )
+    )
+    (root / "ATTEST_HASHES.json").write_text(
+        json.dumps(
+            {
+                # hash no longer matches current source -> reset
+                "rewritten": {"hash": "OLD", "round": 3},
+                # hash matches but first appeared AFTER the green row
+                "restamped": {"hash": "H2", "round": 6},
+                # hash matches, predates the green row -> keeps age
+                "steady": {"hash": "H3", "round": 3},
+            }
+        )
+    )
+    order = e._attestation_order(
+        ["steady", "restamped", "rewritten"],
+        root=str(root),
+        current_hashes={"rewritten": "NEW", "restamped": "H2", "steady": "H3"},
+    )
+    assert order == ["restamped", "rewritten", "steady"]

@@ -396,3 +396,39 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         assert _collect_sorted(df) == with_spread
     finally:
         spark.conf.unset(SPREAD_CONF)
+
+
+@pytest.mark.parametrize(
+    ("name", "budget"),
+    [
+        # Budgets = measured Exchange counts (incl. BroadcastExchange)
+        # at the current plan shapes. Most of these run on BOUNDED
+        # frames (types×days grids, |sources|/16-bucket aggregates),
+        # so the absolute number is not corpus cost — the pin exists
+        # so a regression that adds a CORPUS-sized shuffle fails here
+        # first (r06 verdict #5: the round-6 queries without budgets).
+        ("events_autocorrelation", 12),  # grid lag-join + moments, all bounded
+        ("events_changepoint_cusum", 5),  # bounded-grid windows
+        ("events_rate_limit_screen", 1),  # the ONE user_id shuffle
+        ("events_kl_drift", 6),  # day×16 agg + 16-row broadcast
+        ("events_anomaly_mad", 11),  # 2 percentile passes + broadcasts
+        ("events_forecast_backtest", 7),  # (type,day) agg + grid joins
+        ("corpus_source_gini", 2),  # |sources| agg + rank window
+        ("lineitem_ship_latency", 2),  # the honest fact-fact join
+        ("parts_copurchase_lift", 12),  # pair-enum + per-part stats, AQE joins
+        ("corpus_temperature_mix", 2),  # |sources| agg
+        ("multimodal_mix_report", 2),  # per-modality agg over decode
+        ("ann_recall_eval", 9),  # nests exact + LSH member plans
+        ("corpus_dedup_savings", 5),  # hash-groupBy + savings agg
+        ("docs_length_percentiles_by_source", 1),  # one source shuffle
+    ],
+)
+def test_round6_remaining_shuffle_budget(spark, name, budget):
+    plan = (
+        _QUERIES[name](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Exchange")
+    assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
