@@ -54,3 +54,24 @@ def spread_small_input(
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def freeze_small(df: DataFrame) -> DataFrame:
+    """Materialize a CONSTANT-BOUNDED trained artifact (a centroid or
+    codebook table — at most a few dozen rows by construction) on the
+    driver and rebuild it as a literal DataFrame.
+
+    Why: iterative training chains (k-means Lloyd iterations, PQ
+    codebooks) built lazily embed every earlier iteration's plan
+    inside the next, and each downstream REFERENCE to the trained
+    table re-evaluates the whole recursion — the composed IVF-PQ
+    query re-ran the corpus×centroid crossJoin ~6× per pass. Freezing
+    the tiny result turns the recursion into one sequential pass per
+    iteration. Values are bit-identical: doubles round-trip exactly
+    through driver Python floats, and every caller's table is bounded
+    by module constants (8 IVF lists, M×K=16 PQ centroids), so this
+    is a sanctioned bounded driver materialization, not a collect on
+    corpus data.
+    """
+    spark = df.sparkSession
+    return spark.createDataFrame(df.collect(), df.schema)

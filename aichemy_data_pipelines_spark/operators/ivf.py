@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
-from aichemy_data_pipelines_spark.functions.layout import spread_small_input
+from aichemy_data_pipelines_spark.functions.layout import (
+    freeze_small,
+    spread_small_input,
+)
 from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
 
 _N_QUERIES = 10
@@ -51,14 +54,22 @@ _NORM = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
 
 def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Assign every vector to its max-cosine centroid (deterministic:
-    8dp-rounded cosine, ties to the lower list id)."""
+    8dp-rounded cosine, ties to the lower list id).
+
+    Norms are precomputed ONCE per vector / per centroid before the
+    crossJoin — the exact-decimal aggregate HOF is interpreted
+    BigDecimal work, and evaluating it per PAIR (K× per vector) was
+    the dominant training cost. Same sqrt values, same final
+    multiply/divide association → bit-identical cosines."""
     cdot = spark_dot_exact("embedding", "centroid")
     cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    en = e.withColumn("en", F.expr(_NORM))
+    cn = cents.withColumn("cn", F.expr(cnorm))
     w = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), "list_id")
     return (
-        e.crossJoin(F.broadcast(cents))
+        en.crossJoin(F.broadcast(cn))
         .withColumn(
-            "a_cos", F.round(F.expr(f"{cdot} / (({_NORM}) * ({cnorm}))"), 8)
+            "a_cos", F.round(F.expr(f"{cdot} / ((en) * (cn))"), 8)
         )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
@@ -88,7 +99,13 @@ def _mean_centroids(assign: DataFrame) -> DataFrame:
 
 def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Train the coarse quantizer; returns (centroids, assignment)."""
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # spread BEFORE training: the decimal-HOF assign work otherwise
+    # runs on the single scan split of a small embeddings file
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .transform(spread_small_input)
+    )
     seeds = (
         e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
@@ -100,8 +117,12 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
             "centroid"
         ),
     )
+    # freeze each iteration's 8-row centroid table: lazily chained,
+    # iteration N's plan would embed and re-run iterations 1..N-1 at
+    # EVERY downstream reference (see functions/layout.freeze_small)
+    cents = freeze_small(cents)
     for _ in range(_LLOYD_ITERS):
-        cents = _mean_centroids(_assign(e, cents))
+        cents = freeze_small(_mean_centroids(_assign(e, cents)))
     return cents, _assign(e, cents)
 
 
@@ -170,11 +191,15 @@ def embeddings_cluster_outliers(
     cents, lists = _kmeans(spark, sf_dir)
     cdot = spark_dot_exact("embedding", "centroid")
     cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    # centroid norms once per centroid (8 rows), not once per vector
+    # — same sqrt values, same multiply association, identical 8dp
+    # cosines
+    cn = cents.withColumn("cn", F.expr(cnorm))
     scored = (
-        lists.join(F.broadcast(cents), "list_id")
+        lists.join(F.broadcast(cn), "list_id")
         .withColumn(
             "centroid_cos",
-            F.round(F.expr(f"{cdot} / (({_NORM}) * ({cnorm}))"), 8),
+            F.round(F.expr(f"{cdot} / (({_NORM}) * (cn))"), 8),
         )
         .select("vec_id", "list_id", "centroid_cos")
     )

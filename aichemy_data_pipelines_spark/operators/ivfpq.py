@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aichemy_data_pipelines_spark.functions.layout import spread_small_input
+from aichemy_data_pipelines_spark.functions.layout import (
+    freeze_small,
+    spread_small_input,
+)
 from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
 from aichemy_data_pipelines_spark.operators import ivf as _ivf
 from aichemy_data_pipelines_spark.operators import pq as _pq
@@ -83,7 +86,9 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent"
         ),
     )
-    pq_cents = _pq._mean_cents(_pq._assign(subs, cent0))
+    # frozen 16-row codebook (functions/layout.freeze_small): codes
+    # AND dtab reference it — unfrozen, each re-ran PQ training
+    pq_cents = freeze_small(_pq._mean_cents(_pq._assign(subs, cent0)))
     codes = _pq._assign(subs, pq_cents).select(
         F.col("vec_id").alias("cand_id"), "s", "code"
     )

@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.catalog import load_table
-from aichemy_data_pipelines_spark.functions.layout import spread_small_input
+from aichemy_data_pipelines_spark.functions.layout import (
+    freeze_small,
+    spread_small_input,
+)
 from aichemy_data_pipelines_spark.functions.vectors import (
     spark_dot_exact,
     sql_dot_exact,
@@ -66,11 +69,20 @@ def _d2(a: str, b: str) -> str:
 
 
 def _assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Min-L2 code per (vec_id, s), ties to the lower code id."""
+    """Min-L2 code per (vec_id, s), ties to the lower code id.
+
+    The self-dots of ``_d2`` are precomputed once per subvector / per
+    centroid instead of per (subvector, centroid) PAIR — the decimal
+    aggregate HOF is interpreted BigDecimal work and dominated encode
+    cost. Identical values: same dots, same (aa − 2·ab) + bb
+    association, same 8dp round."""
+    ab = spark_dot_exact("sub", "cent")
+    sa = subs.withColumn("aa", F.expr(spark_dot_exact("sub", "sub")))
+    ca = cents.withColumn("bb", F.expr(spark_dot_exact("cent", "cent")))
     w = Window.partitionBy("vec_id", "s").orderBy("d2", "cid")
     return (
-        subs.join(F.broadcast(cents), "s")
-        .withColumn("d2", F.expr(_d2("sub", "cent")))
+        sa.join(F.broadcast(ca), "s")
+        .withColumn("d2", F.expr(f"round(aa - 2 * ({ab}) + bb, 8)"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("vec_id", "label", "s", "sub", F.col("cid").alias("code"))
@@ -127,7 +139,9 @@ def embeddings_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    cents = _mean_cents(_assign(subs, cent0))
+    # frozen: 16-row codebook, else every downstream reference
+    # re-runs the whole training chain (functions/layout.freeze_small)
+    cents = freeze_small(_mean_cents(_assign(subs, cent0)))
     coded = _assign(subs, cents)
     return coded.groupBy("vec_id", "label").agg(
         F.expr(
@@ -174,7 +188,9 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cent"
         ),
     )
-    cents = _mean_cents(_assign(subs, cent0))
+    # frozen: 16-row codebook, else every downstream reference
+    # re-runs the whole training chain (functions/layout.freeze_small)
+    cents = freeze_small(_mean_cents(_assign(subs, cent0)))
     codes = _assign(subs, cents).select("vec_id", "s", "code")
 
     # per-query M×K distance table (broadcast)
