@@ -76,7 +76,12 @@ def main() -> None:
     # timed section measures steady-state throughput at SF_DIR, not
     # first-compile latency. (Same generated classes; 100x less data.)
     warm_sf = "/root/testdata/sf0.001"
-    for warm in names + corpus_names:
+    # Warm and time the HEADLINE set before any corpus query touches
+    # the JVM: r07's protocol warmed the corpus suite first, which
+    # put the headline loop under code-cache/GC pressure (IVF-PQ
+    # training, BPE tables, screens-matrix codegen) that r01..r06
+    # never had, confounding the cross-round comparison.
+    for warm in names:
         qs[warm](spark, warm_sf).collect()
     qs["q6_revenue_forecast"](spark, SF_DIR).collect()
 
@@ -84,14 +89,14 @@ def main() -> None:
     samples: dict[str, list[float]] = {
         n: [] for n in names + corpus_names
     }
-    # headline passes FIRST, corpus passes after — the headline loop
-    # runs under the same conditions as r01..r06 (no foreign queries
-    # interleaved), keeping its totals cross-round comparable
     for _ in range(n_passes):
         for name in names:
             t0 = time.perf_counter()
             qs[name](spark, SF_DIR).collect()
             samples[name].append(round(time.perf_counter() - t0, 3))
+    # Corpus panel second: its own warm-up, then its timed passes.
+    for warm in corpus_names:
+        qs[warm](spark, warm_sf).collect()
     for _ in range(n_passes):
         for name in corpus_names:
             t0 = time.perf_counter()
