@@ -29,7 +29,7 @@ def _suites():
         modules.append(timeseries)
     except ImportError:
         pass
-    for name in ("dedup", "similarity", "textops", "relational_ext", "clustering", "streaming_ops", "analytics_ext", "quality_ops", "sampling_ops", "ivf", "approx_ops", "corpus_ops", "vector_ops", "pii_ops", "pq", "sketch_ops", "substring_dedup", "ivfpq", "insights_ops", "export_ops", "ml_ops", "bpe_ops", "semdedup", "hash_embeddings", "overlap_ops", "tfidf_ops", "screens_ops", "dsir_ops", "chunking_ops", "lm_ops", "rag_ops", "tsstats_ops"):
+    for name in ("dedup", "similarity", "textops", "relational_ext", "clustering", "streaming_ops", "analytics_ext", "quality_ops", "sampling_ops", "ivf", "approx_ops", "corpus_ops", "vector_ops", "pii_ops", "pq", "sketch_ops", "substring_dedup", "ivfpq", "insights_ops", "export_ops", "ml_ops", "bpe_ops", "semdedup", "hash_embeddings", "overlap_ops", "tfidf_ops", "screens_ops", "dsir_ops", "chunking_ops", "lm_ops", "rag_ops", "tsstats_ops", "domain_ops"):
         try:
             mod = __import__(
                 f"aichemy_data_pipelines_spark.operators.{name}", fromlist=[name]
@@ -79,7 +79,10 @@ def _source_hash(fn, oracle: str | None) -> str:
     try:
         src = inspect.getsource(fn)
     except (OSError, TypeError):  # builtins / dynamically-built fns
-        src = repr(fn)
+        # stable token, NOT repr(fn): repr embeds the object's memory
+        # address, which would mismatch the stamp every process and
+        # pin such a query to the front of the window (r07 ADVICE)
+        src = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(type(fn)))}"
     return hashlib.sha256(
         (src + "\x00" + (oracle or "")).encode()
     ).hexdigest()

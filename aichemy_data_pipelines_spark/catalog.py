@@ -41,6 +41,36 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def share_table_scan(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Persist ONE scan of a table so composed capstones stop
+    re-scanning it per member screen (r07 VERDICT #5).
+
+    Works through Spark's CacheManager plan canonicalization: after
+    this call, EVERY ``load_table`` of the same path in this session
+    analyzes to the same canonical scan relation and is substituted
+    with the in-memory relation — the member operators need no
+    signature change, and a repeated call is a CacheManager no-op
+    (identical plan ⇒ already cached), so bench passes don't stack
+    duplicate cache entries.
+
+    Lazy: the cache fills while the FIRST action over it runs, so
+    builders stay cheap and timed sections pay the one real scan.
+
+    Scale: MEMORY_AND_DISK — at corpus scale cold partitions spill
+    to local disk, which is still strictly cheaper than N re-reads
+    of the text column from remote object storage. Callers that
+    later need raw-scan plans (e.g. pushdown assertions) can
+    ``unpersist()`` the returned frame.
+    """
+    from pyspark import StorageLevel
+
+    df = load_table(spark, sf_dir, name)
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")

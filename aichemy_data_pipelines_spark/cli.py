@@ -142,6 +142,17 @@ def _build_parser() -> argparse.ArgumentParser:
     ib.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ib.add_argument("--root", required=True)
 
+    ta = sub.add_parser(
+        "table-adopt-checkpoint",
+        help="one-time migration: inject a recreated checkpoint's "
+        "identity into a LEGACY replay stamp (watermark without "
+        "identity) so the restarted stream's batches are processed "
+        "instead of silently dropped; run after the new checkpoint "
+        "exists and before its first batch commits",
+    )
+    ta.add_argument("--table-root", required=True)
+    ta.add_argument("--checkpoint-dir", required=True)
+
     m = sub.add_parser("metrics", help="print pipeline metrics panels")
     m.add_argument("--output-dir", required=True)
     m.add_argument(
@@ -245,6 +256,22 @@ def main(argv: list[str] | None = None) -> int:
             )
         )
         return 0
+
+    if args.cmd == "table-adopt-checkpoint":
+        from aichemy_data_pipelines_spark.pipeline.atomic import (
+            AtomicParquetTable,
+        )
+        from aichemy_data_pipelines_spark.pipeline.replay import (
+            adopt_identity,
+        )
+
+        ident = adopt_identity(
+            AtomicParquetTable(args.table_root), args.checkpoint_dir
+        )
+        print(json.dumps({"adopted_identity": ident}))
+        # non-zero when nothing migrated: stamp already identity-
+        # scoped, no stamp at all, or checkpoint metadata unreadable
+        return 0 if ident is not None else 1
 
     if args.cmd == "corpus-build":
         from aichemy_data_pipelines_spark.pipeline.corpus_build import (

@@ -54,6 +54,38 @@ def sql_stopword_hits(tokens: str, words: tuple[str, ...]) -> str:
     return f"len(list_filter({tokens}, t -> list_contains([{arr}], t)))"
 
 
+def spark_quality_ratios(tokens: str, text: str) -> dict[str, str]:
+    """The three heuristic quality ratios (Spark SQL expression
+    strings over a tokens-array column and the raw text column) —
+    the single source of truth shared by operators/textops.
+    text_quality and operators/domain_ops.corpus_domain_rollup, so
+    the per-domain rollup can inline the score (no doc_id self-join)
+    without risking formula drift."""
+    en_hits = spark_stopword_hits(tokens, STOPWORDS["en"])
+    return {
+        "distinct_ratio": (
+            f"cast(size(array_distinct({tokens})) as double)"
+            f" / size({tokens})"
+        ),
+        "stop_ratio": f"cast({en_hits} as double) / size({tokens})",
+        "punct_ratio": (
+            f"cast(length(regexp_replace({text}, '[a-z0-9 ]', ''))"
+            f" as double) / length({text})"
+        ),
+    }
+
+
+def spark_quality_score(tokens: str, text: str) -> str:
+    """The blended quality score as one expression string (same
+    weights and 6-dp HALF_UP rounding as text_quality's column
+    chain)."""
+    r = spark_quality_ratios(tokens, text)
+    return (
+        f"round({r['distinct_ratio']} * 0.5 + {r['stop_ratio']} * 0.3"
+        f" + (1.0 - {r['punct_ratio']}) * 0.2, 6)"
+    )
+
+
 def exploded_shingles(df, n: int, out: str = "s"):
     """(doc_id, <out>) rows of word n-gram shingles via INDEX explode.
 

@@ -1,0 +1,77 @@
+"""URL → registered-domain extraction for domain-level curation.
+
+The C4 / RefinedWeb corpus recipes cut quality and dedup decisions
+"by registered domain" (the eTLD+1: ``docs.example.co.uk`` →
+``example.co.uk``), so a crawl-scale engine needs the extraction as
+a cheap, JVM-side column expression — one regexp + one split per
+row, no UDF, fully inside whole-stage codegen.
+
+Public-suffix handling is the bounded heuristic used by most
+pipeline implementations: a short list of common multi-label
+suffixes (``co.uk``-style second-level registries) promotes the cut
+to three labels; everything else is eTLD+1 = last two labels. The
+full Mozilla public-suffix list is a ~10k-entry broadcast join in
+production; the registry below is deliberately small and editable.
+
+The test corpus carries no URL column (documents key their feed by
+``source``, which the domain-level operators treat as the domain —
+see operators/domain_ops.py), so these expressions are pinned by
+unit tests over literal URLs (tests/test_urls.py) rather than a
+driver oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: common multi-label registries: a domain registered UNDER one of
+#: these needs three labels to identify the registrant
+MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "com.tr", "com.ar",
+    "co.in", "co.kr", "co.za", "co.nz",
+)
+
+#: scheme-optional authority grab: ``https://user@host:8080/p?q`` →
+#: ``host``; also protocol-relative ``//host/p`` and bare
+#: ``host/p``. Group 1 is everything after an optional ``scheme:``,
+#: optional ``//`` and optional userinfo, up to the first ``:``,
+#: ``/``, ``?`` or ``#``.
+_HOST_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://)?(?:[^/@?#]*@)?([^:/?#]+)"
+
+
+def url_host(url: Column | str) -> Column:
+    """Lower-cased hostname of a URL-ish string ('' when absent)."""
+    c = F.col(url) if isinstance(url, str) else url
+    return F.lower(F.regexp_extract(c, _HOST_RE, 1))
+
+
+def registered_domain(url: Column | str) -> Column:
+    """eTLD+1 of a URL or bare hostname, as a pure column expression.
+
+    - IPv4 literals pass through whole (no registrant to cut to).
+    - Single-label hosts (``localhost``) pass through whole.
+    - Hosts under a :data:`MULTI_LABEL_SUFFIXES` registry keep three
+      labels; everything else keeps two.
+    """
+    host = url_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(
+        ".", F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+    last3 = F.concat_ws(
+        ".",
+        F.element_at(parts, -3),
+        F.element_at(parts, -2),
+        F.element_at(parts, -1),
+    )
+    is_ipv4 = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(is_ipv4 | (n <= 1), host)
+        .when((n >= 3) & last2.isin(*MULTI_LABEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )

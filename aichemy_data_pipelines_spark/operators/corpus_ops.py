@@ -29,7 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.catalog import (
+    load_table,
+    share_table_scan,
+)
 from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.text import (
     SPARK_TOKENS,
@@ -282,7 +285,11 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each stage keeps its own optimal shape (pure-map quality,
     broadcast decontam, equi-join dedup); the funnel adds only
     doc_id-keyed left joins of flag tables + one tiny agg on source.
+    The documents scan under the stages is persisted ONCE
+    (catalog.share_table_scan) and CacheManager substitutes it into
+    each stage's plan, so the text column is read from storage once.
     """
+    share_table_scan(spark, sf_dir, "documents")
     return curation_flags(spark, sf_dir).groupBy("source").agg(
         F.count("*").alias("n_raw"),
         F.sum(F.expr("cast(not q_keep as bigint)")).alias("n_fail_quality"),

@@ -32,9 +32,11 @@ Scale: each member is individually 100 TB-shaped (banded dedup,
 broadcast LM tables, bounded DSIR stats — see each module); the
 matrix adds six doc_id equi-joins over per-doc tables, all carrying
 the same key, so AQE coalesces them into one shuffle stage per
-side.  In production the doc scan underneath is shared via
-persist/cache; here each member re-reads the (columnar, pruned)
-parquet, which Spark's file-scan cache absorbs.
+side.  The documents scan underneath IS shared: the matrix persists
+one scan via ``catalog.share_table_scan`` and CacheManager
+substitutes it into every member's plan, so the heavy text column
+is read from storage once, not six times (plan-asserted in
+tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -42,7 +44,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.catalog import (
+    load_table,
+    share_table_scan,
+)
 from aichemy_data_pipelines_spark.operators import (
     corpus_ops,
     dsir_ops,
@@ -56,6 +61,9 @@ _MAX_PPL = 300.0
 
 
 def corpus_screens_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one persisted documents scan, substituted into every member
+    # plan below by CacheManager (see module docstring)
+    share_table_scan(spark, sf_dir, "documents")
     q = textops.text_quality(spark, sf_dir).select(
         "doc_id", "quality_score"
     )

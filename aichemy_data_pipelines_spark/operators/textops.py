@@ -24,6 +24,7 @@ from aichemy_data_pipelines_spark.functions.text import (
     SQL_TOKENS,
     STOPWORDS,
     spark_shingles,
+    spark_quality_ratios,
     spark_stopword_hits,
     sql_shingles,
     sql_stopword_hits,
@@ -78,19 +79,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     that pushes straight onto the scan.
     """
     d = _docs(spark, sf_dir)
-    en_hits = spark_stopword_hits("tokens", STOPWORDS["en"])
+    ratios = spark_quality_ratios("tokens", "text")
     d = d.select(
         "doc_id",
         F.col("n_chars").alias("n_chars"),
         F.size("tokens").alias("n_tokens"),
-        F.expr(
-            "cast(size(array_distinct(tokens)) as double) / size(tokens)"
-        ).alias("distinct_ratio"),
-        F.expr(f"cast({en_hits} as double) / size(tokens)").alias("stop_ratio"),
-        F.expr(
-            "cast(length(regexp_replace(text, '[a-z0-9 ]', '')) as double) "
-            "/ length(text)"
-        ).alias("punct_ratio"),
+        F.expr(ratios["distinct_ratio"]).alias("distinct_ratio"),
+        F.expr(ratios["stop_ratio"]).alias("stop_ratio"),
+        F.expr(ratios["punct_ratio"]).alias("punct_ratio"),
     )
     return d.withColumn(
         "quality_score",

@@ -101,9 +101,14 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # large scale sx² / Σx² exceed int64, where Spark's non-ANSI
     # multiply WRAPS silently (wrong acf) while DuckDB RAISES — the
     # engines would diverge in failure mode (r06 ADVICE). The decimal
-    # shapes below bind identically in both engines (products capped
-    # at DECIMAL(38,0)), stay exact to 10^38, and produce the same
-    # integers as the old BIGINT math at any non-overflowing scale.
+    # shapes below bind identically in both engines and produce the
+    # same integers as the old BIGINT math at any non-overflowing
+    # scale. Safe domain (r07 ADVICE — a DECIMAL(38) product cannot
+    # carry both factors at full width, so the _var casts split the
+    # 38 digits): np ≤ 10⁸ pairs and moment sums ≤ 10³⁰ — i.e. up to
+    # ~10⁸ per-type days of counts up to ~10¹¹/day. Beyond that the
+    # narrowing cast NULLs here where DuckDB raises; both are far
+    # past any real grid (10⁸ days ≈ 270k years).
     d19 = "decimal(19,0)"
     m = pairs.groupBy("event_type", "lag").agg(
         F.count("*").cast("long").alias("np"),

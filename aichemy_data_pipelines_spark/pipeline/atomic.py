@@ -462,6 +462,25 @@ class AtomicParquetTable:
             df, keep_old=False, partition_by=partition_by, meta=carried
         )
 
+    def update_meta(self, meta: dict) -> int:
+        """Publish a new manifest version carrying the SAME data dirs
+        and partition schemas as the current one, with ``meta`` as
+        the complete REPLACEMENT metadata (start from ``self.meta()``
+        to edit incrementally — replacement, not merge, so callers
+        can remove keys, e.g. the legacy replay-stamp migration in
+        pipeline/replay.py). Data files are untouched; only the
+        manifest advances."""
+        v = self._latest_version()
+        prev_rel: list[str] = []
+        prev_ps: dict = {}
+        if v:
+            with open(self._manifest_path(v)) as f:
+                prev_manifest = json.load(f)
+            prev_rel = prev_manifest["dirs"]
+            prev_ps = prev_manifest.get("partition_schemas", {})
+        self._publish(v + 1, prev_rel, meta, prev_ps)
+        return v + 1
+
     def vacuum(self) -> list[str]:
         """Delete data dirs not referenced by the CURRENT manifest
         (crashed-commit orphans, pre-overwrite versions) and stale

@@ -22,13 +22,58 @@ new identity.
 
 Legacy compatibility: tables stamped before identities existed (no
 ``last_run_id`` in meta), and callers that pass no identity, keep
-the bare-watermark behavior.
+the bare-watermark behavior. A legacy table CANNOT self-migrate
+after a checkpoint recreation — the bare watermark drops every
+restarted batch, so ``stamp()`` never runs to roll the identity
+over (r07 ADVICE). Either run :func:`adopt_identity` once against
+the NEW checkpoint before restarting the stream, or never recreate
+a legacy table's checkpoint without it.
 """
 
 from __future__ import annotations
 
 import json
 import os
+
+
+def _read_checkpoint_metadata(checkpoint_dir: str) -> str | None:
+    """Contents of ``<checkpoint>/metadata`` via the Hadoop
+    FileSystem API, so the guard works when the checkpoint lives on a
+    DFS (``hdfs://``, ``s3a://``, ``file:`` URIs) as it would on a
+    real cluster — ``foreachBatch`` runs on the driver, where the
+    active session's JVM is available. Falls back to a local
+    ``open()`` only when no JVM is up (unit-test or backfill
+    contexts driving the sink without Spark streaming)."""
+    rel = checkpoint_dir.rstrip("/") + "/metadata"
+    try:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    except Exception:
+        spark = None
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            hconf = spark._jsc.hadoopConfiguration()
+            jpath = jvm.org.apache.hadoop.fs.Path(rel)
+            fs = jpath.getFileSystem(hconf)
+            if not fs.exists(jpath):
+                return None
+            stream = fs.open(jpath)
+            try:
+                return jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+        except Exception:
+            # fall through: path may be local-only in this context
+            pass
+    try:
+        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+            return f.read()
+    except OSError:
+        return None
 
 
 def checkpoint_identity(checkpoint_dir: str) -> str | None:
@@ -40,11 +85,13 @@ def checkpoint_identity(checkpoint_dir: str) -> str | None:
     the sink is driven outside a streaming query, as in batch
     backfills) — callers then fall back to the bare watermark.
     """
+    raw = _read_checkpoint_metadata(checkpoint_dir)
+    if raw is None:
+        return None
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
-            ident = json.load(f).get("id")
+        ident = json.loads(raw).get("id")
         return str(ident) if ident is not None else None
-    except (OSError, ValueError):
+    except ValueError:
         return None
 
 
@@ -59,6 +106,32 @@ def is_replay(meta: dict, batch_id: int | None, run_id: str | None) -> bool:
         # legacy stamp or identity-less caller: watermark decides
         return True
     return stored == run_id
+
+
+def adopt_identity(table, checkpoint_dir: str) -> str | None:
+    """One-time migration for a LEGACY-stamped table (meta carries
+    ``last_batch_id`` but no ``last_run_id``) whose checkpoint is
+    being recreated: inject the new checkpoint's identity with the
+    watermark RESET, so the restarted stream's batch 0.. are
+    processed instead of silently dropped by the stale stamp.
+
+    Run AFTER the new checkpoint exists (start the query once, or
+    pre-create its ``metadata`` file) and BEFORE any batch commits.
+    No-op when the table already carries an identity-scoped stamp or
+    has no stamp at all. Returns the adopted identity, or None when
+    nothing was migrated."""
+    meta = table.meta()
+    if meta.get("last_batch_id") is None or "last_run_id" in meta:
+        return None
+    ident = checkpoint_identity(checkpoint_dir)
+    if ident is None:
+        return None
+    out = dict(meta)
+    # reset: batches under the NEW identity start at 0 again
+    del out["last_batch_id"]
+    out["last_run_id"] = ident
+    table.update_meta(out)
+    return ident
 
 
 def stamp(meta: dict, batch_id: int | None, run_id: str | None) -> dict:

@@ -103,6 +103,34 @@ def main() -> None:
             qs[name](spark, SF_DIR).collect()
             samples[name].append(round(time.perf_counter() - t0, 3))
 
+    # End-to-end corpus-build (r07 verdict #8): the MATERIALIZING
+    # path (funnel verdicts → curated snapshot + sharded export, two
+    # atomic table commits) gets its own perf signal — its member
+    # queries alone don't time the write/commit side. Fresh output
+    # dir per run, min-of-2, reported as a separate field so the
+    # frozen headline/corpus sets stay comparable.
+    import shutil
+    import tempfile
+
+    from aichemy_data_pipelines_spark.pipeline.corpus_build import (
+        CorpusBuildConfig,
+        CorpusBuildPipeline,
+    )
+
+    def _build_once(sfd: str) -> float:
+        out = tempfile.mkdtemp(prefix="bench_corpus_build_")
+        try:
+            t0 = time.perf_counter()
+            CorpusBuildPipeline(
+                spark, CorpusBuildConfig(sf_dir=sfd, output_dir=out)
+            ).build_once()
+            return round(time.perf_counter() - t0, 3)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
+
+    _build_once(warm_sf)
+    build_runs = [_build_once(SF_DIR) for _ in range(2)]
+
     timings = {n: min(samples[n]) for n in names}
     corpus_timings = {n: min(samples[n]) for n in corpus_names}
     # Cross-protocol honesty (r04 ADVICE): r01-r03 recorded a single
@@ -134,6 +162,8 @@ def main() -> None:
                     sum(corpus_timings.values()), 3
                 ),
                 "corpus_queries": corpus_timings,
+                "corpus_build_sec": min(build_runs),
+                "corpus_build_runs": build_runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -176,6 +176,73 @@ def test_fresh_checkpoint_identity_defeats_stale_watermark(
     assert accept_batch(root, batch, batch_id=0, run_id="ckpt-B") == v2
 
 
+def test_checkpoint_identity_resolves_file_uri_via_hadoop_fs(
+    spark, tmp_path
+):
+    """r07 VERDICT #4: the identity read must survive a real cluster
+    where the checkpoint lives on a DFS. A ``file:`` URI only
+    resolves through the Hadoop FileSystem API — the local ``open()``
+    fallback cannot read a path spelled ``file:/...`` — so a
+    successful read on the URI proves the FS code path executes."""
+    import json
+
+    from aichemy_data_pipelines_spark.pipeline.replay import (
+        checkpoint_identity,
+    )
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "q-dfs"}))
+    assert checkpoint_identity(ck.as_uri()) == "q-dfs"
+    # missing path through the FS API degrades to None, not an error
+    assert checkpoint_identity((tmp_path / "nope").as_uri()) is None
+
+
+def test_adopt_identity_migrates_legacy_stamp(spark, tmp_path):
+    """r07 ADVICE: a legacy-stamped table (watermark, no identity)
+    whose checkpoint is recreated can never self-migrate — every
+    restarted batch is dropped, so stamp() never runs. adopt_identity
+    injects the new checkpoint's identity with the watermark reset,
+    after which restarted batches process and re-stamp normally."""
+    import json
+
+    from aichemy_data_pipelines_spark.pipeline.replay import (
+        adopt_identity,
+    )
+
+    root = str(tmp_path / "lsh")
+    build_dedup_index(
+        spark, SF_SMOKE, root, corpus_filter=F.col("doc_id") % _INCR_MOD != 0
+    )
+    batch = _docs_with_shingles(spark, SF_SMOKE).where(
+        F.col("doc_id") % _INCR_MOD == 0
+    )
+    # legacy stamp: batch committed without an identity
+    v1 = accept_batch(root, batch, batch_id=5)
+    table = _index_table(root)
+    assert "last_run_id" not in table.meta()
+    n1 = table.read(spark).count()
+    # checkpoint recreated: without migration, batch 0 is dropped
+    assert accept_batch(root, batch, batch_id=0, run_id="q-new") == v1
+    # one-time migration against the new checkpoint
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "q-new"}))
+    assert adopt_identity(table, str(ck)) == "q-new"
+    meta = _index_table(root).meta()
+    assert meta["last_run_id"] == "q-new"
+    assert "last_batch_id" not in meta
+    # data untouched by the meta-only manifest bump
+    assert _index_table(root).read(spark).count() == n1
+    # restarted batch 0 under the new identity now PROCESSES...
+    v2 = accept_batch(root, batch, batch_id=0, run_id="q-new")
+    assert v2 > v1
+    # ...and its replay no-ops again
+    assert accept_batch(root, batch, batch_id=0, run_id="q-new") == v2
+    # idempotent: already-migrated table is a no-op
+    assert adopt_identity(_index_table(root), str(ck)) is None
+
+
 def test_replay_helpers_legacy_compat(tmp_path):
     """Legacy stamps (no identity) and identity-less callers keep the
     bare-watermark semantics; checkpoint_identity reads the streaming

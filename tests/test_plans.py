@@ -421,6 +421,8 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         ("ann_recall_eval", 9),  # nests exact + LSH member plans
         ("corpus_dedup_savings", 5),  # hash-groupBy + savings agg
         ("docs_length_percentiles_by_source", 1),  # one source shuffle
+        ("dedup_within_domain", 1),  # the ONE (domain, fp) shuffle
+        ("corpus_domain_rollup", 3),  # (domain,fp) window + domain agg
     ],
 )
 def test_round6_remaining_shuffle_budget(spark, name, budget):
@@ -432,3 +434,31 @@ def test_round6_remaining_shuffle_budget(spark, name, budget):
     )
     n = plan.count("Exchange")
     assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["corpus_screens_matrix", "corpus_curation_funnel"],
+)
+def test_capstones_share_one_documents_scan(spark, qname):
+    """r07 VERDICT #5: the composed capstones persist ONE documents
+    scan (catalog.share_table_scan); CacheManager substitutes it into
+    every member's plan, so the optimized plan contains ZERO direct
+    parquet reads of documents — the heavy text column leaves storage
+    once (on cache fill), not once per member screen."""
+    try:
+        df = _QUERIES[qname](spark, SF_SMOKE)
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        n_cached, n_raw_docs = 0, 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            if cls == "InMemoryRelation":
+                n_cached += 1
+            elif "documents" in leaf.toString():
+                n_raw_docs += 1
+        assert n_raw_docs == 0, f"{qname}: {n_raw_docs} uncached documents scans"
+        assert n_cached >= 2, f"{qname}: members not substituted with the cache"
+    finally:
+        # raw-scan plan assertions elsewhere must not see the cache
+        spark.catalog.clearCache()
