@@ -391,8 +391,90 @@ def docs_length_percentiles_by_source(
     )
 
 
+def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic benchmark decontamination: flag training vectors whose
+    embedding cosine to ANY held-out eval vector (vec_id % 10 == 0,
+    the suite's eval-split convention) reaches 0.35 — the paraphrase
+    leak that n-gram decontamination (decontam_ngram_overlap) cannot
+    see, run on the same split so the two reports compose.
+
+    Output: one row per CONTAMINATED training vector —
+    (vec_id, n_eval_hits = eval vectors at/above the bar,
+    max_cosine = the strongest leak).
+
+    Scale: the canonical semantic-decontam shape — the eval side is a
+    benchmark suite (thousands-to-millions of vectors), so it
+    BROADCASTS and the training corpus is ONE scan through a
+    broadcast nested-loop join; no corpus-sized shuffle, no pairwise
+    materialization beyond each train-row × eval-block product.
+    Recall is exact (every train/eval pair is scored — decontam wants
+    no LSH misses). Cost is O(|train| x |eval| x dim) multiply-adds,
+    linear in the corpus for a fixed suite. The same row-count guard
+    as the n-gram pass (``spark.graft.decontam.maxBroadcastEvalRows``)
+    drops the hint past the bound, degrading to an AQE-planned join
+    instead of an OOM. Norms are computed once per side, not per
+    pair; dot products are decimal-exact (portable), rounded to 8dp
+    before the threshold like every cosine in the suite.
+    """
+    from aichemy_data_pipelines_spark.functions.hints import (
+        DECONTAM_MAX_EVAL_ROWS,
+        DEFAULT_MAX_BROADCAST_ROWS,
+        broadcast_when,
+        conf_int,
+    )
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
+    ev = e.where(F.col("vec_id") % _EVAL_MOD == 0).select(
+        F.col("embedding").alias("ve"),
+        F.expr(norm).alias("ne"),
+    )
+    n_eval = ev.count()
+    tr = (
+        e.where(F.col("vec_id") % _EVAL_MOD != 0)
+        .transform(spread_small_input)
+        .select(
+            "vec_id",
+            F.col("embedding").alias("va"),
+            F.expr(norm).alias("na"),
+        )
+    )
+    dot = spark_dot_exact("va", "ve")
+    return (
+        tr.crossJoin(
+            broadcast_when(
+                ev,
+                n_eval,
+                conf_int(
+                    spark,
+                    DECONTAM_MAX_EVAL_ROWS,
+                    DEFAULT_MAX_BROADCAST_ROWS,
+                ),
+                "decontam_embedding eval split",
+            )
+        )
+        .withColumn("cosine", F.round(F.expr(f"{dot} / (na * ne)"), 8))
+        .where(F.col("cosine") >= _DECON_COS)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n_eval_hits"),
+            F.max("cosine").alias("max_cosine"),
+        )
+    )
+
+
+#: semantic-leak bar — calibrated so paraphrase-level similarity in
+#: the synthetic embedding space trips it while unrelated vectors
+#: (max train→eval cosine p50 ≈ 0.28) do not
+_DECON_COS = 0.35
+
+
 QUERIES = {
     "corpus_dedup_savings": corpus_dedup_savings,
+    "decontam_embedding": decontam_embedding,
     "docs_length_percentiles_by_source": docs_length_percentiles_by_source,
     "dedup_keep_one": dedup_keep_one,
     "corpus_dup_rate_by_source": corpus_dup_rate_by_source,
@@ -402,6 +484,7 @@ QUERIES = {
     "corpus_curation_funnel": corpus_curation_funnel,
 }
 
+from aichemy_data_pipelines_spark.functions.vectors import sql_dot_exact  # noqa: E402
 from aichemy_data_pipelines_spark.operators.textops import _BPE_RE_SQL  # noqa: E402
 
 _T = SQL_TOKENS
@@ -545,4 +628,36 @@ ORACLE["corpus_curation_funnel"] = f"""
                CAST(SUM(CASE WHEN final THEN ws ELSE 0 END) AS BIGINT)
                  AS final_ws_tokens
         FROM fin GROUP BY source
+"""
+
+ORACLE["decontam_embedding"] = f"""
+    WITH ev AS (
+        SELECT embedding AS ve FROM embeddings
+        WHERE vec_id % {_EVAL_MOD} = 0
+    ), tr AS (
+        SELECT vec_id, embedding AS va FROM embeddings
+        WHERE vec_id % {_EVAL_MOD} <> 0
+    ), expl AS (
+        SELECT vec_id, pair_id, unnest(va) AS xa, unnest(ve) AS xe
+        FROM (
+            SELECT tr.vec_id, row_number() OVER () AS pair_id,
+                   tr.va, ev.ve
+            FROM tr, ev
+        ) p
+    ), dots AS (
+        SELECT vec_id, pair_id,
+               {sql_dot_exact('xa', 'xe')} AS dae,
+               {sql_dot_exact('xa', 'xa')} AS daa,
+               {sql_dot_exact('xe', 'xe')} AS dee
+        FROM expl GROUP BY vec_id, pair_id
+    ), cos AS (
+        SELECT vec_id,
+               round(dae / (sqrt(daa) * sqrt(dee)), 8) AS c
+        FROM dots
+    )
+    SELECT vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(c) AS max_cosine
+    FROM cos WHERE c >= {_DECON_COS}
+    GROUP BY vec_id
 """

@@ -1,0 +1,96 @@
+"""operators/gopher_ops.py: rule semantics the sf corpus can't pin
+(it has no newlines, bullets, ellipses, or 6 of the 8 Gopher
+stopwords) — crafted documents exercising each rule's trip wire and
+the all-pass path. Oracle parity at sf0.01 runs separately via
+tests/test_oracle_parity.py like every other query."""
+
+from __future__ import annotations
+
+from aichemy_data_pipelines_spark.operators.gopher_ops import (
+    docs_gopher_quality,
+)
+
+_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+# 60 words, all alphabetic, mean length in [3,10], >=2 Gopher stops,
+# no symbols/bullets/ellipses: passes all 7 rules
+_GOOD = " ".join(["the quick brown fox jumps over that lazy dog with"] * 6)
+
+
+def _write_docs(spark, tmp_path, rows):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _run(spark, tmp_path, rows):
+    sf = _write_docs(spark, tmp_path, rows)
+    return {r.doc_id: r for r in docs_gopher_quality(spark, sf).collect()}
+
+
+def test_conforming_document_passes_all_rules(spark, tmp_path):
+    got = _run(spark, tmp_path, [(1, _GOOD, "en", "a", len(_GOOD))])
+    r = got[1]
+    assert r.n_words == 60
+    assert r.n_stop_hits == 3  # the, that, with
+    assert r.n_failures == 0
+    assert r.pass_gopher == 1
+
+
+def test_word_count_and_stopword_rules_trip(spark, tmp_path):
+    short = "the cat sat on that mat with milk"  # 8 words, 3 stops
+    nostop = " ".join(["lorem ipsum dolor sit amet"] * 12)  # 60 w, 0 stops
+    got = _run(
+        spark,
+        tmp_path,
+        [
+            (1, short, "en", "a", len(short)),
+            (2, nostop, "en", "a", len(nostop)),
+        ],
+    )
+    assert (got[1].pass_words, got[1].pass_stops) == (0, 1)
+    assert got[1].n_failures == 1 and got[1].pass_gopher == 0
+    assert (got[2].pass_words, got[2].pass_stops) == (1, 0)
+    assert got[2].n_failures == 1 and got[2].pass_gopher == 0
+
+
+def test_line_level_rules_count_nonblank_lines(spark, tmp_path):
+    # 4 non-blank lines (blank line ignored): 2 bullets, 2 ellipsis
+    text = "- first point\n\n* second point\nplain line...\ntrailing…"
+    got = _run(spark, tmp_path, [(1, text, "en", "a", len(text))])
+    r = got[1]
+    assert r.bullet_line_frac == 0.5
+    assert r.ellipsis_line_frac == 0.5
+    assert r.pass_bullets == 1  # 0.5 <= 0.9
+    assert r.pass_ellipsis == 0  # 0.5 > 0.3
+
+
+def test_symbol_and_alpha_rules(spark, tmp_path):
+    # 10 words, 2 '#' and one '...': symbol ratio 0.3 > 0.1
+    sym = "# one # two ... three four five six seven"
+    # 10 words, 4 numeric: alpha fraction 0.6 < 0.8
+    num = "1 2 3 4 alpha beta gamma delta epsilon zeta"
+    got = _run(
+        spark,
+        tmp_path,
+        [(1, sym, "en", "a", len(sym)), (2, num, "en", "a", len(num))],
+    )
+    assert got[1].symbol_ratio == 0.3
+    assert got[1].pass_symbols == 0
+    assert got[2].alpha_word_frac == 0.6
+    assert got[2].pass_alpha == 0
+
+
+def test_mean_word_length_bounds(spark, tmp_path):
+    tiny = " ".join(["a b cd"] * 20)  # mwl = 4/3 < 3
+    longw = " ".join(["extraordinarily incomprehensible"] * 30)  # > 10
+    got = _run(
+        spark,
+        tmp_path,
+        [(1, tiny, "en", "a", len(tiny)), (2, longw, "en", "a", len(longw))],
+    )
+    assert got[1].pass_word_len == 0
+    assert got[2].pass_word_len == 0

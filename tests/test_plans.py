@@ -423,6 +423,8 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         ("docs_length_percentiles_by_source", 1),  # one source shuffle
         ("dedup_within_domain", 1),  # the ONE (domain, fp) shuffle
         ("corpus_domain_rollup", 3),  # (domain,fp) window + domain agg
+        ("docs_gopher_quality", 0),  # map-only: per-row lambdas, no agg
+        ("decontam_embedding", 3),  # eval broadcast + spread + vec_id agg
     ],
 )
 def test_round6_remaining_shuffle_budget(spark, name, budget):
