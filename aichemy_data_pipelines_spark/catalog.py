@@ -41,11 +41,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+#: share_table_scan engages only past this input size (bytes, from
+#: parquet footers — no job). Below it the OS page cache already makes
+#: re-scans ~free and the InMemoryRelation substitution is a measured
+#: net LOSS (same-session A/B at sf0.1: screens matrix 13.1 s raw vs
+#: 18.7 s cached — cache build + columnar copy overhead with zero
+#: I/O to save). Above it (remote object storage, corpus-scale text)
+#: N re-reads dwarf one cache fill. 0 forces sharing (tests).
+SHARE_SCAN_MIN_BYTES = "spark.graft.shareScan.minInputBytes"
+DEFAULT_SHARE_SCAN_MIN_BYTES = 256 << 20
+
+
 def share_table_scan(
     spark: SparkSession, sf_dir: str, name: str
 ) -> DataFrame:
     """Persist ONE scan of a table so composed capstones stop
-    re-scanning it per member screen (r07 VERDICT #5).
+    re-scanning it per member screen (r07 VERDICT #5) — but ONLY
+    when the table is big enough that re-scans actually cost I/O
+    (``spark.graft.shareScan.minInputBytes``, default 256 MB; the
+    same conditional philosophy as functions/layout.
+    spread_small_input). The size check reads footer statistics off
+    the optimized plan — no job.
 
     Works through Spark's CacheManager plan canonicalization: after
     this call, EVERY ``load_table`` of the same path in this session
@@ -67,6 +83,16 @@ def share_table_scan(
     from pyspark import StorageLevel
 
     df = load_table(spark, sf_dir, name)
+    min_bytes = int(
+        spark.conf.get(
+            SHARE_SCAN_MIN_BYTES, str(DEFAULT_SHARE_SCAN_MIN_BYTES)
+        )
+    )
+    size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if size < min_bytes:
+        return df
     df.persist(StorageLevel.MEMORY_AND_DISK)
     return df
 

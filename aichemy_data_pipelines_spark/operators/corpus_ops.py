@@ -285,9 +285,12 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each stage keeps its own optimal shape (pure-map quality,
     broadcast decontam, equi-join dedup); the funnel adds only
     doc_id-keyed left joins of flag tables + one tiny agg on source.
-    The documents scan under the stages is persisted ONCE
-    (catalog.share_table_scan) and CacheManager substitutes it into
-    each stage's plan, so the text column is read from storage once.
+    The documents scan under the stages is persisted ONCE past the
+    footer-size threshold (catalog.share_table_scan, default 256 MB)
+    and CacheManager substitutes it into each stage's plan, so at
+    corpus scale the text column is read from storage once;
+    page-cache-sized inputs skip the cache (a measured net slowdown
+    there — see catalog.py).
     """
     share_table_scan(spark, sf_dir, "documents")
     return curation_flags(spark, sf_dir).groupBy("source").agg(

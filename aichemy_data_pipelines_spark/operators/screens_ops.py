@@ -32,11 +32,14 @@ Scale: each member is individually 100 TB-shaped (banded dedup,
 broadcast LM tables, bounded DSIR stats — see each module); the
 matrix adds six doc_id equi-joins over per-doc tables, all carrying
 the same key, so AQE coalesces them into one shuffle stage per
-side.  The documents scan underneath IS shared: the matrix persists
-one scan via ``catalog.share_table_scan`` and CacheManager
-substitutes it into every member's plan, so the heavy text column
-is read from storage once, not six times (plan-asserted in
-tests/test_plans.py).
+side.  The documents scan underneath is shared WHEN IT COSTS I/O:
+the matrix calls ``catalog.share_table_scan``, which persists one
+scan past a footer-size threshold (default 256 MB) and CacheManager
+substitutes it into every member's plan, so at corpus scale the
+heavy text column leaves storage once, not six times — while
+page-cache-sized inputs (test SF) skip the cache, where the
+substitution is a measured net slowdown. Both regimes plan-asserted
+in tests/test_plans.py.
 """
 
 from __future__ import annotations

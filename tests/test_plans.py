@@ -447,7 +447,11 @@ def test_capstones_share_one_documents_scan(spark, qname):
     scan (catalog.share_table_scan); CacheManager substitutes it into
     every member's plan, so the optimized plan contains ZERO direct
     parquet reads of documents — the heavy text column leaves storage
-    once (on cache fill), not once per member screen."""
+    once (on cache fill), not once per member screen. Engagement is
+    size-conditional (page-cache-sized inputs skip the cache — a
+    measured net loss at test SF), so the test forces it with the
+    threshold conf set to 0."""
+    spark.conf.set("spark.graft.shareScan.minInputBytes", "0")
     try:
         df = _QUERIES[qname](spark, SF_SMOKE)
         leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
@@ -463,4 +467,24 @@ def test_capstones_share_one_documents_scan(spark, qname):
         assert n_cached >= 2, f"{qname}: members not substituted with the cache"
     finally:
         # raw-scan plan assertions elsewhere must not see the cache
+        spark.conf.unset("spark.graft.shareScan.minInputBytes")
+        spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["corpus_screens_matrix", "corpus_curation_funnel"],
+)
+def test_capstones_skip_cache_below_size_threshold(spark, qname):
+    """Below the input-size threshold (the default at test SF) the
+    capstones must NOT cache: the OS page cache already makes the
+    re-scans free and the InMemoryRelation substitution is a measured
+    slowdown — same conditional philosophy as spread_small_input."""
+    try:
+        df = _QUERIES[qname](spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in plan, (
+            f"{qname}: cached a page-cache-sized documents scan"
+        )
+    finally:
         spark.catalog.clearCache()
