@@ -265,6 +265,16 @@ def main(argv: list[str] | None = None) -> int:
             adopt_identity,
         )
 
+        # a DFS checkpoint (hdfs:/s3a:/...) is only readable through
+        # the Hadoop FS API, which needs an active JVM — spin up the
+        # session for non-file URIs; plain paths and file: URIs
+        # resolve locally without one
+        if "://" in args.checkpoint_dir and not args.checkpoint_dir.startswith(
+            "file:"
+        ):
+            from aichemy_data_pipelines_spark.session import get_spark
+
+            get_spark(app_name="table-adopt-checkpoint")
         ident = adopt_identity(
             AtomicParquetTable(args.table_root), args.checkpoint_dir
         )

@@ -37,16 +37,25 @@ MULTI_LABEL_SUFFIXES = (
 
 #: scheme-optional authority grab: ``https://user@host:8080/p?q`` →
 #: ``host``; also protocol-relative ``//host/p`` and bare
-#: ``host/p``. Group 1 is everything after an optional ``scheme:``,
-#: optional ``//`` and optional userinfo, up to the first ``:``,
-#: ``/``, ``?`` or ``#``.
-_HOST_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://)?(?:[^/@?#]*@)?([^:/?#]+)"
+#: ``host:8080/p``. A scheme is only stripped together with its
+#: ``//`` — a bare ``scheme:`` alternative would swallow the host of
+#: scheme-less ``host:port`` inputs (``example.com:8080`` parses as
+#: scheme ``example.com`` under RFC 3986's charset, returning the
+#: PORT as the host). Group 1 stops at the first ``:``, ``/``, ``?``
+#: or ``#``.
+_HOST_RE = (
+    r"^(?:[A-Za-z][A-Za-z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^:/?#]+)"
+)
 
 
 def url_host(url: Column | str) -> Column:
-    """Lower-cased hostname of a URL-ish string ('' when absent)."""
+    """Lower-cased hostname of a URL-ish string ('' when absent).
+    Trailing-dot FQDNs (``example.com.``) are normalized to the
+    dotless form so they don't split into an empty last label."""
     c = F.col(url) if isinstance(url, str) else url
-    return F.lower(F.regexp_extract(c, _HOST_RE, 1))
+    return F.lower(
+        F.regexp_replace(F.regexp_extract(c, _HOST_RE, 1), r"\.+$", "")
+    )
 
 
 def registered_domain(url: Column | str) -> Column:

@@ -79,9 +79,13 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "text")
         .withColumn("tokens", F.expr(SPARK_TOKENS))
+        # split on \r?\n so CRLF text leaves no trailing \r on the
+        # lines — Java's '$' matches before a final \r, RE2's does
+        # not, so a stray \r would make the ellipsis rule diverge
+        # between engine and oracle
         .withColumn(
             "lines",
-            F.expr(r"filter(split(text, '\\n'), l -> trim(l) != '')"),
+            F.expr(r"filter(split(text, '\\r?\\n'), l -> trim(l) != '')"),
         )
         .withColumn("n_words", F.size("tokens").cast("long"))
         .withColumn("n_lines", F.size("lines"))
@@ -174,7 +178,7 @@ ORACLE = {
             SELECT doc_id,
                    text,
                    {SQL_TOKENS} AS tokens,
-                   list_filter(string_split(text, chr(10)),
+                   list_filter(string_split_regex(text, '\\r?\\n'),
                                l -> trim(l) <> '') AS lines
             FROM documents
         ), m AS (

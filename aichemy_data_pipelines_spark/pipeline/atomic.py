@@ -471,14 +471,21 @@ class AtomicParquetTable:
         pipeline/replay.py). Data files are untouched; only the
         manifest advances."""
         v = self._latest_version()
-        prev_rel: list[str] = []
-        prev_ps: dict = {}
-        if v:
-            with open(self._manifest_path(v)) as f:
-                prev_manifest = json.load(f)
-            prev_rel = prev_manifest["dirs"]
-            prev_ps = prev_manifest.get("partition_schemas", {})
-        self._publish(v + 1, prev_rel, meta, prev_ps)
+        if not v:
+            # nothing committed yet: publishing would create a ghost
+            # data-less version 1 that a later first write() treats
+            # as a real predecessor
+            raise ValueError(
+                f"update_meta on {self.root}: no committed version"
+            )
+        with open(self._manifest_path(v)) as f:
+            prev_manifest = json.load(f)
+        self._publish(
+            v + 1,
+            prev_manifest["dirs"],
+            meta,
+            prev_manifest.get("partition_schemas", {}),
+        )
         return v + 1
 
     def vacuum(self) -> list[str]:

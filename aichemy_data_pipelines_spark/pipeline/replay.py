@@ -69,8 +69,15 @@ def _read_checkpoint_metadata(checkpoint_dir: str) -> str | None:
         except Exception:
             # fall through: path may be local-only in this context
             pass
+    local = checkpoint_dir
+    if local.startswith("file:"):
+        # no-JVM contexts can still resolve file: URIs locally
+        from urllib.parse import urlparse
+        from urllib.request import url2pathname
+
+        local = url2pathname(urlparse(local).path)
     try:
-        with open(os.path.join(checkpoint_dir, "metadata")) as f:
+        with open(os.path.join(local, "metadata")) as f:
             return f.read()
     except OSError:
         return None

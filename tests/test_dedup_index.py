@@ -243,6 +243,26 @@ def test_adopt_identity_migrates_legacy_stamp(spark, tmp_path):
     assert adopt_identity(_index_table(root), str(ck)) is None
 
 
+def test_checkpoint_identity_file_uri_without_jvm(tmp_path, monkeypatch):
+    """No-JVM contexts (ops CLI before any session exists) must still
+    resolve file: URIs through the local fallback — open() on the raw
+    URI string would raise OSError and silently return None."""
+    import json
+
+    import pyspark.sql as pssql
+
+    from aichemy_data_pipelines_spark.pipeline import replay
+
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "metadata").write_text(json.dumps({"id": "q-nojvm"}))
+    monkeypatch.setattr(
+        pssql.SparkSession, "getActiveSession", classmethod(lambda cls: None)
+    )
+    assert replay.checkpoint_identity(ck.as_uri()) == "q-nojvm"
+    assert replay.checkpoint_identity(str(ck)) == "q-nojvm"
+
+
 def test_replay_helpers_legacy_compat(tmp_path):
     """Legacy stamps (no identity) and identity-less callers keep the
     bare-watermark semantics; checkpoint_identity reads the streaming

@@ -68,6 +68,16 @@ def test_line_level_rules_count_nonblank_lines(spark, tmp_path):
     assert r.pass_ellipsis == 0  # 0.5 > 0.3
 
 
+def test_crlf_lines_leave_no_trailing_cr(spark, tmp_path):
+    # CRLF text: the \r must be consumed by the line split, or the
+    # ellipsis-end regex diverges between Java regex and RE2
+    text = "- bullet\r\nends here...\r\nplain tail"
+    got = _run(spark, tmp_path, [(1, text, "en", "a", len(text))])
+    r = got[1]
+    assert r.bullet_line_frac == round(1 / 3, 6)
+    assert r.ellipsis_line_frac == round(1 / 3, 6)
+
+
 def test_symbol_and_alpha_rules(spark, tmp_path):
     # 10 words, 2 '#' and one '...': symbol ratio 0.3 > 0.1
     sym = "# one # two ... three four five six seven"

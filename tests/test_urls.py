@@ -24,6 +24,12 @@ CASES = [
     ("http://192.168.10.1:8080/admin", "192.168.10.1", "192.168.10.1"),
     ("http://localhost:3000", "localhost", "localhost"),
     ("https://co.uk", "co.uk", "co.uk"),
+    # scheme-less host:port — ':8080' must not parse as a scheme
+    ("example.com:8080/x", "example.com", "example.com"),
+    ("localhost:3000", "localhost", "localhost"),
+    # trailing-dot FQDN normalizes (would otherwise emit 'com.')
+    ("https://example.com./x", "example.com", "example.com"),
+    ("sub.example.org.", "sub.example.org", "example.org"),
 ]
 
 
