@@ -141,7 +141,51 @@ def score_bigrams(bi: DataFrame, uni: DataFrame, bigr: DataFrame) -> DataFrame:
     )
 
 
-QUERIES = {"corpus_bigram_perplexity": corpus_bigram_perplexity}
+def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): each
+    scored document is bucketed by where its LM perplexity falls
+    against its LANGUAGE's tertile cutoffs — the standard quality
+    prior a crawl pipeline attaches before sampling (head = lowest
+    perplexity = most fluent).
+
+    Output: (doc_id, lang, ppl, bucket ∈ head|middle|tail) — only
+    documents the LM can score (≥ 2 tokens), like the member query.
+
+    Scale: CCNet's own shape — the cutoffs are a per-language
+    AGGREGATE (two exact percentiles over |docs-per-lang| values,
+    partial-merge, no global sort) broadcast back onto the corpus,
+    so bucketing adds ONE bounded agg + a map-side join to the
+    perplexity chain. The windowed alternative (ntile over a
+    per-lang total sort) would be a corpus-wide sort per language —
+    deliberately avoided. Cutoffs and ppl are both 6-dp-rounded so
+    the boundary comparison is engine-exact.
+    """
+    p = corpus_bigram_perplexity(spark, sf_dir).select("doc_id", "ppl")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = p.join(d, "doc_id")
+    cuts = j.groupBy("lang").agg(
+        F.round(F.expr("percentile(ppl, cast(1 as double)/3)"), 6).alias(
+            "c1"
+        ),
+        F.round(F.expr("percentile(ppl, cast(2 as double)/3)"), 6).alias(
+            "c2"
+        ),
+    )
+    return j.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+QUERIES = {
+    "corpus_bigram_perplexity": corpus_bigram_perplexity,
+    "corpus_perplexity_buckets": corpus_perplexity_buckets,
+}
 
 _SQL_BI = f"""
         SELECT doc_id, lang,
@@ -189,3 +233,21 @@ ORACLE = {
         FROM agg
     """,
 }
+
+ORACLE["corpus_perplexity_buckets"] = f"""
+    WITH p AS ({ORACLE["corpus_bigram_perplexity"]}),
+    j AS (
+        SELECT p.doc_id, d.lang, p.ppl
+        FROM p JOIN documents d ON p.doc_id = d.doc_id
+    ), cuts AS (
+        SELECT lang,
+               round(quantile_cont(ppl, CAST(1 AS DOUBLE)/3), 6) AS c1,
+               round(quantile_cont(ppl, CAST(2 AS DOUBLE)/3), 6) AS c2
+        FROM j GROUP BY lang
+    )
+    SELECT j.doc_id, j.lang, j.ppl,
+           CASE WHEN j.ppl <= cuts.c1 THEN 'head'
+                WHEN j.ppl <= cuts.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j JOIN cuts ON j.lang = cuts.lang
+"""

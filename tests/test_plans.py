@@ -425,6 +425,7 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         ("corpus_domain_rollup", 3),  # (domain,fp) window + domain agg
         ("docs_gopher_quality", 0),  # map-only: per-row lambdas, no agg
         ("decontam_embedding", 3),  # eval broadcast + spread + vec_id agg
+        ("corpus_perplexity_buckets", 10),  # ppl chain + lang-cuts broadcast
     ],
 )
 def test_round6_remaining_shuffle_budget(spark, name, budget):
