@@ -195,3 +195,50 @@ def test_chunk_geometry_formula(n):
     assert starts[-1] < n
     if len(starts) > 1:
         assert starts[-2] + _CHUNK < n
+
+
+_HOSTLABEL = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-",
+    min_size=1,
+    max_size=8,
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_HOSTS = st.lists(_HOSTLABEL, min_size=1, max_size=5).map(".".join)
+_SCHEMES = st.sampled_from(["https://", "http://", "ftp://", "//", ""])
+_SUFFIXES = st.sampled_from(
+    ["", "/", "/a/b?q=1#f", ":8080", ":8080/x", ".", "./path"]
+)
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_SCHEMES, _HOSTS, _SUFFIXES)
+def test_registered_domain_invariants(spark, scheme, host, suffix):
+    """For any well-formed host embedded in any URL shape the module
+    documents: url_host recovers the host exactly (ports, paths,
+    trailing dots stripped), and registered_domain is a dot-suffix of
+    the host with at most 3 labels, never empty, never containing
+    ':' or '/'."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.functions.urls import (
+        registered_domain,
+        url_host,
+    )
+
+    url = scheme + host + suffix
+    r = (
+        spark.range(1)
+        .select(
+            url_host(F.lit(url)).alias("h"),
+            registered_domain(F.lit(url)).alias("d"),
+        )
+        .collect()[0]
+    )
+    assert r.h == host
+    assert r.d
+    assert ":" not in r.d and "/" not in r.d
+    assert r.h == r.d or r.h.endswith("." + r.d)
+    assert 1 <= r.d.count(".") + 1 <= 3
