@@ -418,6 +418,18 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of an OOM. Norms are computed once per side, not per
     pair; dot products are decimal-exact (portable), rounded to 8dp
     before the threshold like every cosine in the suite.
+
+    Cost control: the exact-decimal fold is ~an order of magnitude
+    more arithmetic than a double fold, so every pair is first
+    scored with a plain DOUBLE cosine and only pairs within 1e-6 of
+    the bar are re-scored exactly. Lossless by margin analysis: the
+    double cosine differs from the true value by ≲1e-12 relative
+    (per-dim float products are exact in doubles; only summation
+    order varies), so any pair whose exact 8-dp-rounded cosine
+    reaches the bar has a double cosine ≥ bar − 5e-9 − 1e-12, far
+    inside the 1e-6 gate — the prefilter can only discard pairs the
+    exact test would also discard. Pinned by a boundary-pair test
+    in tests/test_decontam_embedding.py.
     """
     from aichemy_data_pipelines_spark.functions.hints import (
         DECONTAM_MAX_EVAL_ROWS,
@@ -426,6 +438,7 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         conf_int,
     )
     from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_cosine,
         spark_dot_exact,
     )
 
@@ -458,6 +471,9 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "decontam_embedding eval split",
             )
+        )
+        .where(
+            F.expr(spark_cosine("va", "ve")) >= _DECON_COS - 1e-6
         )
         .withColumn("cosine", F.round(F.expr(f"{dot} / (na * ne)"), 8))
         .where(F.col("cosine") >= _DECON_COS)

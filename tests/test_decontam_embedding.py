@@ -43,6 +43,25 @@ def test_flags_exact_and_near_leaks_not_orthogonal(spark, tmp_path):
     assert abs(got[2][1] - 0.70710678) < 1e-8
 
 
+def test_boundary_pairs_respect_the_exact_threshold(spark, tmp_path):
+    """The double-cosine prefilter must not change the verdict at the
+    bar: a pair just ABOVE 0.35 (inside the 1e-6 prefilter gate) is
+    kept by the exact re-score, just BELOW is dropped."""
+    import math
+
+    def unit(c):
+        return [c, math.sqrt(1.0 - c * c), 0.0]
+
+    rows = [
+        (10, [1.0, 0.0, 0.0], 0),  # eval
+        (1, unit(0.3500005), 0),  # train, exact cosine > bar
+        (2, unit(0.3499995), 0),  # train, in-gate but < bar
+    ]
+    sf = _write(spark, tmp_path, rows)
+    got = {r.vec_id for r in decontam_embedding(spark, sf).collect()}
+    assert got == {1}
+
+
 def test_guard_fallback_gives_identical_rows(spark, tmp_path):
     sf = _write(spark, tmp_path, _ROWS)
     hinted = sorted(map(tuple, decontam_embedding(spark, sf).collect()))
