@@ -46,22 +46,36 @@ MULTI_LABEL_SUFFIXES = (
 _HOST_RE = (
     r"^(?:[A-Za-z][A-Za-z0-9+.-]*://|//)?(?:[^/@?#]*@)?([^:/?#]+)"
 )
+#: bracketed IPv6 authority (``https://[2001:db8::1]:8080/x``) — the
+#: plain grab would stop at the first ``:`` inside the address
+_HOST6_RE = (
+    r"^(?:[A-Za-z][A-Za-z0-9+.-]*://|//)?(?:[^/@?#]*@)?\[([^\]]+)\]"
+)
 
 
 def url_host(url: Column | str) -> Column:
     """Lower-cased hostname of a URL-ish string ('' when absent).
     Trailing-dot FQDNs (``example.com.``) are normalized to the
-    dotless form so they don't split into an empty last label."""
+    dotless form so they don't split into an empty last label;
+    bracketed IPv6 literals come back without the brackets."""
     c = F.col(url) if isinstance(url, str) else url
+    host6 = F.regexp_extract(c, _HOST6_RE, 1)
     return F.lower(
-        F.regexp_replace(F.regexp_extract(c, _HOST_RE, 1), r"\.+$", "")
+        F.when(host6 != "", host6).otherwise(
+            F.regexp_replace(
+                F.regexp_extract(c, _HOST_RE, 1), r"\.+$", ""
+            )
+        )
     )
 
 
 def registered_domain(url: Column | str) -> Column:
     """eTLD+1 of a URL or bare hostname, as a pure column expression.
 
-    - IPv4 literals pass through whole (no registrant to cut to).
+    - IPv4 literals pass through whole (no registrant to cut to);
+      IPv6 literals contain no dots so they pass through via the
+      single-label rule (dotted IPv4-mapped forms are the known
+      exception and would be cut — irrelevant to crawl keying).
     - Single-label hosts (``localhost``) pass through whole.
     - Hosts under a :data:`MULTI_LABEL_SUFFIXES` registry keep three
       labels; everything else keeps two.

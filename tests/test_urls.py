@@ -30,6 +30,9 @@ CASES = [
     # trailing-dot FQDN normalizes (would otherwise emit 'com.')
     ("https://example.com./x", "example.com", "example.com"),
     ("sub.example.org.", "sub.example.org", "example.org"),
+    # bracketed IPv6: the plain grab would stop at the first ':'
+    ("https://[2001:db8::1]:8080/x", "2001:db8::1", "2001:db8::1"),
+    ("//[::1]/health", "::1", "::1"),
 ]
 
 
