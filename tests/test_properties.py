@@ -242,3 +242,41 @@ def test_registered_domain_invariants(spark, scheme, host, suffix):
     assert ":" not in r.d and "/" not in r.d
     assert r.h == r.d or r.h.endswith("." + r.d)
     assert 1 <= r.d.count(".") + 1 <= 3
+
+
+# whitespace incl. tab/newline/CR plus unicode letters — the
+# tokenizer domain every text operator and its oracle share
+_TEXTS = st.text(
+    alphabet="abzABZ019 .#-\t\n\ráé漢",
+    min_size=0,
+    max_size=60,
+)
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_TEXTS)
+def test_tokenizer_matches_duckdb(spark, text):
+    """SPARK_TOKENS and SQL_TOKENS produce the SAME token array for
+    arbitrary text (mixed whitespace, unicode, punctuation) — the
+    primitive every text/dedup/LM operator's oracle parity rests on."""
+    from aichemy_data_pipelines_spark.functions.text import (
+        SPARK_TOKENS,
+        SQL_TOKENS,
+    )
+
+    got = (
+        spark.createDataFrame([(text,)], "text string")
+        .selectExpr(f"{SPARK_TOKENS} AS t")
+        .collect()[0]
+        .t
+    )
+    duck = duckdb.connect()
+    want = duck.sql(
+        f"SELECT {SQL_TOKENS} AS t FROM (SELECT $1 AS text)",
+        params=[text],
+    ).fetchone()[0]
+    assert got == want, (text, got, want)
