@@ -280,3 +280,94 @@ def test_tokenizer_matches_duckdb(spark, text):
         params=[text],
     ).fetchone()[0]
     assert got == want, (text, got, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=4),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_shingles_match_duckdb(spark, tokens, n):
+    """spark_shingles and sql_shingles emit the SAME word n-grams for
+    arbitrary token arrays — the candidate-generation primitive under
+    every MinHash/Jaccard/containment/decontam operator. (Callers
+    gate on size(tokens) >= n; shorter inputs are out of contract.)"""
+    from aichemy_data_pipelines_spark.functions.text import (
+        spark_shingles,
+        sql_shingles,
+    )
+
+    if len(tokens) < n:
+        tokens = tokens + ["pad"] * (n - len(tokens))
+    got = (
+        spark.createDataFrame([(tokens,)], "tokens array<string>")
+        .selectExpr(f"{spark_shingles('tokens', n)} AS s")
+        .collect()[0]
+        .s
+    )
+    duck = duckdb.connect()
+    want = duck.sql(
+        f"SELECT {sql_shingles('tokens', n)} AS s"
+        " FROM (SELECT $1::VARCHAR[] AS tokens)",
+        params=[tokens],
+    ).fetchone()[0]
+    assert got == want, (tokens, n, got, want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-10.0,
+            max_value=10.0,
+            allow_nan=False,
+            allow_infinity=False,
+            width=32,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_exact_dot_matches_duckdb(spark, vec):
+    """spark_dot_exact and sql_dot_exact agree to within 1 ulp on
+    arbitrary float vectors — the exact contract vectors.py documents
+    (the decimal SUM is bit-exact; only the final decimal→double
+    conversion may differ by one ulp between engines, which is why
+    every consumer rounds derived quantities to 8dp). Hypothesis
+    found the 1-ulp case ([2**-23]), so the bound is tight."""
+    import math
+
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+        sql_dot_exact,
+    )
+
+    got = (
+        spark.createDataFrame([(vec, vec)], "a array<float>, b array<float>")
+        .selectExpr(f"{spark_dot_exact('a', 'b')} AS d")
+        .collect()[0]
+        .d
+    )
+    duck = duckdb.connect()
+    want = duck.sql(
+        f"SELECT {sql_dot_exact('xa', 'xb')} AS d FROM ("
+        "  SELECT unnest($1::FLOAT[]) AS xa, unnest($2::FLOAT[]) AS xb)",
+        params=[vec, vec],
+    ).fetchone()[0]
+    assert abs(got - want) <= math.ulp(max(abs(got), abs(want), 1e-300)), (
+        vec,
+        got,
+        want,
+    )
