@@ -12,12 +12,17 @@ The design a 100 TB training-data pipeline needs:
   map, so the media table never shuffles; only extracted features
   (tiny) join onward.
 
-Real decode is STUBBED: this container ships no image/audio libs, so
-``decode_features`` uses a deterministic byte-level fake (documented
-below) and ``resize_image`` raises ``NotImplementedError`` unless
-PIL is importable. The Spark-side plumbing — schema, Arrow batch
-shape, UDF signatures, partition behavior — is real and tested
-(tests/test_multimodal.py).
+Decode reality, by format: this container ships no image/audio libs,
+so ``decode_features`` uses a deterministic byte-level fake
+(documented below) and ``resize_image`` raises
+``NotImplementedError`` unless PIL is importable — EXCEPT for the
+formats the standard library can parse outright: ``decode_wav_meta``
+(RIFF/PCM16) and ``decode_bmp_meta`` (uncompressed 24-bit BMP) at
+the bottom of this module are REAL decoders over real container
+bytes, tested against stdlib-generated files
+(tests/test_real_codecs.py). The Spark-side plumbing — schema, Arrow
+batch shape, UDF signatures, partition behavior — is real and tested
+everywhere (tests/test_multimodal.py).
 """
 
 from __future__ import annotations
@@ -232,3 +237,150 @@ def resize_image(media: DataFrame, width: int, height: int) -> DataFrame:
             "The mapInPandas harness is identical to decode_features."
         )
     raise NotImplementedError("real decode path not wired in this build")
+
+
+# ---------------------------------------------------------------------
+# REAL codecs — formats parseable with the standard library alone.
+#
+# PIL/ffmpeg are absent in this container (the documented seam), but
+# RIFF/WAV PCM and uncompressed BMP need nothing beyond ``struct``:
+# for these two formats the decode below is the real thing — real
+# container bytes in, real parsed audio/pixel statistics out — through
+# the same Arrow ``mapInPandas`` harness as the fake path, so it also
+# serves as the template for dropping in PIL/ffmpeg decoders later.
+# Malformed payloads yield a NULL-featured row with ``ok = 0`` (a
+# crawl-scale decode stage must quarantine bad media, not abort the
+# batch).
+
+WAV_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", StringType()),  # 6dp string: exact, portable
+    ]
+)
+
+BMP_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bpp", IntegerType()),
+        StructField("mean_lum", StringType()),  # 6dp string
+    ]
+)
+
+
+def decode_wav_meta(media: DataFrame) -> DataFrame:
+    """REAL WAV decode (RIFF + PCM16) via mapInPandas: header fields
+    plus the RMS amplitude of the samples — no audio libs, just
+    ``struct`` over the container format."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+        import struct
+
+        def one(doc_id: int, b: bytes) -> dict:
+            bad = {
+                "doc_id": doc_id, "ok": 0, "sample_rate": None,
+                "n_channels": None, "bits": None, "n_samples": None,
+                "duration_ms": None, "rms": None,
+            }
+            try:
+                if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                    return bad
+                pos, fmt, data = 12, None, None
+                while pos + 8 <= len(b):
+                    cid, size = b[pos:pos + 4], struct.unpack(
+                        "<I", b[pos + 4:pos + 8]
+                    )[0]
+                    body = b[pos + 8:pos + 8 + size]
+                    if cid == b"fmt ":
+                        fmt = struct.unpack("<HHIIHH", body[:16])
+                    elif cid == b"data":
+                        data = body
+                    pos += 8 + size + (size & 1)
+                if fmt is None or data is None or fmt[0] != 1:
+                    return bad  # PCM only
+                _, ch, rate, _, _, bits = fmt
+                if bits != 16 or ch < 1:
+                    return bad
+                n = len(data) // (2 * ch)
+                samples = struct.unpack(f"<{n * ch}h", data[: n * ch * 2])
+                rms = (
+                    math.sqrt(sum(s * s for s in samples) / len(samples))
+                    if samples
+                    else 0.0
+                )
+                return {
+                    "doc_id": doc_id, "ok": 1, "sample_rate": rate,
+                    "n_channels": ch, "bits": bits, "n_samples": n,
+                    "duration_ms": int(n * 1000 // rate),
+                    "rms": f"{rms:.6f}",
+                }
+            except Exception:
+                return bad
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(d, bytes(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            )
+
+    return media.mapInPandas(parse, WAV_META_SCHEMA)
+
+
+def decode_bmp_meta(media: DataFrame) -> DataFrame:
+    """REAL BMP decode (BITMAPINFOHEADER, uncompressed 24-bit) via
+    mapInPandas: dimensions plus mean luminance over the pixel rows
+    (honoring 4-byte row padding and bottom-up order)."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def one(doc_id: int, b: bytes) -> dict:
+            bad = {
+                "doc_id": doc_id, "ok": 0, "width": None,
+                "height": None, "bpp": None, "mean_lum": None,
+            }
+            try:
+                if b[:2] != b"BM":
+                    return bad
+                off = struct.unpack("<I", b[10:14])[0]
+                hsz, w, h, _, bpp, comp = struct.unpack(
+                    "<IiiHHI", b[14:34]
+                )
+                if hsz < 40 or bpp != 24 or comp != 0 or w <= 0:
+                    return bad
+                rows = abs(h)
+                stride = (w * 3 + 3) & ~3
+                total, npx = 0, 0
+                for r in range(rows):
+                    base = off + r * stride
+                    row = b[base:base + w * 3]
+                    if len(row) < w * 3:
+                        return bad
+                    # ITU-R 601 integer luma over BGR triples
+                    for i in range(0, w * 3, 3):
+                        bl, g, rd = row[i], row[i + 1], row[i + 2]
+                        total += 299 * rd + 587 * g + 114 * bl
+                        npx += 1
+                return {
+                    "doc_id": doc_id, "ok": 1, "width": w,
+                    "height": rows, "bpp": bpp,
+                    "mean_lum": f"{total / (npx * 1000):.6f}",
+                }
+            except Exception:
+                return bad
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(d, bytes(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            )
+
+    return media.mapInPandas(parse, BMP_META_SCHEMA)
