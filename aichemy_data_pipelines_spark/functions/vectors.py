@@ -52,22 +52,29 @@ _DECV = "decimal(18,12)"
 
 
 def spark_dot_exact(a: str, b: str) -> str:
-    # Two subtleties: (1) the merge lambda re-casts because Spark's
-    # decimal '+' widening would otherwise shrink the scale to 23 and
-    # break the fold type; (2) floats widen to double BEFORE the
-    # decimal cast — Spark's float→decimal goes through the float's
-    # 7-digit shortest string repr, which loses the low bits DuckDB's
-    # numeric conversion keeps.
-    # The scale-24 sum is exact; its double conversion can differ by
-    # one ulp between engines (mantissa > 2^53), so consumers must
-    # round derived quantities (e.g. cosine to 8dp). A mid-pipeline
-    # decimal rescale is NOT portable: DuckDB truncates, Spark rounds.
+    # Two subtleties: (1) the accumulator and merge re-cast sit at
+    # decimal(37,24) — the element-product type — because Spark's
+    # decimal '+' of (37,24)+(37,24) widens to (38,24) with NO
+    # rounding; a (38,24) accumulator instead widens (38,24)+(37,24)
+    # to (38,23), rounding every partial sum at scale 23 before the
+    # merge re-cast can run (≈5e-24 absolute drift per fold step —
+    # ~6,300 ulps on tiny inputs like [2**-24]). (2) floats widen to
+    # double BEFORE the decimal cast — Spark's float→decimal goes
+    # through the float's 7-digit shortest string repr, which loses
+    # the low bits DuckDB's numeric conversion keeps.
+    # With the (37,24) accumulator the fold keeps scale 24 at every
+    # step and is bit-equal to DuckDB's SUM(DECIMAL(36,24)); headroom
+    # |dot| < 10^13 covers every consumer. The final double
+    # conversion is one deterministic rounding shared by both
+    # engines, so consumers may still round derived quantities (e.g.
+    # cosine to 8dp) defensively. A mid-pipeline decimal rescale is
+    # NOT portable: DuckDB truncates, Spark rounds.
     return (
         f"cast(aggregate(zip_with({a}, {b}, "
         f"(x, y) -> cast(cast(x as double) as {_DECV}) "
         f"* cast(cast(y as double) as {_DECV})), "
-        f"cast(0 as decimal(38,24)), "
-        f"(acc, v) -> cast(acc + v as decimal(38,24))) as double)"
+        f"cast(0 as decimal(37,24)), "
+        f"(acc, v) -> cast(acc + v as decimal(37,24))) as double)"
     )
 
 
