@@ -29,7 +29,7 @@ def _suites():
         modules.append(timeseries)
     except ImportError:
         pass
-    for name in ("dedup", "similarity", "textops", "relational_ext", "clustering", "streaming_ops", "analytics_ext", "quality_ops", "sampling_ops", "ivf", "approx_ops", "corpus_ops", "vector_ops", "pii_ops", "pq", "sketch_ops", "substring_dedup", "ivfpq", "insights_ops", "export_ops", "ml_ops", "bpe_ops", "semdedup", "hash_embeddings", "overlap_ops", "tfidf_ops", "screens_ops", "dsir_ops", "chunking_ops", "lm_ops", "rag_ops", "tsstats_ops", "domain_ops", "gopher_ops"):
+    for name in ("dedup", "similarity", "textops", "relational_ext", "clustering", "streaming_ops", "analytics_ext", "quality_ops", "sampling_ops", "ivf", "approx_ops", "corpus_ops", "vector_ops", "pii_ops", "pq", "sketch_ops", "substring_dedup", "ivfpq", "insights_ops", "export_ops", "ml_ops", "bpe_ops", "semdedup", "hash_embeddings", "overlap_ops", "tfidf_ops", "screens_ops", "dsir_ops", "chunking_ops", "lm_ops", "rag_ops", "tsstats_ops", "domain_ops", "gopher_ops", "classifier_ops", "crossmodal_ops"):
         try:
             mod = __import__(
                 f"aichemy_data_pipelines_spark.operators.{name}", fromlist=[name]
@@ -67,14 +67,85 @@ def _suites():
 # the front as other queries get re-checked.
 
 
-def _source_hash(fn, oracle: str | None) -> str:
+_HELPER_PKG = "aichemy_data_pipelines_spark.functions"
+_helper_blob_cache: dict[str, str] = {}
+
+
+def _helper_sources(mod) -> str:
+    """Concatenated source of every ``functions/`` helper module the
+    operator module imports (directly, or via ``from x import y``) —
+    name-sorted so the blob is order-stable.
+
+    Why: round 9's fix to functions/vectors.py changed the behavior
+    of 16 queries but reset NO attestation stamp, because
+    _source_hash covered only the operator function body (r9 verdict
+    #2 — "a rewritten operator cannot hide behind a green row earned
+    by its old plan" failed one level down). Helper modules are the
+    shared expression-fragment layer (hashing/text/vectors/money/…):
+    a change there IS a change to every consumer's plan, so it must
+    reset their stamps. Granularity is the helper MODULE — helpers
+    are small, single-concern files that change rarely, so the reset
+    blast radius stays proportional to real behavior change, unlike
+    hashing whole operator modules (which would reset every query in
+    a file on any edit and flood the driver window).
+
+    Detection scans the module's SOURCE TEXT for the absolute helper
+    path (the repo's sole import style — scanning module globals
+    would miss function-local imports and plain-constant imports like
+    SPARK_TOKENS, which carry no __module__), and closes transitively
+    so a helper importing another helper still resets end consumers.
+    """
+    import importlib
+    import inspect
+    import re
+
+    if mod is None:
+        return ""
+    key = getattr(mod, "__name__", "")
+    cached = _helper_blob_cache.get(key)
+    if cached is not None:
+        return cached
+    try:
+        pending = set(
+            re.findall(
+                r"aichemy_data_pipelines_spark\.functions\.(\w+)",
+                inspect.getsource(mod),
+            )
+        )
+    except (OSError, TypeError):  # pragma: no cover - source on disk
+        pending = set()
+    sources: dict[str, str] = {}
+    while pending:
+        name = pending.pop()
+        if name in sources:
+            continue
+        try:
+            src = inspect.getsource(
+                importlib.import_module(f"{_HELPER_PKG}.{name}")
+            )
+        except Exception:  # pragma: no cover - helper always importable
+            src = name
+        sources[name] = src
+        pending.update(
+            re.findall(
+                r"aichemy_data_pipelines_spark\.functions\.(\w+)", src
+            )
+        )
+    blob = "\x00".join(sources[n] for n in sorted(sources))
+    _helper_blob_cache[key] = blob
+    return blob
+
+
+def _source_hash(fn, oracle: str | None, helpers: str | None = None) -> str:
     """Stable stamp of one query's behavior-relevant source: the
-    operator function's text + its oracle SQL. Helper/module changes
-    outside the function body are covered by the local oracle-parity
-    gate instead — hashing whole modules would reset every query in a
-    file on any edit and flood the driver window."""
+    operator function's text + its oracle SQL + the source of the
+    ``functions/`` helper modules its module imports (the shared
+    expression-fragment layer — see _helper_sources for why). Other
+    module-level changes outside the function body are covered by the
+    local oracle-parity gate instead."""
     import hashlib
     import inspect
+    import sys as _sys
 
     try:
         src = inspect.getsource(fn)
@@ -83,8 +154,12 @@ def _source_hash(fn, oracle: str | None) -> str:
         # address, which would mismatch the stamp every process and
         # pin such a query to the front of the window (r07 ADVICE)
         src = f"{getattr(fn, '__module__', '?')}.{getattr(fn, '__qualname__', repr(type(fn)))}"
+    if helpers is None:
+        helpers = _helper_sources(
+            _sys.modules.get(getattr(fn, "__module__", ""))
+        )
     return hashlib.sha256(
-        (src + "\x00" + (oracle or "")).encode()
+        (src + "\x00" + (oracle or "") + "\x00" + helpers).encode()
     ).hexdigest()
 
 

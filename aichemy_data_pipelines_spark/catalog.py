@@ -97,6 +97,41 @@ def share_table_scan(
     return df
 
 
+def share_frame(
+    spark: SparkSession, df: DataFrame, sf_dir: str, gate_table: str
+) -> DataFrame:
+    """Persist a DERIVED frame that a query is about to evaluate more
+    than once (r8/r9 verdict: corpus_perplexity_buckets re-ran the
+    whole tokenize→explode→LM-join chain for the cutoff aggregate AND
+    the final bucketing join), gated by the same footer-size
+    condition as share_table_scan: the recompute only costs real I/O
+    when ``gate_table``'s input is big enough that the OS page cache
+    isn't already absorbing the re-scan. Below the threshold the raw
+    re-evaluation is the measured faster path; above it, one
+    evaluation + a (typically tiny, post-aggregation) cached frame
+    beats two full chains over remote storage.
+
+    Unlike share_table_scan this caches the frame the CALLER built,
+    not a table scan — use it when the expensive part is compute
+    (explodes, joins) rather than the scan itself.
+    """
+    from pyspark import StorageLevel
+
+    min_bytes = int(
+        spark.conf.get(
+            SHARE_SCAN_MIN_BYTES, str(DEFAULT_SHARE_SCAN_MIN_BYTES)
+        )
+    )
+    gate = load_table(spark, sf_dir, gate_table)
+    size = int(
+        gate._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    if size < min_bytes:
+        return df
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")

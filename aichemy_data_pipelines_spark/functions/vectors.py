@@ -44,8 +44,11 @@ def cosine(a: str, b: str, alias: str | None = None) -> Column:
 #
 # float * float widened to double is EXACT (24+24 mantissa bits < 53),
 # so only the summation ORDER introduces engine-dependent rounding.
-# Summing in DECIMAL(38,24) is exact and order-independent; the final
-# cast to double is one deterministic rounding. Both engines therefore
+# Accumulating at DECIMAL(37,24) — each '+' widens (37,24)+(37,24) →
+# (38,24) with no rounding, see spark_dot_exact — is exact and
+# order-independent up to |partial sum| < 10^13 (tested headroom:
+# tests/test_properties.py::test_exact_dot_headroom); the final cast
+# to double is one deterministic rounding. Both engines therefore
 # produce bit-identical cosines.
 
 _DECV = "decimal(18,12)"
@@ -64,7 +67,13 @@ def spark_dot_exact(a: str, b: str) -> str:
     # the low bits DuckDB's numeric conversion keeps.
     # With the (37,24) accumulator the fold keeps scale 24 at every
     # step and is bit-equal to DuckDB's SUM(DECIMAL(36,24)); headroom
-    # |dot| < 10^13 covers every consumer. The final double
+    # |partial sum| < 10^13 covers every consumer (unit-norm-ish
+    # embeddings: |dot| <= dim * max|x|^2, e.g. dim 4096 at |x| <= 10^4
+    # is 4*10^11). Beyond it Spark fails LOUD — ANSI (the session
+    # default) raises NUMERIC_VALUE_OUT_OF_RANGE, non-ANSI yields NULL
+    # — never a silently wrong value, while DuckDB's (38,24) SUM keeps
+    # one more decade (pinned: tests/test_properties.py::
+    # test_exact_dot_headroom). The final double
     # conversion is one deterministic rounding shared by both
     # engines, so consumers may still round derived quantities (e.g.
     # cosine to 8dp) defensively. A mid-pipeline decimal rescale is

@@ -139,15 +139,31 @@ def docs_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # A token-less doc (n_words = 0) makes the three word-normalized
+    # metrics NULL (divide-by-zero), and a NULL flag would silently
+    # KEEP the doc for a consumer filtering pass_gopher = 0 — the
+    # opposite of the suite's fail-closed convention (cf.
+    # screens_ops.py): what a screen cannot score, it FAILS. coalesce
+    # to false on the Spark side; the oracle's CASE WHEN NULL falls
+    # to ELSE 0 already, so the engines stay in lockstep (pinned by
+    # the crafted empty-doc test in tests/test_gopher_ops.py). The
+    # metric columns themselves stay NULL in both engines — honest
+    # "unscoreable", only the verdict fails closed.
     flags = {
         "pass_words": (F.col("n_words") >= _MIN_WORDS)
         & (F.col("n_words") <= _MAX_WORDS),
-        "pass_word_len": (F.col("mwl_raw") >= _MIN_MWL)
-        & (F.col("mwl_raw") <= _MAX_MWL),
-        "pass_symbols": F.col("sym_raw") <= _MAX_SYMBOL_RATIO,
+        "pass_word_len": F.coalesce(
+            (F.col("mwl_raw") >= _MIN_MWL) & (F.col("mwl_raw") <= _MAX_MWL),
+            F.lit(False),
+        ),
+        "pass_symbols": F.coalesce(
+            F.col("sym_raw") <= _MAX_SYMBOL_RATIO, F.lit(False)
+        ),
         "pass_bullets": F.col("bullet_raw") <= _MAX_BULLET_FRAC,
         "pass_ellipsis": F.col("ellipsis_raw") <= _MAX_ELLIPSIS_FRAC,
-        "pass_alpha": F.col("alpha_raw") >= _MIN_ALPHA_FRAC,
+        "pass_alpha": F.coalesce(
+            F.col("alpha_raw") >= _MIN_ALPHA_FRAC, F.lit(False)
+        ),
         "pass_stops": F.col("n_stop_hits") >= _MIN_STOP_HITS,
     }
     n_fail = sum(

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from aichemy_data_pipelines_spark.catalog import load_table
+from aichemy_data_pipelines_spark.catalog import load_table, share_frame
 from aichemy_data_pipelines_spark.functions.hashing import (
     spark_hash64,
     sql_hash64,
@@ -159,10 +159,20 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang total sort) would be a corpus-wide sort per language —
     deliberately avoided. Cutoffs and ppl are both 6-dp-rounded so
     the boundary comparison is engine-exact.
+
+    The scored chain ``j`` feeds BOTH the cutoff aggregate and the
+    final bucketing join; left lazy, the full tokenize → pair-explode
+    → LM-join chain over ``documents.text`` would run twice per query
+    (r8/r9 verdict #1) — 2× the single most expensive scan at 100 TB.
+    share_frame persists the (doc_id, lang, ppl) result — tiny, three
+    columns per doc — behind the same footer-size condition as the
+    capstones' shared scan, so one perplexity subtree is evaluated
+    (plan-asserted in tests/test_plans.py) while page-cache-sized test
+    inputs keep the measured-faster raw path.
     """
     p = corpus_bigram_perplexity(spark, sf_dir).select("doc_id", "ppl")
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    j = p.join(d, "doc_id")
+    j = share_frame(spark, p.join(d, "doc_id"), sf_dir, "documents")
     cuts = j.groupBy("lang").agg(
         F.round(F.expr("percentile(ppl, cast(1 as double)/3)"), 6).alias(
             "c1"

@@ -93,10 +93,12 @@ def image_ahash(media: DataFrame) -> DataFrame:
     )
 
 
-def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup audit over the image subset: per
-    image, its aHash and how many OTHER images sit within Hamming
-    distance 3 — the image leg of the dedup stack.
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b) image near-dup candidate pairs (hamming <= 3
+    over the aHash) — the pair-level core of multimodal_image_phash,
+    exposed separately so the cross-modal dedup composition
+    (operators/crossmodal_ops.py) joins the SAME pair set the phash
+    audit counts, never a reimplementation.
 
     Plan shape (same as dedup_minhash_lsh): hash is a pure map; the
     pair search is a BAND equi-join, never all-pairs — the 32-bit
@@ -142,6 +144,18 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
+    return pairs
+
+
+def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup audit over the image subset: per
+    image, its aHash and how many OTHER images sit within Hamming
+    distance 3 — the image leg of the dedup stack. Pair generation
+    (banding, recall guarantee, scale notes) lives in
+    image_phash_pairs; this wraps it into the per-image count view.
+    """
+    h = image_ahash(synthetic_media(spark, sf_dir))
+    pairs = image_phash_pairs(spark, sf_dir)
     touch = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
@@ -282,26 +296,12 @@ def _sql_intensity(idx: str) -> str:
     )
 
 
-ORACLE = {
-    "multimodal_scene_cuts": f"""
-        WITH vid AS (
-            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
-        ), pairs AS (
-            SELECT doc_id,
-                   CAST(i AS INTEGER) AS frame_idx,
-                   CAST({_sql_intensity('i')} AS BIGINT) AS intensity,
-                   CAST({_sql_intensity('i - 1')} AS BIGINT)
-                     AS prev_intensity
-            FROM vid, unnest(range(1, {_N_FRAMES})) AS t(i)
-        )
-        SELECT doc_id, frame_idx, intensity,
-               CAST(abs(intensity - prev_intensity) AS BIGINT) AS delta,
-               abs(intensity - prev_intensity) > {_CUT_THRESHOLD}
-                 AS is_cut
-        FROM pairs
-    """,
-    "multimodal_image_phash": f"""
-        WITH img AS (
+# Shared CTE prefix ending in close_pairs(doc_a, doc_b) — the image
+# near-dup pair set. Used by the multimodal_image_phash oracle AND
+# nested by operators/crossmodal_ops.py, so the two oracles can never
+# disagree about what an image near-dup pair is (the SQL twin of the
+# image_phash_pairs extraction on the Spark side).
+SQL_PHASH_PAIR_CTES = f"""img AS (
             SELECT doc_id,
                    list_transform(range(0, 32),
                        i -> ('0x' || substr({_HEX}, i * 2 + 1, 2))::BIGINT)
@@ -328,7 +328,28 @@ ORACLE = {
         ), close_pairs AS (
             SELECT doc_a, doc_b FROM pairs
             WHERE bit_count(xor(ha, hb)) <= {_PHASH_MAX_HAMMING}
-        ), touch AS (
+        )"""
+
+ORACLE = {
+    "multimodal_scene_cuts": f"""
+        WITH vid AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2
+        ), pairs AS (
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS frame_idx,
+                   CAST({_sql_intensity('i')} AS BIGINT) AS intensity,
+                   CAST({_sql_intensity('i - 1')} AS BIGINT)
+                     AS prev_intensity
+            FROM vid, unnest(range(1, {_N_FRAMES})) AS t(i)
+        )
+        SELECT doc_id, frame_idx, intensity,
+               CAST(abs(intensity - prev_intensity) AS BIGINT) AS delta,
+               abs(intensity - prev_intensity) > {_CUT_THRESHOLD}
+                 AS is_cut
+        FROM pairs
+    """,
+    "multimodal_image_phash": f"""
+        WITH {SQL_PHASH_PAIR_CTES}, touch AS (
             SELECT doc_a AS doc_id FROM close_pairs
             UNION ALL
             SELECT doc_b AS doc_id FROM close_pairs

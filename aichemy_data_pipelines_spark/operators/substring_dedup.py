@@ -111,3 +111,153 @@ ORACLE = {
         HAVING COUNT(*) >= {_MIN_SHARED}
     """,
 }
+
+
+# -- Remove-span variant (Lee et al. 2022 §4: dedup by DELETING the
+# duplicated span and keeping the cleaned document, not by dropping
+# whole documents or merely reporting pairs) --------------------------
+#
+# Distributed re-expression: the document is TILED into fixed
+# non-overlapping _TILE-token spans; a full tile whose hash occurs
+# anywhere else in the corpus is removed unless this occurrence is
+# the corpus-wide canonical first (lowest (doc_id, tile_idx)) — the
+# keep-one convention of dedup_keep_one lifted from documents to
+# spans. The trailing partial tile (< _TILE tokens) is never a
+# removal candidate: too short to be duplicate EVIDENCE at the
+# threshold, same reason dedup_exact_substring windows require _WIN
+# tokens.
+#
+# Canonical selection uses min-aggregate over an ENCODED position key
+# (doc_id * 2^20 + tile_idx — tile_idx < 2^20 holds to 12M-token
+# docs), NOT a row_number window: groupBy-min partially aggregates
+# map-side, so a boilerplate tile shared by millions of docs reduces
+# to one (h, min_key) row per partition before the shuffle — the
+# window formulation would sort the whole hot key in one task.
+
+_TILE = _WIN  # reuse the 12-token evidence threshold
+_POS_SHIFT = 1 << 20
+
+
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-removal report with the cleaned text's
+    fingerprint: (doc_id, n_tiles, n_removed, removed_frac,
+    clean_n_tokens, clean_fp).
+
+    clean_fp = md5 of the kept tiles re-joined in order (token-space
+    text, the same normalization every dedup operator shares) — the
+    VALUE check that the reconstruction is identical across engines
+    without shipping the full cleaned corpus through the driver
+    compare; a writer would emit the clean text column itself.
+    """
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .transform(spread_small_input)
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("toks"))
+    )
+    tiles = (
+        tok.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.expr(
+                    f"sequence(0, cast(ceil(size(toks) / {_TILE}.0)"
+                    " as bigint) - 1)"
+                )
+            ).alias("tile_idx"),
+        )
+        .select(
+            "doc_id",
+            "tile_idx",
+            F.expr(
+                f"concat_ws(' ', slice(toks, tile_idx * {_TILE} + 1, {_TILE}))"
+            ).alias("tile_text"),
+            F.expr(
+                f"size(slice(toks, tile_idx * {_TILE} + 1, {_TILE}))"
+            ).alias("n_toks"),
+            F.expr(
+                f"(tile_idx + 1) * {_TILE} <= size(toks)"
+            ).alias("is_full"),
+        )
+        .withColumn("pos_key", F.expr(f"doc_id * {_POS_SHIFT} + tile_idx"))
+    )
+    full = tiles.where("is_full").withColumn(
+        "h", F.expr(spark_hash64("tile_text"))
+    )
+    canon = full.groupBy("h").agg(F.min("pos_key").alias("canon_key"))
+    marked = full.join(canon, "h").withColumn(
+        "removed", F.col("pos_key") != F.col("canon_key")
+    )
+    merged = marked.select(
+        "doc_id", "tile_idx", "tile_text", "n_toks", "removed"
+    ).unionByName(
+        tiles.where(~F.col("is_full")).select(
+            "doc_id",
+            "tile_idx",
+            "tile_text",
+            "n_toks",
+            F.lit(False).alias("removed"),
+        )
+    )
+    return merged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tiles"),
+        F.sum(F.col("removed").cast("long")).alias("n_removed"),
+        F.round(
+            F.sum(F.col("removed").cast("double")) / F.count("*"), 6
+        ).alias("removed_frac"),
+        F.sum(
+            F.when(~F.col("removed"), F.col("n_toks")).otherwise(0)
+        )
+        .cast("long")
+        .alias("clean_n_tokens"),
+        F.expr(
+            "md5(array_join(transform(array_sort(collect_list("
+            "case when not removed then struct(tile_idx, tile_text) end)),"
+            " s -> s.tile_text), ' '))"
+        ).alias("clean_fp"),
+    )
+
+
+QUERIES["dedup_remove_spans"] = dedup_remove_spans
+
+ORACLE["dedup_remove_spans"] = f"""
+    WITH tok AS (
+        SELECT doc_id, {SQL_TOKENS} AS toks FROM documents
+    ), tiles AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS tile_idx,
+               array_to_string(toks[i * {_TILE} + 1 : (i + 1) * {_TILE}],
+                               ' ') AS tile_text,
+               len(toks[i * {_TILE} + 1 : (i + 1) * {_TILE}]) AS n_toks,
+               (i + 1) * {_TILE} <= len(toks) AS is_full,
+               doc_id * {_POS_SHIFT} + i AS pos_key
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / {_TILE}.0)
+                                        AS BIGINT))) AS i
+            FROM tok
+        )
+    ), full_tiles AS (
+        SELECT *, {sql_hash64('tile_text')} AS h FROM tiles WHERE is_full
+    ), canon AS (
+        SELECT h, MIN(pos_key) AS canon_key FROM full_tiles GROUP BY h
+    ), merged AS (
+        SELECT f.doc_id, f.tile_idx, f.tile_text, f.n_toks,
+               f.pos_key <> c.canon_key AS removed
+        FROM full_tiles f JOIN canon c USING (h)
+        UNION ALL
+        SELECT doc_id, tile_idx, tile_text, n_toks, false AS removed
+        FROM tiles WHERE NOT is_full
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           round(SUM(CASE WHEN removed THEN 1.0 ELSE 0.0 END) / COUNT(*),
+                 6) AS removed_frac,
+           CAST(SUM(CASE WHEN removed THEN 0 ELSE n_toks END) AS BIGINT)
+             AS clean_n_tokens,
+           md5(COALESCE(string_agg(CASE WHEN NOT removed THEN tile_text END,
+                                   ' ' ORDER BY tile_idx), ''))
+             AS clean_fp
+    FROM merged GROUP BY doc_id
+"""

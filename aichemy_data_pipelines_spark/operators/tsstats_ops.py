@@ -290,8 +290,13 @@ ORACLE = {
                      AS syy
             FROM pairs GROUP BY 1, 2
         ), v AS (
-            -- overflow-safe moments: decimal products (exact to
-            -- 10^38), mirroring the Spark side bit-for-bit
+            -- overflow-safe moments, mirroring the Spark side
+            -- bit-for-bit. Same safe domain as the Spark comment on
+            -- the _var casts: a DECIMAL(38) product cannot carry both
+            -- factors at full width, so exactness holds for np <= 10^8
+            -- pairs and moment sums <= 10^30; beyond that Spark's
+            -- narrowing cast NULLs where DuckDB raises — both far past
+            -- any real grid (10^8 days ~ 270k years)
             SELECT event_type, lag, np,
                    CAST(np AS DECIMAL(8,0)) * CAST(sxx AS DECIMAL(30,0))
                      - CAST(sx AS DECIMAL(19,0)) * CAST(sx AS DECIMAL(19,0))

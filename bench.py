@@ -146,13 +146,33 @@ def main() -> None:
     ) ** 0.5 if n_passes > 1 else 0.0
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    total = round(sum(timings.values()), 3)
+    # Canary normalization (r8 verdict #6): cross-round totals move
+    # ±30% with rig noise alone (BASELINE.md variance table). q6 (pure
+    # scan+agg, plan untouched since r01) and q1 (scan-heavy, likewise
+    # frozen) are rig canaries: dividing the total by each cancels the
+    # rig's common-mode speed, so a cross-round ratio change signals a
+    # real plan change, not a quieter machine. Interpretation rule in
+    # BASELINE.md.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "canary_q6_sec": timings.get("q6_revenue_forecast"),
+                "canary_q1_sec": timings.get("q1_pricing_summary"),
+                "total_per_q6": round(
+                    total / timings["q6_revenue_forecast"], 3
+                )
+                if timings.get("q6_revenue_forecast")
+                else None,
+                "total_per_q1": round(
+                    total / timings["q1_pricing_summary"], 3
+                )
+                if timings.get("q1_pricing_summary")
+                else None,
                 "protocol": f"per-query min of {n_passes} passes",
                 "single_pass_total_first": pass_totals[0],
                 "single_pass_totals": pass_totals,

@@ -5,6 +5,19 @@ import sys
 
 import pytest
 
+try:  # derandomize hypothesis suite-wide (r8 verdict #2): the gate
+    # must produce the SAME pass/fail set every run — two rounds ended
+    # red on sampling luck. conftest loads before test modules, so
+    # per-test @settings inherit derandomize=True for any field they
+    # don't override. Known counterexamples are pinned with @example
+    # in the tests themselves, so determinism costs no regressions.
+    from hypothesis import settings as _hyp_settings
+
+    _hyp_settings.register_profile("derandomized", derandomize=True)
+    _hyp_settings.load_profile("derandomized")
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aichemy_data_pipelines_spark.session import get_spark

@@ -1,0 +1,69 @@
+"""operators/classifier_ops.py: the trained quality student must
+genuinely LEARN its teacher (not collapse to the base rate) and obey
+the fixed-depth plan contract. Oracle value-parity at sf0.01 runs via
+tests/test_oracle_parity.py like every other query."""
+
+from __future__ import annotations
+
+from aichemy_data_pipelines_spark.operators.classifier_ops import (
+    _K,
+    docs_quality_classifier,
+)
+from tests.conftest import SF_SMOKE, SF_ORACLE
+
+
+def test_classifier_learns_past_base_rate(spark):
+    """At sf0.01 the student must beat predicting the majority class
+    AND emit BOTH classes — an all-one/all-zero model (the degenerate
+    failure of a bad lr/step choice) fails here even though it would
+    still hash-match its own oracle."""
+    rows = docs_quality_classifier(spark, SF_ORACLE).collect()
+    assert len(rows) == 500
+    pos = sum(r.label for r in rows)
+    base = max(pos, len(rows) - pos) / len(rows)
+    acc = sum(1 for r in rows if r.pred == r.label) / len(rows)
+    assert acc > base + 0.05, f"acc {acc} vs base rate {base}"
+    preds = {r.pred for r in rows}
+    assert preds == {0, 1}, f"degenerate predictions: {preds}"
+    assert all(0.0 <= r.score <= 1.0 for r in rows)
+
+
+def test_classifier_plan_is_flat(spark):
+    """The training loop must NOT lazy-chain weights through the
+    plan: chaining doubles the logical plan per step (measured 380
+    parquet scans at 6 steps). With persisted features + driver-held
+    literal weights, the RETURNED plan contains exactly the two
+    feature derivations (score join + label spine) regardless of
+    _STEPS."""
+    df = docs_quality_classifier(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("Scan parquet")
+    assert n_scans <= 2, f"{n_scans} parquet scans — lineage blowup"
+    assert len(plan) < 100_000, "plan size blowup"
+    spark.catalog.clearCache()
+
+
+def test_classifier_weight_update_is_exact_decimal():
+    """The driver-side w − LR·g update must be exact Decimal — a
+    float update would drift from the oracle's in-SQL decimal
+    arithmetic after a few steps."""
+    from decimal import Decimal
+
+    w = Decimal(0)
+    g = Decimal("0.000000123")
+    assert w - 8 * g == Decimal("-0.000000984")
+    # scale is preserved (no float contamination)
+    assert (w - 8 * g).as_tuple().exponent == -9
+
+
+def test_feature_space_is_bounded(spark):
+    """Feature j ranges over exactly [0, _K+1]: _K hashed buckets +
+    length + bias — the gradient aggregate is bounded regardless of
+    corpus size."""
+    from aichemy_data_pipelines_spark.operators.classifier_ops import (
+        _features,
+    )
+
+    js = {r.j for r in _features(spark, SF_SMOKE).select("j").distinct().collect()}
+    assert js <= set(range(_K + 2))
+    assert _K in js and _K + 1 in js  # dense features always present

@@ -231,3 +231,29 @@ def test_attestation_order_resets_on_source_change(tmp_path):
         current_hashes={"rewritten": "NEW", "restamped": "H2", "steady": "H3"},
     )
     assert order == ["restamped", "rewritten", "steady"]
+
+
+def test_helper_module_edit_resets_consumer_stamps():
+    """r9 verdict #2: the attestation stamp must SEE changes to the
+    shared ``functions/`` expression layer — the round-9 vectors.py
+    fix changed 16 queries' behavior but reset no stamp. Pins that
+    (a) a dot-exact consumer's stamp input includes the vectors
+    helper source, (b) a tokenizer consumer's includes text.py even
+    though it imports only string CONSTANTS (no __module__ to scan),
+    (c) perturbing the helper blob changes the hash, and (d) the
+    default hashing path resolves the same blob the explicit one
+    does."""
+    import __spark_entry__ as e
+    from aichemy_data_pipelines_spark.operators import gopher_ops, similarity
+
+    vec_blob = e._helper_sources(similarity)
+    assert "def spark_dot_exact" in vec_blob
+    tok_blob = e._helper_sources(gopher_ops)
+    assert "SPARK_TOKENS" in tok_blob
+    fn = similarity.QUERIES["ann_cosine_topk"]
+    h_now = e._source_hash(fn, "SELECT 1")
+    assert h_now == e._source_hash(fn, "SELECT 1", helpers=vec_blob)
+    h_edited = e._source_hash(
+        fn, "SELECT 1", helpers=vec_blob + "# helper edited"
+    )
+    assert h_now != h_edited

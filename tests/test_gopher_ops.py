@@ -104,3 +104,44 @@ def test_mean_word_length_bounds(spark, tmp_path):
     )
     assert got[1].pass_word_len == 0
     assert got[2].pass_word_len == 0
+
+
+def test_empty_document_fails_closed_in_both_engines(spark, tmp_path):
+    """r8 verdict #5 / r9 carried nit: a consumer filtering
+    ``pass_gopher = 0`` must DROP an unscoreable document, never
+    silently keep it. Empty / whitespace-only text tokenizes to [""]
+    (split never returns an empty array, so the n_words = 0
+    divide-by-zero is unreachable through SPARK_TOKENS — the flag
+    coalesce in gopher_ops guards the contract if the tokenizer ever
+    filters empties): every rule row is complete and non-NULL, the
+    word-statistics rules FAIL, and Spark and DuckDB agree on the
+    full row, so hash parity holds with the guard in place."""
+    import duckdb
+
+    from aichemy_data_pipelines_spark.operators.gopher_ops import ORACLE
+
+    rows = [
+        (1, "", "en", "a", 0),
+        (2, "\n \n", "en", "a", 3),
+        (3, _GOOD, "en", "a", len(_GOOD)),
+    ]
+    sf = _write_docs(spark, tmp_path, rows)
+    df = docs_gopher_quality(spark, sf).orderBy("doc_id")
+    got = df.collect()
+    for r in got[:2]:
+        # complete row: no NULL flags anywhere
+        assert None not in tuple(r), r
+        assert r.pass_words == 0
+        assert r.pass_word_len == 0  # mwl 0 < 3
+        assert r.pass_alpha == 0
+        assert r.pass_gopher == 0
+    assert got[2].pass_gopher == 1
+    duck = duckdb.connect()
+    duck.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = duck.sql(
+        f"SELECT * FROM ({ORACLE['docs_gopher_quality']}) ORDER BY doc_id"
+    ).fetchall()
+    assert [tuple(r) for r in got] == [tuple(w) for w in want]

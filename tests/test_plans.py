@@ -426,6 +426,9 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         ("docs_gopher_quality", 0),  # map-only: per-row lambdas, no agg
         ("decontam_embedding", 3),  # eval broadcast + spread + vec_id agg
         ("corpus_perplexity_buckets", 10),  # ppl chain + lang-cuts broadcast
+        ("docs_quality_classifier", 3),  # feat agg + w broadcast + score agg
+        ("dedup_cross_modal", 9),  # both member pair plans + outer join
+        ("dedup_remove_spans", 6),  # tile hash agg + canon join + doc agg
     ],
 )
 def test_round6_remaining_shuffle_budget(spark, name, budget):
@@ -486,6 +489,56 @@ def test_capstones_skip_cache_below_size_threshold(spark, qname):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "InMemoryRelation" not in plan, (
             f"{qname}: cached a page-cache-sized documents scan"
+        )
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_perplexity_buckets_share_one_scored_chain(spark):
+    """r8/r9 verdict #1: the scored (doc_id, lang, ppl) chain feeds
+    BOTH the per-language cutoff aggregate and the final bucketing
+    join; left lazy, the tokenize → pair-explode → LM-join chain over
+    documents.text evaluates twice per query. With sharing forced
+    (threshold 0), the optimized plan's only leaves must be the
+    cached scored frame — zero raw documents scans — i.e. ONE
+    perplexity subtree, evaluated on cache fill."""
+    from aichemy_data_pipelines_spark.operators import lm_ops
+
+    spark.conf.set("spark.graft.shareScan.minInputBytes", "0")
+    try:
+        df = lm_ops.corpus_perplexity_buckets(spark, SF_SMOKE)
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        n_cached, n_raw_docs = 0, 0
+        for i in range(leaves.size()):
+            leaf = leaves.apply(i)
+            cls = leaf.getClass().getSimpleName()
+            if cls == "InMemoryRelation":
+                n_cached += 1
+            elif "documents" in leaf.toString():
+                n_raw_docs += 1
+        assert n_raw_docs == 0, f"{n_raw_docs} uncached documents chains"
+        assert n_cached == 2, (
+            "both consumers (cutoffs + bucketing) must read the cached"
+            f" scored chain, saw {n_cached}"
+        )
+        # and the cached plan itself is the single perplexity subtree
+    finally:
+        spark.conf.unset("spark.graft.shareScan.minInputBytes")
+        spark.catalog.clearCache()
+
+
+def test_perplexity_buckets_skip_cache_below_size_threshold(spark):
+    """Below the footer-size threshold (the default at test SF) the
+    raw double evaluation is the measured-faster path (page cache
+    absorbs the re-scan) — the share must NOT engage, same policy as
+    the capstones' shared documents scan."""
+    from aichemy_data_pipelines_spark.operators import lm_ops
+
+    try:
+        df = lm_ops.corpus_perplexity_buckets(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in plan, (
+            "cached a page-cache-sized scored chain"
         )
     finally:
         spark.catalog.clearCache()

@@ -4,6 +4,14 @@ tables.
 
 Few examples + session-scoped Spark keep runtime sane; each example
 round-trips generated data through BOTH engines.
+
+Determinism: tests/conftest.py loads a ``derandomize=True`` profile,
+so every run draws the SAME example sequence — the suite can't flip
+pass/fail on sampling luck (r8 verdict #2). The trade is that random
+re-exploration stops, so (a) ``max_examples`` is raised on the cheap
+cross-engine primitives to keep coverage, and (b) every
+counterexample hypothesis ever found is pinned with ``@example`` so
+it is re-exercised forever regardless of generation.
 """
 
 from __future__ import annotations
@@ -11,7 +19,7 @@ from __future__ import annotations
 from decimal import Decimal
 
 import duckdb
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 
@@ -28,7 +36,7 @@ TOKENS = st.text(
 
 
 @settings(
-    max_examples=8,
+    max_examples=24,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -55,7 +63,7 @@ def test_money_sum_matches_exact_decimal(spark, values):
 
 
 @settings(
-    max_examples=8,
+    max_examples=24,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -210,7 +218,7 @@ _SUFFIXES = st.sampled_from(
 
 
 @settings(
-    max_examples=16,
+    max_examples=48,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -254,7 +262,7 @@ _TEXTS = st.text(
 
 
 @settings(
-    max_examples=16,
+    max_examples=48,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -283,7 +291,7 @@ def test_tokenizer_matches_duckdb(spark, text):
 
 
 @settings(
-    max_examples=10,
+    max_examples=32,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -323,7 +331,7 @@ def test_shingles_match_duckdb(spark, tokens, n):
 
 
 @settings(
-    max_examples=10,
+    max_examples=32,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -340,13 +348,20 @@ def test_shingles_match_duckdb(spark, tokens, n):
         max_size=16,
     )
 )
+@example([2.0 ** -24])
+@example([2.0 ** -23])
 def test_exact_dot_matches_duckdb(spark, vec):
     """spark_dot_exact and sql_dot_exact agree to within 1 ulp on
     arbitrary float vectors — the exact contract vectors.py documents
-    (the decimal SUM is bit-exact; only the final decimal→double
-    conversion may differ by one ulp between engines, which is why
-    every consumer rounds derived quantities to 8dp). Hypothesis
-    found the 1-ulp case ([2**-23]), so the bound is tight."""
+    (the decimal(37,24) fold is bit-exact and order-independent; only
+    the final decimal→double conversion may differ by one ulp between
+    engines, which is why every consumer rounds derived quantities to
+    8dp). Pinned regressions: [2**-24] — under the pre-r09 (38,24)
+    accumulator Spark's decimal '+' widened (38,24)+(37,24)→(38,23),
+    rounding every partial sum and drifting ~6,300 ulps off DuckDB
+    (fixed by accumulating at (37,24), vectors.py:54-78); [2**-23] —
+    the surviving legitimate 1-ulp final-conversion case, so the ulp
+    bound is tight, not slack."""
     import math
 
     from aichemy_data_pipelines_spark.functions.vectors import (
@@ -371,3 +386,50 @@ def test_exact_dot_matches_duckdb(spark, vec):
         got,
         want,
     )
+
+
+def test_exact_dot_headroom(spark):
+    """The (37,24) accumulator's documented headroom (vectors.py):
+    |partial sum| just INSIDE 10^13 is bit-exact in BOTH engines;
+    just BEYOND it Spark fails LOUD — ANSI mode (the session default)
+    raises NUMERIC_VALUE_OUT_OF_RANGE, non-ANSI yields NULL — never a
+    silently wrong value, while DuckDB's one-decade-wider (38,24) SUM
+    still succeeds. Pins the r9 ADVICE ask: the bound is enforced by
+    observable behavior, not just a comment."""
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+        sql_dot_exact,
+    )
+
+    under = [1e5] * 999  # dot = 9.99e12 < 1e13 (1e5 and 1e10 exact)
+    over = [1e5] * 1001  # dot = 1.001e13 > 1e13
+
+    def spark_dot(vec):
+        df = spark.createDataFrame(
+            [(vec, vec)], "a array<float>, b array<float>"
+        )
+        return df.selectExpr(f"{spark_dot_exact('a', 'b')} AS d").collect()[
+            0
+        ].d
+
+    assert spark_dot(under) == 9.99e12
+    duck = duckdb.connect()
+
+    def duck_dot(vec):
+        return duck.sql(
+            f"SELECT {sql_dot_exact('xa', 'xb')} AS d FROM ("
+            "  SELECT unnest($1::FLOAT[]) AS xa, unnest($2::FLOAT[]) AS xb)",
+            params=[vec, vec],
+        ).fetchone()[0]
+
+    assert duck_dot(under) == 9.99e12
+    assert duck_dot(over) == 1.001e13  # DuckDB keeps going
+    try:
+        got = spark_dot(over)
+    except Exception:
+        pass  # ANSI: NUMERIC_VALUE_OUT_OF_RANGE — the loud failure
+    else:
+        assert got is None, (
+            "over-headroom dot must raise (ANSI) or be NULL (non-ANSI),"
+            f" not a silent value: {got}"
+        )
