@@ -362,3 +362,70 @@ def _sql_unrolled() -> str:
 
 
 ORACLE = {"docs_quality_classifier": _sql_unrolled()}
+
+
+def corpus_clf_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source student-vs-teacher agreement — the monitoring
+    rollup a production distillation pipeline watches: a source whose
+    agreement collapses is drifting away from the teacher's
+    distribution and needs re-training or a threshold review (the
+    DCLM operational loop).
+
+    Composed VERBATIM from docs_quality_classifier (the oracle nests
+    its full unrolled-CTE oracle), joined back to the documents spine
+    for the source dimension.
+
+    Output: (source, n_docs, n_pos_teacher, n_pos_student, n_agree,
+    agreement, mean_score).
+
+    Scale: one |sources|-row aggregate over the classifier's
+    per-doc output + a doc_id equi-join against a two-column
+    projection of the corpus. mean_score sums the 6dp-rounded scores
+    as exact decimals (the text_stats_by_lang pattern).
+    """
+    scored = docs_quality_classifier(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    return (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("label").cast("long").alias("n_pos_teacher"),
+            F.sum("pred").cast("long").alias("n_pos_student"),
+            F.sum(
+                (F.col("pred") == F.col("label")).cast("long")
+            ).alias("n_agree"),
+            F.round(
+                F.sum((F.col("pred") == F.col("label")).cast("double"))
+                / F.count("*"),
+                6,
+            ).alias("agreement"),
+            F.expr(
+                "round(cast(cast(sum(cast(score as decimal(18,6))) "
+                "as decimal(38,6)) as double) / count(*), 6)"
+            ).alias("mean_score"),
+        )
+    )
+
+
+QUERIES["corpus_clf_agreement"] = corpus_clf_agreement
+
+ORACLE["corpus_clf_agreement"] = f"""
+    WITH clf AS ({ORACLE["docs_quality_classifier"]})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(clf.label) AS BIGINT) AS n_pos_teacher,
+           CAST(SUM(clf.pred) AS BIGINT) AS n_pos_student,
+           CAST(SUM(CASE WHEN clf.pred = clf.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           round(SUM(CASE WHEN clf.pred = clf.label
+                          THEN 1.0 ELSE 0.0 END) / COUNT(*), 6)
+             AS agreement,
+           round(CAST(CAST(SUM(CAST(clf.score AS DECIMAL(18,6)))
+                      AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*), 6)
+             AS mean_score
+    FROM clf JOIN documents d ON clf.doc_id = d.doc_id
+    GROUP BY d.source
+"""

@@ -429,6 +429,8 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         ("docs_quality_classifier", 3),  # feat agg + w broadcast + score agg
         ("dedup_cross_modal", 9),  # both member pair plans + outer join
         ("dedup_remove_spans", 6),  # tile hash agg + canon join + doc agg
+        ("dedup_lsh_precision_eval", 27),  # the nested jaccard member plan
+        ("corpus_clf_agreement", 5),  # classifier score + source rollup
     ],
 )
 def test_round6_remaining_shuffle_budget(spark, name, budget):
