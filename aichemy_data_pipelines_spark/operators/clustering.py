@@ -317,16 +317,29 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg on dst — the standard distributed PageRank shape; iterations
     are a driver loop. Degrees/dangling handling: the candidate graph
     is symmetrized so every node has degree ≥ 1.
+
+    The edge and degree frames are localCheckpoint'ed (eager,
+    memory+disk) BEFORE the loop: left lazy, every iteration's plan
+    re-embeds the whole MinHash-LSH candidate chain per edge
+    reference — a round-10 plan audit measured 28 documents scans in
+    the 3-iteration plan (the same lineage trap the CC operators
+    already cut per round). Checkpointed, the chain is evaluated
+    once and the final plan contains ZERO parquet scans
+    (plan-asserted in tests/test_plans.py).
     """
     from aichemy_data_pipelines_spark.operators.dedup import (
         dedup_minhash_lsh,
     )
 
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    edges = pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
-        pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=True
+    )
     ranks = deg.select("src", F.lit(_PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(_PR_ITERS):
         contribs = (
@@ -358,8 +371,16 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the LSH banding), never all-pairs. Degrees/wedges are one agg.
 
     Output: one row (n_edges, n_wedges, n_triangles, clustering_coeff).
+
+    The edge set is localCheckpoint'ed (eager, memory+disk): the
+    enumeration references it SIX times (two degree projections, the
+    edge count, the three-way self-join), and left lazy each
+    reference re-embeds the whole MinHash-LSH chain — a round-10
+    plan audit measured 12 documents scans in one plan. Checkpointed,
+    the chain runs once and the final plan has ZERO parquet scans
+    (plan-asserted in tests/test_plans.py).
     """
-    e = dedup_minhash_lsh(spark, sf_dir)
+    e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
     deg = (
         e.select(F.col("doc_a").alias("v"))
         .unionAll(e.select(F.col("doc_b").alias("v")))

@@ -544,3 +544,22 @@ def test_perplexity_buckets_skip_cache_below_size_threshold(spark):
         )
     finally:
         spark.catalog.clearCache()
+
+
+@pytest.mark.parametrize("qname", ["docs_pagerank", "dedup_graph_triangles"])
+def test_graph_ops_checkpoint_cuts_candidate_chain(spark, qname):
+    """Round-10 plan audit: left lazy, docs_pagerank's 3-iteration
+    plan re-embedded the MinHash-LSH candidate chain 14 times (28
+    documents scans) and the triangle census 6 times (12 scans) —
+    superlinear recompute of the single most expensive subtree at
+    corpus scale. With the edge frames localCheckpoint'ed the chain
+    is evaluated once and the RETURNED plan reads only checkpointed
+    RDDs: zero parquet scans."""
+    plan = (
+        _QUERIES[qname](spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n = plan.count("Scan parquet")
+    assert n == 0, f"{qname}: {n} parquet scans — candidate chain not cut"
