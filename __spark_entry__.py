@@ -93,7 +93,13 @@ def _helper_sources(mod) -> str:
     path (the repo's sole import style — scanning module globals
     would miss function-local imports and plain-constant imports like
     SPARK_TOKENS, which carry no __module__), and closes transitively
-    so a helper importing another helper still resets end consumers.
+    along BOTH edges: a helper importing another helper, and an
+    operator module composing another operator module (e.g.
+    crossmodal_ops builds on dedup + multimodal_ops, clustering on
+    dedup) — only helper SOURCES enter the blob, but they are
+    gathered across the whole composition closure, so an edit to a
+    helper resets composed consumers too, not just direct importers
+    (the one-level gap a round-10 self-review caught).
     """
     import importlib
     import inspect
@@ -105,32 +111,54 @@ def _helper_sources(mod) -> str:
     cached = _helper_blob_cache.get(key)
     if cached is not None:
         return cached
-    try:
-        pending = set(
-            re.findall(
-                r"aichemy_data_pipelines_spark\.functions\.(\w+)",
-                inspect.getsource(mod),
-            )
+
+    def _refs(src: str):
+        return (
+            set(
+                re.findall(
+                    r"aichemy_data_pipelines_spark\.functions\.(\w+)", src
+                )
+            ),
+            set(
+                re.findall(
+                    r"aichemy_data_pipelines_spark\.operators\.(\w+)", src
+                )
+            ),
         )
+
+    def _src(pkg: str, name: str) -> str:
+        try:
+            return inspect.getsource(
+                importlib.import_module(f"{pkg}.{name}")
+            )
+        except Exception:
+            # soft fallback: an unimportable name (e.g. a renamed
+            # module surviving only in prose) must not break the
+            # driver contract; a truly broken helper fails the test
+            # suite loudly long before this path matters
+            return name
+    try:
+        helpers, ops_pending = _refs(inspect.getsource(mod))
     except (OSError, TypeError):  # pragma: no cover - source on disk
-        pending = set()
+        helpers, ops_pending = set(), set()
+    ops_seen: set[str] = {key.rsplit(".", 1)[-1]}
+    while ops_pending:
+        op = ops_pending.pop()
+        if op in ops_seen:
+            continue
+        ops_seen.add(op)
+        h, o = _refs(_src("aichemy_data_pipelines_spark.operators", op))
+        helpers |= h
+        ops_pending |= o - ops_seen
     sources: dict[str, str] = {}
+    pending = set(helpers)
     while pending:
         name = pending.pop()
         if name in sources:
             continue
-        try:
-            src = inspect.getsource(
-                importlib.import_module(f"{_HELPER_PKG}.{name}")
-            )
-        except Exception:  # pragma: no cover - helper always importable
-            src = name
+        src = _src(_HELPER_PKG, name)
         sources[name] = src
-        pending.update(
-            re.findall(
-                r"aichemy_data_pipelines_spark\.functions\.(\w+)", src
-            )
-        )
+        pending.update(_refs(src)[0])
     blob = "\x00".join(sources[n] for n in sorted(sources))
     _helper_blob_cache[key] = blob
     return blob

@@ -83,15 +83,7 @@ def share_table_scan(
     from pyspark import StorageLevel
 
     df = load_table(spark, sf_dir, name)
-    min_bytes = int(
-        spark.conf.get(
-            SHARE_SCAN_MIN_BYTES, str(DEFAULT_SHARE_SCAN_MIN_BYTES)
-        )
-    )
-    size = int(
-        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-    )
-    if size < min_bytes:
+    if not _share_gate_engaged(spark, df):
         return df
     df.persist(StorageLevel.MEMORY_AND_DISK)
     return df
@@ -117,19 +109,25 @@ def share_frame(
     """
     from pyspark import StorageLevel
 
+    if not _share_gate_engaged(spark, load_table(spark, sf_dir, gate_table)):
+        return df
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
+def _share_gate_engaged(spark: SparkSession, gate: DataFrame) -> bool:
+    """ONE definition of the size-conditional sharing gate (conf key,
+    footer-stats source, threshold compare) for share_table_scan and
+    share_frame — tuning it in one path must tune both."""
     min_bytes = int(
         spark.conf.get(
             SHARE_SCAN_MIN_BYTES, str(DEFAULT_SHARE_SCAN_MIN_BYTES)
         )
     )
-    gate = load_table(spark, sf_dir, gate_table)
     size = int(
         gate._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
     )
-    if size < min_bytes:
-        return df
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    return df
+    return size >= min_bytes
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -299,7 +299,11 @@ _PR_DAMP_NUM = 85  # damping 0.85 as an integer ratio
 _PR_BASE = 15_000_000  # (1 - d) * scale
 
 
-def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def docs_pagerank(
+    spark: SparkSession,
+    sf_dir: str,
+    reliable_dir: str | None = None,
+) -> DataFrame:
     """PageRank centrality over the LSH candidate-pair graph — ranks
     the 'canonical' documents inside near-duplicate neighborhoods
     (high-degree hubs of boilerplate score high; useful as a keep-one
@@ -318,28 +322,34 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a driver loop. Degrees/dangling handling: the candidate graph
     is symmetrized so every node has degree ≥ 1.
 
-    The edge and degree frames are localCheckpoint'ed (eager,
-    memory+disk) BEFORE the loop: left lazy, every iteration's plan
-    re-embeds the whole MinHash-LSH candidate chain per edge
-    reference — a round-10 plan audit measured 28 documents scans in
-    the 3-iteration plan (the same lineage trap the CC operators
-    already cut per round). Checkpointed, the chain is evaluated
-    once and the final plan contains ZERO parquet scans
-    (plan-asserted in tests/test_plans.py).
+    The edge and degree frames are checkpointed (``_make_ckpt`` —
+    localCheckpoint by default, durable ``checkpoint()`` when the
+    caller passes ``reliable_dir``, same contract as dedup_clusters)
+    BEFORE the loop: left lazy, every iteration's plan re-embeds the
+    whole MinHash-LSH candidate chain per edge reference — a
+    round-10 plan audit measured 28 documents scans in the
+    3-iteration plan (the same lineage trap the CC operators already
+    cut per round). Checkpointed, the chain is evaluated once and
+    the final plan contains ZERO parquet scans (plan-asserted in
+    tests/test_plans.py).
     """
     from aichemy_data_pipelines_spark.operators.dedup import (
         dedup_minhash_lsh,
     )
 
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    edges = (
-        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
-        .unionAll(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
-        .localCheckpoint(eager=True)
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=True
-    )
+    prev_ckpt = _prev_ckpt_dir(spark)
+    try:
+        ckpt = _make_ckpt(spark, reliable_dir)
+        pairs = dedup_minhash_lsh(spark, sf_dir)
+        edges = ckpt(
+            pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionAll(
+                pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+            )
+        )
+        deg = ckpt(edges.groupBy("src").agg(F.count("*").alias("deg")))
+    finally:
+        if reliable_dir is not None:
+            _restore_ckpt_dir(spark, prev_ckpt)
     ranks = deg.select("src", F.lit(_PR_SCALE).cast("bigint").alias("rank"))
     for _ in range(_PR_ITERS):
         contribs = (
@@ -358,7 +368,11 @@ def docs_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(F.col("src").alias("doc_id"), "rank")
 
 
-def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_graph_triangles(
+    spark: SparkSession,
+    sf_dir: str,
+    reliable_dir: str | None = None,
+) -> DataFrame:
     """Triangle census of the near-dup candidate graph: edges,
     wedges (paths of length 2, Σ d·(d-1)/2), triangles, and the
     global clustering coefficient 3T/W — the standard shape metric
@@ -372,15 +386,23 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row (n_edges, n_wedges, n_triangles, clustering_coeff).
 
-    The edge set is localCheckpoint'ed (eager, memory+disk): the
-    enumeration references it SIX times (two degree projections, the
-    edge count, the three-way self-join), and left lazy each
-    reference re-embeds the whole MinHash-LSH chain — a round-10
-    plan audit measured 12 documents scans in one plan. Checkpointed,
-    the chain runs once and the final plan has ZERO parquet scans
-    (plan-asserted in tests/test_plans.py).
+    The edge set is checkpointed (``_make_ckpt`` — localCheckpoint
+    default, durable with ``reliable_dir``, same contract as
+    dedup_clusters): the enumeration references it SIX times (two
+    degree projections, the edge count, the three-way self-join),
+    and left lazy each reference re-embeds the whole MinHash-LSH
+    chain — a round-10 plan audit measured 12 documents scans in one
+    plan. Checkpointed, the chain runs once and the final plan has
+    ZERO parquet scans (plan-asserted in tests/test_plans.py).
     """
-    e = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    prev_ckpt = _prev_ckpt_dir(spark)
+    try:
+        e = _make_ckpt(spark, reliable_dir)(
+            dedup_minhash_lsh(spark, sf_dir)
+        )
+    finally:
+        if reliable_dir is not None:
+            _restore_ckpt_dir(spark, prev_ckpt)
     deg = (
         e.select(F.col("doc_a").alias("v"))
         .unionAll(e.select(F.col("doc_b").alias("v")))

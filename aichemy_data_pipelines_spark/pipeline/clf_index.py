@@ -74,6 +74,12 @@ def score_batch(
     inline operator and gives ingest monitoring a live
     student-vs-teacher agreement signal for free."""
     table = _clf_table(root)
+    # missing snapshot first: meta() is {} at version 0, which would
+    # otherwise read as "every constant mismatches" — a misleading
+    # rebuild-your-constants error for a table that simply isn't there
+    w = table.read(spark)
+    if w is None:
+        raise ValueError(f"no classifier snapshot at {root}")
     meta = table.meta()
     # weights trained under different hashing/feature constants would
     # silently score against the wrong feature space — refuse instead
@@ -87,7 +93,4 @@ def score_batch(
             f"persisted classifier meta {mismatched} is incompatible "
             "with the current constants; rebuild with build_clf_index"
         )
-    w = table.read(spark)
-    if w is None:
-        raise ValueError(f"no classifier snapshot at {root}")
     return present_scores(_score(features_from_docs(docs), w))

@@ -85,9 +85,101 @@ def migrate(rnd: int) -> None:
         print("  ", n)
 
 
+def _r10_v1_helper_blob(mod) -> str:
+    """FROZEN copy of the first (round-10 v1) helper-blob algorithm:
+    helpers referenced by the operator module's own source only, no
+    traversal of composed operator modules. Kept so --migrate-v2 can
+    tell 'the hashing algorithm grew operator-transitivity' apart
+    from 'the source changed'."""
+    import importlib
+    import inspect
+    import re
+
+    if mod is None:
+        return ""
+    try:
+        pending = set(
+            re.findall(
+                r"aichemy_data_pipelines_spark\.functions\.(\w+)",
+                inspect.getsource(mod),
+            )
+        )
+    except (OSError, TypeError):
+        pending = set()
+    sources: dict = {}
+    while pending:
+        name = pending.pop()
+        if name in sources:
+            continue
+        try:
+            src = inspect.getsource(
+                importlib.import_module(
+                    f"aichemy_data_pipelines_spark.functions.{name}"
+                )
+            )
+        except Exception:
+            src = name
+        sources[name] = src
+        pending.update(
+            re.findall(
+                r"aichemy_data_pipelines_spark\.functions\.(\w+)", src
+            )
+        )
+    return "\x00".join(sources[n] for n in sorted(sources))
+
+
+def migrate_v2(rnd: int) -> None:
+    """Second r10 format migration: _helper_sources now traverses
+    composed OPERATOR modules (crossmodal→dedup, clustering→dedup, …)
+    so helper edits reset composed consumers too. Same preservation
+    rule as migrate(): a stamp whose v1-format hash still matches
+    (source untouched, only our coverage function grew) keeps its
+    round; a real source change re-stamps at ``rnd``."""
+    import sys as _s
+
+    import __spark_entry__ as entry
+
+    root = os.path.dirname(os.path.abspath(entry.__file__))
+    path = os.path.join(root, "ATTEST_HASHES.json")
+    with open(path) as fh:
+        stamps = json.load(fh)
+    merged_q: dict = {}
+    merged_o: dict = {}
+    for mod in entry._suites():
+        merged_q.update(mod.QUERIES)
+        merged_o.update(mod.ORACLE)
+    out, preserved, restamped = {}, [], []
+    for name, fn in merged_q.items():
+        oracle = merged_o.get(name)
+        new_hash = entry._source_hash(fn, oracle)
+        v1_blob = _r10_v1_helper_blob(
+            _s.modules.get(getattr(fn, "__module__", ""))
+        )
+        v1_hash = entry._source_hash(fn, oracle, helpers=v1_blob)
+        old = stamps.get(name)
+        if old is not None and old.get("hash") == v1_hash:
+            out[name] = {"hash": new_hash, "round": old.get("round", rnd)}
+            preserved.append(name)
+        else:
+            out[name] = {"hash": new_hash, "round": rnd}
+            restamped.append(name)
+    with open(path, "w") as fh:
+        json.dump({k: out[k] for k in sorted(out)}, fh, indent=1)
+        fh.write("\n")
+    print(
+        f"migrated (v2): {len(preserved)} rounds preserved,"
+        f" {len(restamped)} re-stamped at r{rnd}"
+    )
+    for n in restamped:
+        print("  ", n)
+
+
 def main() -> None:
     if sys.argv[1] == "--migrate":
         migrate(int(sys.argv[2]))
+        return
+    if sys.argv[1] == "--migrate-v2":
+        migrate_v2(int(sys.argv[2]))
         return
     rnd = int(sys.argv[1])
     import __spark_entry__ as entry

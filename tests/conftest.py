@@ -24,6 +24,7 @@ from aichemy_data_pipelines_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
 
 
 @pytest.fixture(scope="session")

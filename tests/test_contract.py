@@ -250,6 +250,16 @@ def test_helper_module_edit_resets_consumer_stamps():
     assert "def spark_dot_exact" in vec_blob
     tok_blob = e._helper_sources(gopher_ops)
     assert "SPARK_TOKENS" in tok_blob
+    # (e) the closure follows OPERATOR composition too: crossmodal_ops
+    # imports no functions/ helper directly — it composes dedup and
+    # multimodal_ops — yet its stamp must still see the tokenizer and
+    # shingle primitives its text member builds on (round-10
+    # self-review gap)
+    from aichemy_data_pipelines_spark.operators import crossmodal_ops
+
+    xm_blob = e._helper_sources(crossmodal_ops)
+    assert "def spark_shingles" in xm_blob
+    assert "SPARK_TOKENS =" in xm_blob
     fn = similarity.QUERIES["ann_cosine_topk"]
     h_now = e._source_hash(fn, "SELECT 1")
     assert h_now == e._source_hash(fn, "SELECT 1", helpers=vec_blob)

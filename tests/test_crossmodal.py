@@ -10,6 +10,7 @@ from aichemy_data_pipelines_spark.operators.crossmodal_ops import (
     compose_pair_verdicts,
     dedup_cross_modal,
 )
+from tests.conftest import SF_BENCH
 
 
 def _pairs(spark, rows):
@@ -43,7 +44,7 @@ def test_both_legs_live_at_sf01(spark):
     exist there), so the composition is exercised with a non-vacuous
     image leg at least once per suite run — guarding against the
     image member silently degenerating to empty everywhere."""
-    rows = dedup_cross_modal(spark, "/root/testdata/sf0.1").collect()
+    rows = dedup_cross_modal(spark, SF_BENCH).collect()
     verdicts = {r.verdict for r in rows}
     assert "text_only" in verdicts
     assert {"image_only", "both"} & verdicts, (

@@ -426,8 +426,10 @@ def test_exact_dot_headroom(spark):
     assert duck_dot(over) == 1.001e13  # DuckDB keeps going
     try:
         got = spark_dot(over)
-    except Exception:
-        pass  # ANSI: NUMERIC_VALUE_OUT_OF_RANGE — the loud failure
+    except Exception as exc:
+        # the loud ANSI failure must be the decimal overflow itself,
+        # not some unrelated breakage hiding behind a bare except
+        assert "NUMERIC_VALUE_OUT_OF_RANGE" in str(exc), exc
     else:
         assert got is None, (
             "over-headroom dot must raise (ANSI) or be NULL (non-ANSI),"
