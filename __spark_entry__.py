@@ -131,11 +131,20 @@ def _helper_sources(mod) -> str:
             return inspect.getsource(
                 importlib.import_module(f"{pkg}.{name}")
             )
-        except Exception:
-            # soft fallback: an unimportable name (e.g. a renamed
-            # module surviving only in prose) must not break the
-            # driver contract; a truly broken helper fails the test
-            # suite loudly long before this path matters
+        except (ImportError, OSError, TypeError) as exc:
+            # narrow fallback (r10 ADVICE): only a genuinely absent
+            # module / missing source file may substitute the bare
+            # name (e.g. a renamed module surviving only in prose) —
+            # a TRANSIENT import failure swallowed broadly would
+            # silently shift every consumer's attestation hash and
+            # shift it back later. Warn so a stamp shift is traceable.
+            import warnings
+
+            warnings.warn(
+                f"attestation stamp: source of {pkg}.{name} "
+                f"unavailable ({exc!r}); folding in the bare name",
+                stacklevel=2,
+            )
             return name
     try:
         helpers, ops_pending = _refs(inspect.getsource(mod))

@@ -533,14 +533,23 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one (type, day) groupBy (map-side combined to a tiny
     frame); the grid is |types| × |days| rows and every join after
     the first agg runs on that bounded frame.
+
+    ``daily`` is ``localCheckpoint``-ed and the span / type registry
+    derive from it (identical values by construction — every event
+    contributes a daily row): left lazy, daily was referenced twice
+    (grid join + 7-day-lag prediction join) and span/types each
+    carried their own events scan — 4 scans in one plan (round-10
+    plan audit). Checkpointed, the corpus collapses in ONE scan and
+    the returned plan reads only the bounded aggregate (pinned in
+    tests/test_plans.py).
     """
     ev = load_table(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count("*").cast("long").alias("n"))
-    span = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"),
-        F.max(F.to_date("ts")).alias("hi"),
+    ).agg(F.count("*").cast("long").alias("n")).localCheckpoint()
+    span = daily.agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
     )
     # guard the grid: Spark's sequence() RAISES when start > stop
     # (ILLEGAL_SEQUENCE_BOUNDARIES) while DuckDB's generate_series
@@ -552,7 +561,7 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sequence(date_add(lo, 7), hi, interval 1 day)")
         ).alias("day")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(days))
     scored = (
         grid.join(daily, ["event_type", "day"], "left")
@@ -606,18 +615,26 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviations) + one counting pass — each a map-side-combined agg;
     the per-type medians broadcast back (bounded type registry).
     At 100 TB swap approx_percentile into the same shape.
+
+    The bounded per-type ``med`` and ``mad`` frames are
+    ``localCheckpoint``-ed: the deviation frame is referenced by BOTH
+    the MAD aggregate and the outlier-count pass, so left lazy the
+    plan re-embedded the events scan 6 times (round-10 plan audit).
+    Checkpointed (a few KB each), the three passes the algorithm
+    genuinely needs are the ONLY events scans, and the returned plan
+    carries exactly one (pinned in tests/test_plans.py).
     """
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
     med = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("median")
-    )
+    ).localCheckpoint()
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("median"))
     )
     mad = dev.groupBy("event_type", "median").agg(
         F.count("*").cast("long").alias("n"),
         F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad"),
-    )
+    ).localCheckpoint()
     flagged = (
         dev.join(
             F.broadcast(mad.select("event_type", "mad")),

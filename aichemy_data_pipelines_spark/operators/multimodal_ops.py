@@ -112,7 +112,16 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pathological bucket (all-identical images) is exact-dup
     territory, handled upstream by dedup_exact.
     """
-    h = image_ahash(synthetic_media(spark, sf_dir))
+    return phash_pairs_from_hashes(
+        image_ahash(synthetic_media(spark, sf_dir))
+    )
+
+
+def phash_pairs_from_hashes(h: DataFrame) -> DataFrame:
+    """Frame-level pair generation over an existing (doc_id, ahash)
+    view — split out (r10 ADVICE) so multimodal_image_phash can feed
+    ONE shared aHash subtree to both its per-image view and the pair
+    search instead of re-deriving the decode chain per reference."""
     bands = h.select(
         "doc_id",
         "ahash",
@@ -153,9 +162,16 @@ def multimodal_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance 3 — the image leg of the dedup stack. Pair generation
     (banding, recall guarantee, scale notes) lives in
     image_phash_pairs; this wraps it into the per-image count view.
+
+    The aHash frame is computed ONCE, ``localCheckpoint``-ed (tiny:
+    one (doc_id, ahash) row per image), and shared by the per-image
+    view AND the pair search (phash_pairs_from_hashes) — left lazy,
+    the decode chain was re-embedded three times (per-image view +
+    both self-join sides; r10 ADVICE), re-scanning documents per
+    reference. The returned plan reads only the checkpointed RDD.
     """
-    h = image_ahash(synthetic_media(spark, sf_dir))
-    pairs = image_phash_pairs(spark, sf_dir)
+    h = image_ahash(synthetic_media(spark, sf_dir)).localCheckpoint()
+    pairs = phash_pairs_from_hashes(h)
     touch = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )

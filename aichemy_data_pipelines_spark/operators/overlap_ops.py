@@ -90,9 +90,20 @@ def corpus_cross_contamination(
     Output: (source_a, source_b, n_shared, n_a, n_b, overlap_coeff)
     for every unordered source pair sharing at least one distinct
     5-gram; overlap_coeff = n_shared / min(n_a, n_b), rounded 6dp.
+
+    The distinct (source, h) frame is ``localCheckpoint``-ed: it is
+    referenced three times below (sizes + both self-join sides), and
+    left lazy each reference re-embedded the whole tokenize→shingle
+    explode chain — 6+ documents scans in one physical plan (round-10
+    plan audit). Checkpointed, the explode runs once and the returned
+    plan reads only the checkpointed RDD (pinned in
+    tests/test_plans.py).
     """
     src_sh = (
-        _doc_shingles(spark, sf_dir).select("source", "h").distinct()
+        _doc_shingles(spark, sf_dir)
+        .select("source", "h")
+        .distinct()
+        .localCheckpoint()
     )
     sizes = src_sh.groupBy("source").agg(
         F.count("*").cast("long").alias("n_sh")

@@ -24,36 +24,99 @@ from aichemy_data_pipelines_spark.catalog import load_table
 
 def dq_orphan_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphaned-foreign-key counts for every edge of the star schema —
-    ONE lazy job (a union of anti-join aggregates), not five
-    driver-blocking counts: all five audits schedule together, the
-    dimension-side anti-joins broadcast, and the audit composes into
-    larger plans without extra actions."""
-    li = load_table(spark, sf_dir, "lineitem")
+    ONE lazy job, not five driver-blocking counts: all audits
+    schedule together and the audit composes into larger plans
+    without extra actions.
+
+    Each child table is scanned ONCE for all of its outgoing FK
+    edges (round-10 plan audit: the per-edge anti-join form scanned
+    lineitem — the 100 TB fact — three times in one plan): the child
+    left-joins every parent's DISTINCT key projection and one agg
+    counts the unmatched rows per edge; ``stack`` reshapes the counts
+    into the per-relationship rows. A left-join null count equals the
+    anti-join count only when parent keys are unique, so the parent
+    projections are distinct-ed — a no-op shuffle-wise for real PK
+    parents (and dq_uniqueness audits that invariant separately),
+    but it keeps this audit exact even on dup-keyed inputs.
+
+    Scale: lineitem 1 scan (was 3); small parents (part, supplier,
+    nation) broadcast via AQE; the orders-side join shuffles both
+    sides once — the same cost the anti-join paid.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
 
-    def orphans(name, child, ckey, parent, pkey):
-        return (
-            child.select(ckey)
-            .join(parent.select(pkey), child[ckey] == F.col(pkey), "left_anti")
-            .agg(F.count("*").alias("n_orphans"))
-            .select(F.lit(name).alias("relationship"), "n_orphans")
+    def _missing(ckey: str, pkey: str) -> F.Column:
+        # unmatched = parent key NULL after the left join; a NULL
+        # child key never matches either — same as the anti-join
+        return F.coalesce(
+            F.sum(F.col(pkey).isNull().cast("long")), F.lit(0)
         )
 
-    edges = [
-        orphans("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
-        orphans("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
-        orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", supp, "s_suppkey"),
-        orphans("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
-        orphans("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
-    ]
-    out = edges[0]
-    for e in edges[1:]:
-        out = out.unionByName(e)
-    return out
+    li_counts = (
+        li.join(
+            orders.select("o_orderkey").distinct(),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            part.select("p_partkey").distinct(),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            supp.select("s_suppkey").distinct(),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+        .agg(
+            _missing("l_orderkey", "o_orderkey").alias("c_ord"),
+            _missing("l_partkey", "p_partkey").alias("c_part"),
+            _missing("l_suppkey", "s_suppkey").alias("c_supp"),
+        )
+        .select(
+            F.expr(
+                "stack(3, "
+                "'lineitem.l_orderkey->orders', c_ord, "
+                "'lineitem.l_partkey->part', c_part, "
+                "'lineitem.l_suppkey->supplier', c_supp"
+                ") AS (relationship, n_orphans)"
+            )
+        )
+    )
+    ord_counts = (
+        orders.select("o_custkey")
+        .join(
+            cust.select("c_custkey").distinct(),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(_missing("o_custkey", "c_custkey").alias("n_orphans"))
+        .select(
+            F.lit("orders.o_custkey->customer").alias("relationship"),
+            "n_orphans",
+        )
+    )
+    cust_counts = (
+        cust.select("c_nationkey")
+        .join(
+            nation.select("n_nationkey").distinct(),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            "left",
+        )
+        .agg(_missing("c_nationkey", "n_nationkey").alias("n_orphans"))
+        .select(
+            F.lit("customer.c_nationkey->nation").alias("relationship"),
+            "n_orphans",
+        )
+    )
+    return li_counts.unionByName(ord_counts).unionByName(cust_counts)
 
 
 def dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

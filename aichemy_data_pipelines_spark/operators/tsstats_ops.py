@@ -46,21 +46,33 @@ def _daily_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Absent days COUNT as 0 — ACF/changepoint on an observed-days-only
     series would silently splice out gaps and shift every lag.
+
+    The (type, day, n) aggregate is ``localCheckpoint``-ed and the
+    day span / type registry are DERIVED FROM IT (every event
+    contributes a daily row, so min/max day and distinct types are
+    identical by construction): left lazy, each of the three
+    subframes re-embedded its own full events scan, and the grid
+    itself is referenced twice by the ACF lag join — 6 events scans
+    in one physical plan (round-10 plan audit). Checkpointed, the
+    corpus collapses in ONE scan and every consumer plan reads only
+    the bounded |types|x|days| RDD (pinned in tests/test_plans.py).
     """
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count("*").cast("long").alias("n"))
-    span = ev.agg(
-        F.min(F.to_date("ts")).alias("lo"),
-        F.max(F.to_date("ts")).alias("hi"),
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint()
+    )
+    span = daily.agg(
+        F.min("day").alias("lo"),
+        F.max("day").alias("hi"),
     )
     days = span.select(
         F.explode(
             F.expr("sequence(lo, hi, interval 1 day)")
         ).alias("day")
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     return (
         types.crossJoin(F.broadcast(days))
         .join(daily, ["event_type", "day"], "left")

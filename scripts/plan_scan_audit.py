@@ -48,7 +48,9 @@ def main() -> None:
         except Exception as exc:  # surface, keep auditing the rest
             rows.append((name, -1, f"ERR {str(exc)[:80]}"))
             continue
-        tables = re.findall(r"Scan parquet .*?([a-z]+)\.parquet", plan)
+        # \w+ not [a-z]+: digits/underscores in a table name (e.g.
+        # order_items) must not be truncated into a merged tally key
+        tables = re.findall(r"Scan parquet .*?(\w+)\.parquet", plan)
         c = Counter(tables)
         multi = {t: n for t, n in c.items() if n >= 2}
         if multi:
