@@ -631,6 +631,10 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "parts_copurchase": {"lineitem": 2},
     "rag_chunk_retrieval": {"documents": 2},
     "text_stats_by_lang": {"documents": 2},
+    # r11 widening: classifier feature chain / bloom build+probe sides
+    "text_langid_classifier": {"documents": 2},
+    "decontam_bloom": {"documents": 2},
+    "corpus_curriculum_mix": {"documents": 2},
 }
 
 
