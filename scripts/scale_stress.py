@@ -1,0 +1,172 @@
+"""10x scale-stress smoke (round-11 verdict task #5): synthesize a
+deterministic ~10x documents/embeddings corpus under /tmp (the
+read-only testdata is never touched), run the corpus/dedup/ANN panel
+once at both scales IN THE SAME SESSION, and report wall-time ratios
+plus plan-scan regressions — the closest this sandbox gets to
+validating the per-operator "Scale:" notes empirically.
+
+Synthesis (all deterministic, no RNG):
+* documents: 10 copies; copy i shifts doc_id by i*10^7 and prefixes
+  EVERY token with ``c<i>`` (regexp_replace with a capture group), so
+  copies share no shingles — the corpus grows 10x with the same
+  intra-copy duplicate structure instead of drowning in cross-copy
+  exact dups (which would measure pair-explosion, not scaling).
+  n_chars is recomputed from the rewritten text.
+* embeddings: 10 copies; copy i shifts vec_id by i*10^7 and ROTATES
+  the vector by i positions — decorrelates copies so the cosine /
+  ANN ops scale in corpus size, not in cross-copy near-dup pairs.
+* the other eight tables are byte-copied so any query can load them.
+
+Usage: python scripts/scale_stress.py [--skip-heavy]
+Writes /tmp/scale10x/, prints one line per (query, scale) and a
+final ratio table. Ratios well above ~10x on a 10x corpus flag a
+superlinear plan (the defect class tests/test_plans.py's scan
+budgets pin); sublinear ratios are parallelism slack at test scale.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import sys
+import time
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/scale10x"
+COPIES = 10
+SHIFT = 10_000_000
+
+PANEL = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "corpus_cross_contamination",
+    "docs_boilerplate_fraction",
+    "text_quality",
+    "docs_gopher_quality",
+    "text_langid_classifier",
+    "decontam_bloom",
+    "decontam_ngram_overlap",
+    "corpus_curriculum_mix",
+    "corpus_perplexity_buckets",
+    "corpus_screens_matrix",
+    "embeddings_pq_encode",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+]
+HEAVY = {"corpus_screens_matrix", "corpus_perplexity_buckets"}
+
+
+def synthesize(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for i in range(COPIES):
+        c = docs
+        if i > 0:
+            c = (
+                c.withColumn("doc_id", F.col("doc_id") + i * SHIFT)
+                .withColumn(
+                    "text",
+                    F.regexp_replace("text", "([a-z0-9]+)", f"c{i}$1"),
+                )
+                .withColumn("n_chars", F.length("text"))
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(8).write.mode("overwrite").parquet(
+        f"{DST}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = []
+    for i in range(COPIES):
+        c = emb
+        if i > 0:
+            c = c.withColumn("vec_id", F.col("vec_id") + i * SHIFT).withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {i + 1}, "
+                    f"size(embedding) - {i}), slice(embedding, 1, {i}))"
+                ),
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.coalesce(8).write.mode("overwrite").parquet(
+        f"{DST}/embeddings.parquet"
+    )
+
+    for t in (
+        "region nation customer supplier part orders lineitem events"
+    ).split():
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+
+def scan_counts(df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return dict(
+        Counter(re.findall(r"Scan parquet .*?(\w+)\.parquet", plan))
+    )
+
+
+def main() -> None:
+    skip_heavy = "--skip-heavy" in sys.argv
+    import __spark_entry__ as entry
+    from aichemy_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("synthesizing 10x corpus under", DST)
+    t0 = time.time()
+    synthesize(spark)
+    print(f"synthesis done in {time.time() - t0:.1f}s")
+    for t in ("documents", "embeddings"):
+        n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+        print(f"  {t}: {n} rows")
+
+    qs = {}
+    for mod in entry._suites():
+        qs.update(mod.QUERIES)
+    results = {}
+    for name in PANEL:
+        if skip_heavy and name in HEAVY:
+            continue
+        row = {}
+        for label, sf_dir in (("sf0.1", SRC), ("10x", DST)):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            row[label] = dt
+            row[f"rows_{label}"] = n
+            row[f"scans_{label}"] = scan_counts(df)
+            print(f"{name:32s} {label:5s} {dt:8.2f}s rows={n}")
+        results[name] = row
+    print("\n=== ratio table (10x corpus / sf0.1, same session) ===")
+    print(f"{'query':34s} {'sf0.1':>8s} {'10x':>9s} {'ratio':>7s}  scan regress?")
+    for name, r in results.items():
+        ratio = r["10x"] / r["sf0.1"] if r["sf0.1"] > 0 else float("inf")
+        regress = "YES " + str(r["scans_10x"]) if r["scans_10x"] != r["scans_sf0.1"] else "no"
+        print(
+            f"{name:34s} {r['sf0.1']:7.2f}s {r['10x']:8.2f}s "
+            f"{ratio:6.1f}x  {regress}"
+        )
+
+
+if __name__ == "__main__":
+    main()
