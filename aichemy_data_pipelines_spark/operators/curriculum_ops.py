@@ -5,37 +5,45 @@ hash-acceptance sampling the mixture ops use (round-10 verdict
 widening item 6c).
 
 Shape: score every document with the distilled quality classifier,
-cut the corpus into score DECILES (ntile over score DESC with doc_id
-tie-break — a total order, so the binning is engine-exact), assign
-each decile a fixed KEEP FRACTION from a curriculum schedule (keep
-everything from the top deciles, anneal down to zero at the tail),
-and accept docs inside a decile by portable hash — existing docs
-never flip verdicts as the corpus grows, the property that makes the
-mixture reproducible across re-runs and incremental ingests.
+cut the corpus into score DECILES **without a global sort** — exact
+percentile cutoffs (p10..p90) in one aggregate, broadcast as a
+9-element literal, every doc binned by counting cutoffs below its
+score (the orders_spend_deciles recipe: a naive NTILE(10) OVER
+(ORDER BY score) funnels the whole corpus through ONE window task and
+dies at 100 TB; the two-pass cutoff form is tiny agg → broadcast →
+pure map). Each decile carries a fixed KEEP FRACTION from a
+curriculum schedule (keep everything from the top deciles, anneal
+down to zero at the tail), and docs inside a decile are accepted by
+portable hash — existing docs never flip verdicts as the corpus
+grows, the property that makes the mixture reproducible across
+re-runs and incremental ingests.
 
-The published view is the per-decile AUDIT (10 rows) a curation
-review signs off on: score range, budgeted ppm, realized selection.
-The per-doc verdict is the same frame pre-aggregation (the
-corpus-build driver would join it back as a filter).
+The published view is the per-decile AUDIT a curation review signs
+off on: doc count, score range, budgeted ppm, realized selection.
+(Score ties can leave a boundary decile empty — cutoff binning
+trades NTILE's equal counts for scalability; the audit shows the
+realized sizes, which is the point of an audit.) The per-doc verdict
+is the same frame pre-aggregation.
 
 Composed VERBATIM from docs_quality_classifier — the oracle nests
 its full unrolled training chain — so the mixture can never drift
 from the classifier it consumes.
 
-Float portability: scores come 6dp-rounded from the classifier;
-ntile ordering uses (score DESC, doc_id) — total, engine-exact; the
-min/max per decile are exact picks of existing 6dp values; keep
-fractions and the hash acceptance are exact integers (ppm).
+Float portability: scores come 6dp-rounded from the classifier; the
+percentile cutoffs are 6dp-rounded before the strict `score > cut`
+compare (the spend-deciles discipline: 6dp data against 6dp-rounded
+cutoffs only collide when the interpolation hits a data point
+exactly, which both engines compute exactly); keep fractions and the
+hash acceptance are exact integers (ppm).
 
-Scale: the classifier's one corpus pass + a single ntile window over
-(score, doc_id). A global ntile is one skew-free range partition at
-100 TB (Spark samples boundaries); the audit agg is 10 rows. The
-hash-acceptance filter is a pure map.
+Scale: the classifier's one corpus pass + one bounded percentile
+aggregate + a pure-map bin/accept + a ≤10-row agg. No global sort,
+no corpus-scale shuffle after the classifier's own.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.functions.hashing import (
@@ -64,19 +72,43 @@ _KEEP_PPM = (
     0,
 )
 _ACC_SEED = 53
+_QS = [q / 10 for q in range(1, _N_BINS)]  # 0.1 .. 0.9
 
 
 def corpus_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-decile curriculum-selection audit over classifier scores.
 
     Output: (decile, n_docs, min_score, max_score, keep_ppm,
-    n_selected) — 10 rows, decile 1 = highest-scored documents.
+    n_selected) — decile 1 = highest-scored documents.
     """
-    scored = docs_quality_classifier(spark, sf_dir)
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    # checkpoint the two-column scored frame: it feeds BOTH the
+    # cutoff aggregate and the binning map — left lazy each reference
+    # re-embeds the classifier's whole feature/scoring chain (the
+    # r11 double-evaluation defect class; plan pinned at zero scans)
+    scored = (
+        docs_quality_classifier(spark, sf_dir)
+        .select("doc_id", "score")
+        .localCheckpoint()
+    )
+    qs = ", ".join(f"{q:.1f}" for q in _QS)
+    cuts = scored.agg(
+        F.expr(
+            f"transform(percentile(score, array({qs})), c -> round(c, 6))"
+        ).alias("cs")
+    )
     ppm_arr = ", ".join(str(p) for p in _KEEP_PPM)
     binned = (
-        scored.withColumn("decile", F.ntile(_N_BINS).over(w))
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "score",
+            # cuts ascend; a score above k cutoffs sits in decile
+            # 10 - k (1 = above all nine = the top decile)
+            (
+                F.lit(_N_BINS)
+                - F.expr("size(filter(cs, c -> score > c))")
+            ).alias("decile"),
+        )
         .withColumn(
             "keep_ppm",
             F.expr(f"element_at(array({ppm_arr}), decile)").cast("long"),
@@ -106,16 +138,23 @@ def corpus_curriculum_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {"corpus_curriculum_mix": corpus_curriculum_mix}
 
 _SQL_PPM_ELEMS = ", ".join(str(p) for p in _KEEP_PPM)
+_SQL_QS = ", ".join(f"{q:.1f}" for q in _QS)
 _SQL_ACC = sql_hash64("CAST(doc_id AS VARCHAR)", seed=_ACC_SEED)
 
 ORACLE = {
     "corpus_curriculum_mix": f"""
         WITH clf AS ({_CLF_ORACLE["docs_quality_classifier"]}),
-        binned AS (
-            SELECT doc_id, score,
-                   NTILE({_N_BINS}) OVER (ORDER BY score DESC, doc_id)
+        scored AS (SELECT doc_id, score FROM clf),
+        cuts AS (
+            SELECT list_transform(
+                       quantile_cont(score, [{_SQL_QS}]),
+                       c -> round(c, 6)) AS cs
+            FROM scored
+        ), binned AS (
+            SELECT s.doc_id, s.score,
+                   {_N_BINS} - len(list_filter(c.cs, x -> s.score > x))
                      AS decile
-            FROM clf
+            FROM scored s, cuts c
         ), verdicts AS (
             SELECT decile, score,
                    CAST([{_SQL_PPM_ELEMS}][decile] AS BIGINT) AS keep_ppm,

@@ -60,6 +60,13 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (custkey, r_days, f_orders, m_spend, r_score, f_score,
     m_score).
+
+    The per-customer RFM frame is ``localCheckpoint``-ed: it feeds
+    BOTH the quartile-cutoff aggregate and the final scoring map, and
+    left lazy each reference re-embedded its orders scan + agg — 4
+    orders scans per plan (r11 audit). Checkpointed, orders is
+    scanned twice total (the per-customer agg + the 1-row ref date)
+    and the returned plan reads only the bounded frame.
     """
     orders = load_table(spark, sf_dir, "orders")
     ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
@@ -80,6 +87,7 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m_dec",
             F.col("m_dec").cast("double").alias("m_spend"),
         )
+        .localCheckpoint()
     )
     qs = "array(0.25, 0.5, 0.75)"
     cuts = rfm.agg(
@@ -280,10 +288,16 @@ def parts_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey"
     )
-    pairs = parts_copurchase(spark, sf_dir)
+    # pairs (output-sized) and per_part (part-catalog-bounded) are
+    # each referenced below with lazy lineage that re-embeds lineitem
+    # scans (pairs' self-join 2x, per_part 2x — 5 scans per plan, r11
+    # audit); checkpointed, lineitem is scanned 3 evaluated times
+    # (pair join, per-part agg, total count) and the returned plan
+    # carries only the n_total scan
+    pairs = parts_copurchase(spark, sf_dir).localCheckpoint()
     per_part = li.groupBy("l_partkey").agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_part")
-    )
+    ).localCheckpoint()
     n_total = li.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_total")
     )

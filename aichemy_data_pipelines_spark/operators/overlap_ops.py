@@ -153,8 +153,18 @@ def docs_boilerplate_fraction(
     Output: (doc_id, n_shingles, n_boilerplate, boilerplate_frac,
     flagged) — flagged when more than half the doc's distinct
     shingles appear in >= ``_MIN_DF`` distinct documents.
+
+    The per-doc shingle frame is ``localCheckpoint``-ed: it feeds
+    BOTH the document-frequency aggregate and the per-doc join, and
+    left lazy each reference re-embedded the tokenize→shingle explode
+    chain — 4 documents scans per plan (r11 audit; the
+    corpus_cross_contamination fix, applied to this query's shape).
     """
-    sh = _doc_shingles(spark, sf_dir).select("doc_id", "h")
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", "h")
+        .localCheckpoint()
+    )
     bp = (
         sh.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -202,9 +212,16 @@ def docs_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (doc_id, n_shingles, n_novel, novelty_frac).
 
     Scale: reuses the one shingle explode + a (shingle → min doc)
-    agg on the uniform hash; verdict is one doc_id agg.
+    agg on the uniform hash; verdict is one doc_id agg. The shingle
+    frame is ``localCheckpoint``-ed — referenced by both the firsts
+    aggregate and the verdict join, it otherwise re-embeds the
+    explode chain twice (4 documents scans, r11 audit).
     """
-    sh = _doc_shingles(spark, sf_dir).select("doc_id", "h")
+    sh = (
+        _doc_shingles(spark, sf_dir)
+        .select("doc_id", "h")
+        .localCheckpoint()
+    )
     firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     return (
         sh.join(firsts, "h")

@@ -202,7 +202,12 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice"),
         F.lit("N").alias("o_orderstatus"),
     )
-    changeset = updates.unionByName(inserts)
+    # checkpoint the changeset: it is referenced twice (anti-join
+    # probe + union) and each lazy reference re-embedded its two
+    # filtered orders scans — 5 orders scans per plan (r11 audit).
+    # Materializing the changeset is also the honest merge shape: a
+    # real MERGE's changeset arrives as its own table.
+    changeset = updates.unionByName(inserts).localCheckpoint()
     merged = orders.join(
         changeset.select("o_orderkey"), "o_orderkey", "left_anti"
     ).unionByName(changeset)

@@ -571,17 +571,12 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "q8_market_share": {"nation": 2},
     "q7_volume_shipping": {"nation": 2},
     "corpus_curation_funnel": {"documents": 5},
-    "orders_merge_upsert": {"orders": 5},
-    "parts_copurchase_lift": {"lineitem": 5},
     "ann_ivf_pq_topk": {"embeddings": 4},
     "ann_recall_eval": {"embeddings": 4},
     "corpus_perplexity_buckets": {"documents": 4},
-    "customer_rfm": {"orders": 4},
     "customer_set_ops": {"customer": 2, "orders": 2},
     "dedup_cross_modal": {"documents": 4},
     "dedup_exact_substring": {"documents": 4},
-    "docs_boilerplate_fraction": {"documents": 4},
-    "docs_novelty": {"documents": 4},
     "q22_global_sales": {"customer": 2},
     "corpus_clf_agreement": {"documents": 3},
     "corpus_mixture_sample": {"documents": 3},
@@ -632,9 +627,10 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "rag_chunk_retrieval": {"documents": 2},
     "text_stats_by_lang": {"documents": 2},
     # r11 widening: classifier feature chain / bloom build+probe sides
+    # (corpus_curriculum_mix checkpoints its scored frame → 0 scans,
+    # covered by the default)
     "text_langid_classifier": {"documents": 2},
     "decontam_bloom": {"documents": 2},
-    "corpus_curriculum_mix": {"documents": 2},
 }
 
 

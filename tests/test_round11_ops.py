@@ -106,27 +106,40 @@ def test_bloom_decontam_covers_all_training_docs(spark):
 
 def test_curriculum_schedule_enforced(spark):
     """Decile 1 keeps everything (ppm=1e6 accepts every hash), decile
-    10 keeps nothing, selection never exceeds the bin, and the bins
-    partition the corpus."""
+    10 keeps nothing, selection never exceeds the bin, the bins
+    partition the corpus, and NO global-sort window is in the plan
+    (the orders_spend_deciles scale contract)."""
     from aichemy_data_pipelines_spark.operators.curriculum_ops import (
         _KEEP_PPM,
         corpus_curriculum_mix,
     )
 
-    rows = {r.decile: r for r in corpus_curriculum_mix(spark, SF_SMOKE).collect()}
-    assert set(rows) == set(range(1, 11))
+    df = corpus_curriculum_mix(spark, SF_SMOKE)
+    rows = {r.decile: r for r in df.collect()}
+    # cutoff binning can leave a boundary decile empty under heavy
+    # score ties — present deciles must be valid ids, and the top and
+    # bottom of the schedule must materialize on this fixture
+    assert set(rows) <= set(range(1, 11))
+    assert 1 in rows and 10 in rows
     assert rows[1].n_selected == rows[1].n_docs  # ppm 1e6 = keep all
     assert rows[10].n_selected == 0  # ppm 0 = drop all
     for d, r in rows.items():
         assert r.keep_ppm == _KEEP_PPM[d - 1]
         assert 0 <= r.n_selected <= r.n_docs
         assert r.min_score <= r.max_score
-    # deciles are ordered by score: min of decile d >= max of d+1 is
-    # too strict at ties; the non-strict ordering must hold
-    for d in range(1, 10):
-        assert rows[d].min_score >= rows[d + 1].min_score
-        assert rows[d].max_score >= rows[d + 1].max_score
+    # score ranges descend with the decile id (non-strict at ties)
+    present = sorted(rows)
+    for a, b in zip(present, present[1:]):
+        assert rows[a].min_score >= rows[b].min_score
+        assert rows[a].max_score >= rows[b].max_score
     total = sum(r.n_docs for r in rows.values())
     from aichemy_data_pipelines_spark.catalog import load_table
 
     assert total == load_table(spark, SF_SMOKE, "documents").count()
+    # the 100 TB contract: no single-partition global-sort window
+    # (\b: "percentile" — the op's bounded aggregate — contains the
+    # substring "ntile")
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"\bntile\b", plan.lower())
