@@ -676,6 +676,11 @@ def test_scan_budget(spark, name):
         "events_forecast_backtest",
         # r11: shared aHash subtree (r10 ADVICE)
         "multimodal_image_phash",
+        # r11 follow-on: shingle frame / bounded-frame checkpoints
+        "docs_boilerplate_fraction",
+        "docs_novelty",
+        "customer_rfm",
+        "corpus_curriculum_mix",
     ],
 )
 def test_graph_ops_checkpoint_cuts_candidate_chain(spark, qname):
