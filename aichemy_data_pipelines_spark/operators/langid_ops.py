@@ -84,13 +84,12 @@ _LEN_CAP = 200
 _DEC = "decimal(18,9)"
 
 
-def _labeled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _labeled_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, y, tokens, n_tokens): the teacher's class index per
     doc — text_langid's stopword argmax verbatim (greatest hits,
-    insertion-order tie-break, und on zero hits)."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(SPARK_TOKENS).alias("tokens")
-    )
+    insertion-order tie-break, und on zero hits) — from any
+    (doc_id, text) batch."""
+    d = docs.select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
     for lang, words in STOPWORDS.items():
         d = d.withColumn(
             f"h_{lang}", F.expr(spark_stopword_hits("tokens", words))
@@ -108,10 +107,17 @@ def _labeled_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return features_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def features_from_docs(docs: DataFrame) -> DataFrame:
     """(doc_id, y, j, x): sparse hashed presence features + dense
-    length and bias. Sparse is lossless — an absent (doc, j) pair has
-    x = 0 and contributes nothing to w·x or the gradient."""
-    toks = _labeled_tokens(spark, sf_dir)
+    length and bias, from any (doc_id, text) batch — shared by the
+    inline query and the persisted-index scorer
+    (pipeline/langid_index.py), so featurization can never drift.
+    Sparse is lossless — an absent (doc, j) pair has x = 0 and
+    contributes nothing to w·x or the gradient."""
+    toks = _labeled_tokens(docs)
     presence = (
         toks.select(
             "doc_id", "y", F.explode("tokens").alias("tok")
@@ -259,13 +265,22 @@ def text_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     feat = _features(spark, sf_dir)
     w = _train(spark, feat)
-    p = _class_probs(feat, _weights_frame(spark, w))
+    return present_predictions(
+        _class_probs(feat, _weights_frame(spark, w))
+    )
+
+
+def present_predictions(p: DataFrame) -> DataFrame:
+    """(doc_id, y, p0..p4) → the published (doc_id, teacher_lang,
+    pred_lang, score, agree) shape, shared by the inline query and
+    the persisted-index scorer (pipeline/langid_index.py).
+
+    score publishes the winning 9dp-decimal probability as ONE
+    decimal->double conversion — a second 6dp round() would re-round
+    a value that can sit exactly on a .5 boundary of the shorter
+    scale, where Spark (HALF_UP on the decimal string) and DuckDB
+    (on the binary double) disagree by 1 ulp."""
     lang_arr = ", ".join(f"'{lang}'" for lang in _LANGS)
-    # score publishes the winning 9dp-decimal probability as ONE
-    # decimal->double conversion — a second 6dp round() would re-round
-    # a value that can sit exactly on a .5 boundary of the shorter
-    # scale, where Spark (HALF_UP on the decimal string) and DuckDB
-    # (on the binary double) disagree by 1 ulp
     score = ", ".join(f"p{i}" for i in range(_N_CLASSES))
     return p.select(
         "doc_id",
