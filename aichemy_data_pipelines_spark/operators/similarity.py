@@ -5,19 +5,26 @@ Two paths, as a real vector pipeline has:
 * ``ann_cosine_topk`` — brute-force exact cosine top-k for a small
   query set: broadcast the queries, scan the corpus once, rank per
   query. The correctness baseline.
-* ``ann_lsh_topk`` — random-hyperplane LSH with multiprobe:
-  deterministic ±1 hyperplanes → bucket signature → each query
-  probes its own bucket plus every Hamming-1 neighbor → candidates =
-  equi-join on the probe key → exact cosine re-rank.
-  The 100 TB path: the only shuffle is an equi-join on the bucket
-  key; the bit width is DERIVED from the corpus size (``n_planes``:
-  ceil(log2(n / target_block)), clamped to [4, 16]) so bucket
-  density stays constant as the corpus grows, and multiprobe
-  recovers the recall that extra bits cost. On this synthetic corpus
-  (nearest neighbors only at cosine ≈ 0.4, per-plane agreement
-  p ≈ 0.63) the 4-bit+multiprobe design measures ~50% recall@3 vs
-  the exact baseline (tests/test_similarity.py); tighter real-world
-  neighbors (cosine ≥ 0.9 → p ≥ 0.9) push this to ~1.
+* ``ann_lsh_topk`` — BANDED random-hyperplane LSH with in-band
+  multiprobe: ``_N_BANDS`` independent plane families each produce a
+  ``planes``-bit signature (AND within a band); a query probes, in
+  EVERY band, its own bucket plus each Hamming-1 neighbor; the
+  candidate set is the UNION over bands (OR across bands) — the same
+  B×R OR-construction the MinHash dedup uses (dedup.py, 16 bands of
+  4), re-expressed for hyperplanes. Candidates = one equi-join on a
+  composite (band, signature) int key; exact cosine re-rank after.
+
+  Why bands: the bit width is DERIVED from the corpus size
+  (``n_planes``: ceil(log2(n / target_block)), clamped to [4, 16])
+  so bucket density stays constant as the corpus grows — but a
+  SINGLE growing signature loses recall monotonically (per-plane
+  agreement p ⇒ one band with Hamming-1 probes detects a pair with
+  q = p^R + R·p^(R-1)·(1-p), which decays like p^R; measured on the
+  sf0.1 corpus, going 4→6 planes halved near-dup recall). B
+  independent bands restore it: P(detect) = 1 − (1−q)^B. At p = 0.63
+  (this corpus's cosine ≈ 0.4 neighbors) and R = 6, q ≈ 0.28 alone
+  but P ≈ 0.74 with B = 4; tighter real-world neighbors
+  (cosine ≥ 0.9 ⇒ p ≥ 0.9) hold P ≈ 1 well past R = 10.
 
 Hyperplane weights are derived from md5 in PYTHON (hashlib) and
 inlined as literals into both engines' queries, so even the
@@ -26,15 +33,18 @@ decimal-exact (functions/vectors.py); cosines are rounded to 8dp
 before ranking so both engines rank identical values.
 
 Scale: the brute-force path is O(|Q|·N) with broadcast queries (no
-shuffle of the corpus); LSH drops it to O(|Q|·N/2^bits) expected.
-For real workloads raise bits with corpus size and add multi-probe
-(flip one bit) for recall — multiprobe is the same equi-join with an
-exploded probe list.
+shuffle of the corpus); banded LSH drops it to
+O(|Q| · B·(R+1) · N/2^R) expected — with 2^R ∝ N the candidate
+space stays ~linear in N (a log-factor from R growing). A pair can
+meet in up to B bands, so candidates are de-duplicated with a
+map-side-combinable (query, cand) aggregate before ranking (the
+oracle's DISTINCT twin).
 """
 
 from __future__ import annotations
 
 import hashlib
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -60,16 +70,28 @@ _TOP_K = 5
 # or move to the trained IVF index (ivf.py) anyway. The knob is
 # ``spark.aichemy.lsh.targetBlock`` — the DuckDB oracles compute the
 # SAME formula in-plan from COUNT(*) at the default target, so Spark
-# and oracle stay in lockstep (changing the conf without regenerating
-# oracles is a declared divergence).
+# and oracle stay in lockstep; a non-default conf raises a warning
+# (corpus_plane_count) because the committed oracle SQL cannot see it.
+#
+# _N_BANDS is the OR-width (round-13 verdict #2): fixed, because the
+# adaptive plane count already holds per-band bucket density constant
+# — bands buy back the recall that the growing AND-width costs (see
+# module docstring math). B = 4 restores sf0.1 recall above the old
+# fixed-4-bit level at ~1.4x its candidate cost.
 _MIN_PLANES = 4
 _MAX_PLANES = 16
+_N_BANDS = 4
+# composite bucket key = band * stride + band-signature; in-band
+# Hamming-1 flips touch only bits < _MAX_PLANES, so XOR on the
+# composite key stays inside the band's key space
+_BAND_STRIDE = 1 << _MAX_PLANES
 _TARGET_BLOCK = 32
 _DIM = 64
 
 
 def n_planes(n_rows: int, target_block: int = _TARGET_BLOCK) -> int:
-    """Corpus-size-derived hyperplane count (see module constants)."""
+    """Corpus-size-derived per-band hyperplane count (see module
+    constants)."""
     import math
 
     raw = math.ceil(math.log2(max(n_rows / float(target_block), 1.0)))
@@ -85,23 +107,37 @@ def _conf_target_block(spark: SparkSession) -> int:
 def corpus_plane_count(spark: SparkSession, sf_dir: str) -> int:
     """Plane count for the embeddings corpus at ``sf_dir`` — one
     metadata-cheap parquet count, then the deterministic formula both
-    engines share."""
+    engines share. A non-default ``spark.aichemy.lsh.targetBlock``
+    changes only the Spark side — the committed oracle SQL hardcodes
+    the default — so it warns loudly instead of silently failing the
+    driver's value gate (round-12 advice #3)."""
+    target = _conf_target_block(spark)
+    if target != _TARGET_BLOCK:
+        warnings.warn(
+            f"spark.aichemy.lsh.targetBlock={target} diverges from the "
+            f"default {_TARGET_BLOCK} baked into the DuckDB oracles; "
+            "oracle parity for the LSH queries WILL fail under this "
+            "conf (test/eval use only)",
+            stacklevel=2,
+        )
     n = load_table(spark, sf_dir, "embeddings").count()
-    return n_planes(n, _conf_target_block(spark))
+    return n_planes(n, target)
 
 
 def probe_xors(planes: int) -> list[int]:
-    """Probe keys: own bucket + all Hamming-1 neighbors."""
+    """In-band probe offsets: own bucket + all Hamming-1 neighbors."""
     return [0] + [1 << p for p in range(planes)]
 
 
 def _plane_weights() -> list[list[int]]:
-    """Deterministic ±1 hyperplanes: sign of md5("p:d") parity.
-    Generated up to the _MAX_PLANES ceiling; a query uses the first
-    ``planes`` rows, so growing the corpus only APPENDS planes — the
-    shared prefix keeps signatures comparable across scales."""
+    """Deterministic ±1 hyperplanes: sign of md5("p:d") parity, one
+    family of _MAX_PLANES planes per band (band b owns global rows
+    [b·_MAX_PLANES, (b+1)·_MAX_PLANES)). A band uses the first
+    ``planes`` rows of its family, so growing the corpus only APPENDS
+    planes — the shared prefix keeps signatures comparable across
+    scales. Band 0 is byte-identical to the pre-banding plane set."""
     planes = []
-    for p in range(_MAX_PLANES):
+    for p in range(_N_BANDS * _MAX_PLANES):
         row = []
         for d in range(_DIM):
             h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
@@ -113,10 +149,12 @@ def _plane_weights() -> list[list[int]]:
 _PLANES = _plane_weights()
 
 
-def _spark_signature(vec: str, planes: int = _MIN_PLANES) -> str:
-    """``planes``-bit LSH bucket signature expression (Spark dialect)."""
+def _spark_signature(vec: str, planes: int = _MIN_PLANES, band: int = 0) -> str:
+    """``planes``-bit LSH signature expression from band ``band``'s
+    plane family (Spark dialect)."""
+    off = band * _MAX_PLANES
     terms = []
-    for p, weights in enumerate(_PLANES[:planes]):
+    for p, weights in enumerate(_PLANES[off : off + planes]):
         arr = ", ".join(str(w) for w in weights)
         proj = (
             f"cast(aggregate(zip_with({vec}, array({arr}), "
@@ -127,6 +165,31 @@ def _spark_signature(vec: str, planes: int = _MIN_PLANES) -> str:
         )
         terms.append(f"(case when ({proj}) >= 0 then {1 << p} else 0 end)")
     return " + ".join(terms)
+
+
+def _spark_sig_keys(vec: str, planes: int) -> str:
+    """Array of the _N_BANDS composite (band·stride + signature)
+    bucket keys — ONE pure-map column per vector."""
+    elems = ", ".join(
+        f"({b * _BAND_STRIDE} + ({_spark_signature(vec, planes, b)}))"
+        for b in range(_N_BANDS)
+    )
+    return f"array({elems})"
+
+
+def _spark_probe_keys(planes: int) -> str:
+    """Probe-key array over a ``sigs`` column: every band's own
+    bucket + Hamming-1 flips — B·(planes+1) keys."""
+    return ", ".join(
+        f"int(sigs[{b}] ^ {x})"
+        for b in range(_N_BANDS)
+        for x in probe_xors(planes)
+    )
+
+
+def _spark_member_keys() -> str:
+    """Corpus-side key array: each band's own bucket — B keys."""
+    return ", ".join(f"int(sigs[{b}])" for b in range(_N_BANDS))
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,35 +226,35 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN top-3 with Hamming-1 multiprobe: signature
-    equi-join on the probe key, exact cosine re-rank in-bucket.
+    """Banded-LSH ANN top-3: composite (band, signature) equi-join,
+    in-band Hamming-1 multiprobe, exact cosine re-rank on the unioned
+    candidates.
 
-    Scale: signature is a pure-map column; queries explode to 5 probe
-    keys (queries are the small side — the corpus is NOT inflated);
-    the candidate join is an equi-join on the bucket key with
-    expected fanout 5·N/2^bits. Recall asserted against the exact
-    baseline in tests/test_similarity.py.
+    Scale: the signature array is a pure-map column; queries explode
+    to B·(planes+1) probe keys (queries are the small side — the
+    corpus explodes only B×); the candidate join is an equi-join on
+    one int key with expected fanout B·(planes+1)·N/2^planes. A pair
+    can meet in up to B bands, so a (query, cand) max-aggregate
+    (map-side combinable) dedups candidates before the ranking
+    window. Recall asserted against the exact baseline in
+    tests/test_similarity.py at floor AND elevated plane counts.
     """
     planes = corpus_plane_count(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "sig", F.expr(_spark_signature("embedding", planes))
+        "sigs", F.expr(_spark_sig_keys("embedding", planes))
     )
-    probes = ", ".join(f"int(sig ^ {x})" for x in probe_xors(planes))
     norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
-    q = (
-        e.where(F.col("vec_id") < _N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.expr(norm).alias("qn"),
-            F.explode(F.expr(f"array({probes})")).alias("sig"),
-        )
+    q = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(norm).alias("qn"),
+        F.explode(F.expr(f"array({_spark_probe_keys(planes)})")).alias("sig"),
     )
     c = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         F.expr(norm).alias("cn"),
-        "sig",
+        F.explode(F.expr(f"array({_spark_member_keys()})")).alias("sig"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
     dot = spark_dot_exact("qv", "cv")
@@ -200,6 +263,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, "sig")
         .where(F.col("query_id") != F.col("cand_id"))
         .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        .groupBy("query_id", "cand_id")
+        .agg(F.max("cosine").alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("query_id", "rk", "cand_id", "cosine")
@@ -210,21 +275,22 @@ _KNN_K = 3
 
 
 def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL-corpus k-NN graph (k=3) over the LSH buckets — the
+    """ALL-corpus k-NN graph (k=3) over the banded LSH buckets — the
     building block of graph-based dedup (connect the graph, then
     clustering.py's connected components label it) and of SemDeDup-
     style neighborhood analyses.
 
     Unlike ``ann_lsh_topk`` (a small query set probing the corpus),
-    here EVERY vector is a query: the corpus explodes to its probe
-    keys (rows planes+1 ×, vectors shared by reference) and
-    self-joins on the bucket key — candidate fanout
-    (planes+1)·N²/2^planes, and the plane count DOES grow with
-    log₂(N) (corpus_plane_count) to hold per-bucket density constant,
-    so the fanout stays ~(planes+1)·N·_TARGET_BLOCK; the plan
-    (pure-map signature, one equi-join, per-key top-k window) never
-    changes. A pair meets on exactly one probe offset, so no distinct
-    is needed before the re-rank.
+    here EVERY vector is a query: the corpus explodes to its
+    B·(planes+1) probe keys on the left and its B member keys on the
+    right (rows, not vectors — Tungsten shares the array ref) and
+    self-joins on the composite key — candidate fanout
+    B·(planes+1)·N²/2^planes, and the per-band plane count DOES grow
+    with log₂(N) (corpus_plane_count) to hold per-bucket density
+    constant, so the fanout stays ~B·(planes+1)·N·_TARGET_BLOCK; the
+    plan (pure-map signatures, one equi-join, per-key top-k window)
+    never changes. A pair meeting in several bands is de-duplicated
+    by the (vec, nbr) max-aggregate before the re-rank.
 
     Edges are directed (a → its top-k); k-NN graphs are asymmetric by
     nature. Recall vs the exact graph is the LSH trade, asserted in
@@ -232,21 +298,20 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     planes = corpus_plane_count(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "sig", F.expr(_spark_signature("embedding", planes))
+        "sigs", F.expr(_spark_sig_keys("embedding", planes))
     )
-    probes = ", ".join(f"int(sig ^ {x})" for x in probe_xors(planes))
     norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
     a = e.select(
         "vec_id",
         F.col("embedding").alias("va"),
         F.expr(norm).alias("na"),
-        F.explode(F.expr(f"array({probes})")).alias("sig"),
+        F.explode(F.expr(f"array({_spark_probe_keys(planes)})")).alias("sig"),
     )
     b = e.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").alias("vb"),
         F.expr(norm).alias("nb"),
-        "sig",
+        F.explode(F.expr(f"array({_spark_member_keys()})")).alias("sig"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nbr_id")
     dot = spark_dot_exact("va", "vb")
@@ -254,6 +319,8 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "sig")
         .where(F.col("vec_id") != F.col("nbr_id"))
         .withColumn("cosine", F.round(F.expr(f"{dot} / (na * nb)"), 8))
+        .groupBy("vec_id", "nbr_id")
+        .agg(F.max("cosine").alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _KNN_K)
         .select("vec_id", "rk", "nbr_id", "cosine")
@@ -280,9 +347,9 @@ def _sql_cosine(alias_a: str, alias_b: str) -> str:
 
 def _sql_nplanes() -> str:
     """DuckDB twin of ``n_planes(count(embeddings))`` — the adaptive
-    bit width computed IN-PLAN, so the oracle follows the corpus size
-    exactly as the Spark side's driver-side count does. Emits a
-    one-row CTE body ``(np)``."""
+    per-band bit width computed IN-PLAN, so the oracle follows the
+    corpus size exactly as the Spark side's driver-side count does.
+    Emits a one-row CTE body ``(np)``."""
     return (
         f"SELECT LEAST({_MAX_PLANES}, GREATEST({_MIN_PLANES}, "
         f"CAST(CEIL(LOG2(GREATEST(COUNT(*) / {_TARGET_BLOCK}.0, 1.0))) "
@@ -290,8 +357,10 @@ def _sql_nplanes() -> str:
     )
 
 
-# probe list for a masked signature: own bucket + one flip per ACTIVE
-# plane (DuckDB dialect; ``np`` must be in scope via nparam)
+# probe list for a composite (band·stride + sig) key: own bucket +
+# one in-band flip per ACTIVE plane — flips touch only bits <
+# _MAX_PLANES, so the band part of the key survives the XOR (DuckDB
+# dialect; ``np`` must be in scope via nparam)
 _SQL_PROBES = (
     "unnest(list_prepend(sig, "
     "list_transform(range(0, np), p -> xor(sig, 1 << p))))"
@@ -299,22 +368,32 @@ _SQL_PROBES = (
 
 
 def _sql_signature() -> str:
-    """DuckDB signature: zipped unnest of vector + _MAX_PLANES weight
-    lists, bit-masked down to the adaptive plane count ``np`` (planes
-    at index >= np contribute 0, exactly like the Spark side never
-    emitting them)."""
+    """DuckDB signatures: zipped unnest of vector + all
+    _N_BANDS·_MAX_PLANES weight lists, each band's sums bit-masked
+    down to the adaptive plane count ``np`` (planes at index >= np
+    contribute 0, exactly like the Spark side never emitting them).
+    ``sigs`` holds one row per (vector, band) carrying the composite
+    band·stride + signature key — the exploded twin of the Spark
+    side's sig-key array."""
     unnests = ", ".join(
-        f"unnest({list(w)}) AS w{p}" for p, w in enumerate(_PLANES)
+        f"unnest({list(w)}) AS w{g}" for g, w in enumerate(_PLANES)
     )
     sums = ", ".join(
         f"SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12)) "
-        f"* CAST(w{p} AS DECIMAL(2,0))) AS s{p}"
-        for p in range(_MAX_PLANES)
+        f"* CAST(w{g} AS DECIMAL(2,0))) AS s{g}"
+        for g in range(len(_PLANES))
     )
-    bits = " + ".join(
-        f"(CASE WHEN {p} < np AND CAST(s{p} AS DOUBLE) >= 0 "
-        f"THEN {1 << p} ELSE 0 END)"
-        for p in range(_MAX_PLANES)
+    band_rows = "\n            UNION ALL ".join(
+        "SELECT vec_id, {base} + ({bits}) AS sig FROM sigparts, nparam".format(
+            base=b * _BAND_STRIDE,
+            bits=" + ".join(
+                f"(CASE WHEN {p} < np AND "
+                f"CAST(s{b * _MAX_PLANES + p} AS DOUBLE) >= 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+                for p in range(_MAX_PLANES)
+            ),
+        )
+        for b in range(_N_BANDS)
     )
     return f"""
         nparam AS ({_sql_nplanes()}),
@@ -324,7 +403,7 @@ def _sql_signature() -> str:
                   FROM embeddings)
             GROUP BY vec_id
         ), sigs AS (
-            SELECT vec_id, {bits} AS sig FROM sigparts, nparam
+            {band_rows}
         )
     """
 
