@@ -237,7 +237,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     can meet in up to B bands, so a (query, cand) max-aggregate
     (map-side combinable) dedups candidates before the ranking
     window. Recall asserted against the exact baseline in
-    tests/test_similarity.py at floor AND elevated plane counts.
+    tests/test_similarity.py at the plane-count floor
+    (test_lsh_recall_floor); the shared banded sig/probe machinery
+    is additionally pinned at a FORCED elevated plane count through
+    ann_knn_graph and dedup_embedding_cosine
+    (test_banded_recall_floor_at_elevated_plane_count).
     """
     planes = corpus_plane_count(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").withColumn(

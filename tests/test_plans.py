@@ -418,7 +418,11 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         ("parts_copurchase_lift", 12),  # pair-enum + per-part stats, AQE joins
         ("corpus_temperature_mix", 2),  # |sources| agg
         ("multimodal_mix_report", 2),  # per-modality agg over decode
-        ("ann_recall_eval", 9),  # nests exact + LSH member plans
+        # nests exact + LSH member plans; +1 in r13 for the banded
+        # multiprobe's (query, cand) dedup aggregate — a pair can now
+        # meet in up to _N_BANDS bands, and the max-combine runs on
+        # the query-bounded candidate set (≤ B·(planes+1)·|Q|·block)
+        ("ann_recall_eval", 10),
         ("corpus_dedup_savings", 5),  # hash-groupBy + savings agg
         ("docs_length_percentiles_by_source", 1),  # one source shuffle
         ("dedup_within_domain", 1),  # the ONE (domain, fp) shuffle
