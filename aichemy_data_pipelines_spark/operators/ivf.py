@@ -6,8 +6,10 @@ reference has no ANN; this is part of the LLM-data operator mandate).
 Quantizer training (fully declarative, reproducible, and expressible
 in BOTH engines so even the training is oracle-checked):
 
-1. seeds — the K=8 vectors with the smallest md5(vec_id) (a
-   deterministic pseudo-random sample; portable, no RNG state);
+1. seeds — the K vectors with the smallest md5(vec_id) (a
+   deterministic pseudo-random sample; portable, no RNG state).
+   K is scale-adaptive: clamp(ceil(N/64), 8, 1024) — see the
+   constants block; the oracle recomputes it in-plan from COUNT(*);
 2. Lloyd iterations (2, unrolled) — assign every vector to its
    max-cosine centroid (8dp-rounded, ties to the lower list id),
    recompute centroids as per-list per-dimension EXACT-decimal means
@@ -16,14 +18,16 @@ in BOTH engines so even the training is oracle-checked):
 3. the final assignment is the inverted-list id.
 
 Search: each query scores the K centroids, probes its top-nprobe
-lists, exact cosine re-rank inside the probed lists, top-3.
+(n_probe(K) = max(2, ceil(sqrt(K/2)))) lists, exact cosine re-rank
+inside the probed lists, top-3.
 
-Scale: training runs on a SAMPLE (here the corpus — the plan is the
-same; at 100 TB you'd train on ~1M sampled rows, the cross join is
-sample×K and each Lloyd step is one groupBy); centroids are a tiny
-broadcast; the only corpus-scale shuffle is the final equi-join on
-list id with fanout N·nprobe/K. nprobe is the recall/cost knob; the
-plan never changes.
+Scale: K ∝ N holds list sizes at ~_TARGET_LIST vectors, so probed
+candidates per query stay N·nprobe/K ≈ nprobe·_TARGET_LIST — constant
+per probe. Lloyd training runs on the md5-leading _TRAIN_PER_LIST·K
+sample once the corpus outgrows it (past the _MAX_LISTS cap), keeping
+training O(K²·iters); below the cap the sample is the whole corpus
+and the plan is unchanged. Centroids are a tiny broadcast; the only
+corpus-scale shuffle is the final equi-join on list id.
 
 Recall: k-means lists are cosine-cohesive by construction, unlike
 the corpus ``label`` column (not cosine-clustered — recall there ≈
@@ -32,6 +36,8 @@ quantizer beats the label partition at equal nprobe.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -44,10 +50,74 @@ from aichemy_data_pipelines_spark.functions.layout import (
 from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
 
 _N_QUERIES = 10
-_NPROBE = 2
+_NPROBE = 2  # floor — the effective probe count is n_probe(K)
 _TOP_K = 3
-_N_LISTS = 8
+# K is SCALE-ADAPTIVE (round-11 verdict #2, the n_planes recipe): a
+# fixed K=8 turns 10x data into ~100x within-list pair work, because
+# expected list size N/K grows linearly with the corpus. Instead
+# K = clamp(ceil(N / _TARGET_LIST), 8, 1024) holds lists at
+# ~_TARGET_LIST vectors at any scale, so SemDeDup's within-cluster
+# pair stage and IVF's probed-candidate volume stay ~linear in N.
+# The floor keeps the tiny test corpora (≤512 vectors) on the
+# historical K=8 behavior; past the 1024-list cap (>65k vectors)
+# Lloyd training runs on the md5-leading _TRAIN_PER_LIST·K sample
+# (bounded O(K²) training) while the final assignment still covers
+# the full corpus. The knob is ``spark.aichemy.ivf.targetList``; the
+# DuckDB oracles compute the SAME formula in-plan from COUNT(*) at
+# the default target, so a non-default conf warns (corpus_list_count)
+# exactly like the LSH targetBlock knob.
+_MIN_LISTS = 8
+_MAX_LISTS = 1024
+_TARGET_LIST = 64
+_TRAIN_PER_LIST = 64
+_LIST_CONF = "spark.aichemy.ivf.targetList"
 _LLOYD_ITERS = 2
+
+
+def n_lists(n_rows: int, target_list: int = _TARGET_LIST) -> int:
+    """Corpus-size-derived inverted-list count (see module constants)."""
+    import math
+
+    raw = math.ceil(n_rows / float(target_list))
+    return min(_MAX_LISTS, max(_MIN_LISTS, raw))
+
+
+def n_probe(k: int) -> int:
+    """Probe count for a K-list index: max(2, ceil(sqrt(K/2))) — the
+    standard sqrt heuristic, so the searched fraction nprobe/K shrinks
+    as the index grows while absolute probe work grows sublinearly.
+    K=8 → 2 (the historical behavior at test scale)."""
+    import math
+
+    return max(_NPROBE, math.ceil(math.sqrt(k / 2.0)))
+
+
+def _conf_target_list(spark: SparkSession) -> int:
+    return int(spark.conf.get(_LIST_CONF, str(_TARGET_LIST)))
+
+
+def _corpus_k_n(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(K, N) for the embeddings corpus at ``sf_dir`` — one
+    metadata-cheap parquet count, then the deterministic formula both
+    engines share. A non-default ``spark.aichemy.ivf.targetList``
+    changes only the Spark side — the committed oracle SQL hardcodes
+    the default — so it warns loudly instead of silently failing the
+    driver's value gate (the LSH targetBlock recipe)."""
+    target = _conf_target_list(spark)
+    if target != _TARGET_LIST:
+        warnings.warn(
+            f"{_LIST_CONF}={target} diverges from the default "
+            f"{_TARGET_LIST} baked into the DuckDB oracles; oracle "
+            "parity for the IVF/SemDeDup queries WILL fail under this "
+            "conf (test/eval use only)",
+            stacklevel=2,
+        )
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return n_lists(n, target), n
+
+
+def corpus_list_count(spark: SparkSession, sf_dir: str) -> int:
+    return _corpus_k_n(spark, sf_dir)[0]
 
 _NORM = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
 
@@ -97,8 +167,13 @@ def _mean_centroids(assign: DataFrame) -> DataFrame:
     )
 
 
-def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Train the coarse quantizer; returns (centroids, assignment)."""
+def _kmeans(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse quantizer; returns (centroids, assignment).
+
+    ``k`` skips the redundant corpus count when the caller already
+    resolved it (ann_ivf_topk needs K for its probe count too)."""
     # spread BEFORE training: the decimal-HOF assign work otherwise
     # runs on the single scan split of a small embeddings file
     e = (
@@ -106,10 +181,29 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
         .select("vec_id", "embedding")
         .transform(spread_small_input)
     )
+    if k is None:
+        k, n = _corpus_k_n(spark, sf_dir)
+    else:
+        n = load_table(spark, sf_dir, "embeddings").count()
+    # Lloyd iterations run on the md5-leading training sample when the
+    # corpus outgrows _TRAIN_PER_LIST·K (only possible past the
+    # _MAX_LISTS cap, >65k vectors at the default target): bounded
+    # O(K²) training, full-corpus final assignment. Below the cap the
+    # sample IS the corpus and the plan is untouched.
+    cap = _TRAIN_PER_LIST * k
+    train = e
+    if n > cap:
+        train = (
+            e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h")
+            .limit(cap)
+            .drop("h")
+            .transform(spread_small_input)
+        )
     seeds = (
-        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        train.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
-        .limit(_N_LISTS)
+        .limit(k)
     )
     cents = seeds.select(
         F.row_number().over(Window.orderBy("h")).alias("list_id"),
@@ -122,13 +216,16 @@ def _kmeans(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     # EVERY downstream reference (see functions/layout.freeze_small)
     cents = freeze_small(cents)
     for _ in range(_LLOYD_ITERS):
-        cents = freeze_small(_mean_centroids(_assign(e, cents)))
+        cents = freeze_small(_mean_centroids(_assign(train, cents)))
     return cents, _assign(e, cents)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF search over k-means lists: nprobe=2, exact cosine top-3."""
-    cents, lists = _kmeans(spark, sf_dir)
+    """IVF search over k-means lists: nprobe=n_probe(K) (2 at test
+    scale), exact cosine top-3."""
+    k = corpus_list_count(spark, sf_dir)
+    nprobe = n_probe(k)
+    cents, lists = _kmeans(spark, sf_dir, k=k)
     e = load_table(spark, sf_dir, "embeddings").transform(spread_small_input)
 
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
@@ -144,7 +241,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.crossJoin(F.broadcast(cents))
         .withColumn("c_cos", F.round(F.expr(f"{cdot} / (qn * ({cnorm}))"), 8))
         .withColumn("prk", F.row_number().over(wq))
-        .where(F.col("prk") <= _NPROBE)
+        .where(F.col("prk") <= nprobe)
         .select("query_id", "qv", "qn", "list_id")
     )
     # search inside the probed inverted lists
@@ -250,13 +347,15 @@ def _sql_pair_cos(a: str, b: str) -> str:
     )
 
 
-def _sql_assign_ctes(cent: str, out: str) -> str:
-    """CTE chain assigning every vector to its max-cosine centroid
-    from ``cent``; emits ``{out}(vec_id, list_id)``."""
+def _sql_assign_ctes(cent: str, out: str, src: str = "embeddings") -> str:
+    """CTE chain assigning every ``src`` vector to its max-cosine
+    centroid from ``cent``; emits ``{out}(vec_id, list_id)``. Lloyd
+    iterations pass the training-sample CTE as ``src``; the final
+    assignment uses the full ``embeddings`` table."""
     return f"""{out}_x AS (
             SELECT e.vec_id, c.list_id,
                    unnest(e.embedding) AS xa, unnest(c.centroid) AS xb
-            FROM embeddings e, {cent} c
+            FROM {src} e, {cent} c
         ), {out}_s AS (
             SELECT vec_id, list_id, {_sql_pair_cos('xa', 'xb')} AS a_cos
             FROM {out}_x GROUP BY vec_id, list_id
@@ -292,17 +391,38 @@ def _sql_mean_ctes(assign: str, out: str) -> str:
         )"""
 
 
-_KMEANS_CTES = f"""seeds AS (
-            SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding
-            FROM embeddings ORDER BY h LIMIT {_N_LISTS}
+# In-plan K (and probe count): the oracle derives K from COUNT(*)
+# with the same clamp the Spark side computes, seeds/training sample
+# are the md5-leading rows, Lloyd runs on the sample, the final
+# assignment on the full table — lockstep with _kmeans at any scale.
+_SQL_NK = (
+    f"SELECT CAST(LEAST({_MAX_LISTS}, GREATEST({_MIN_LISTS}, "
+    f"CEIL(COUNT(*) / {_TARGET_LIST}.0))) AS BIGINT) AS k "
+    "FROM embeddings"
+)
+_SQL_NPROBE = (
+    f"GREATEST({_NPROBE}, CAST(CEIL(SQRT(nk.k / 2.0)) AS BIGINT))"
+)
+
+_KMEANS_CTES = f"""nk AS ({_SQL_NK}), ranked AS (
+            SELECT vec_id, embedding,
+                   md5(CAST(vec_id AS VARCHAR)) AS h,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+            FROM embeddings
+        ), seeds AS (
+            SELECT h, embedding FROM ranked, nk WHERE rn <= nk.k
+        ), train AS (
+            SELECT vec_id, embedding FROM ranked, nk
+            WHERE rn <= nk.k * {_TRAIN_PER_LIST}
         ), cent0 AS (
             SELECT row_number() OVER (ORDER BY h) AS list_id,
                    list_transform(embedding,
                                   x -> round(CAST(x AS DOUBLE), 6)) AS centroid
             FROM seeds
-        ), {_sql_assign_ctes('cent0', 'a1')},
+        ), {_sql_assign_ctes('cent0', 'a1', src='train')},
         {_sql_mean_ctes('a1', 'cent1')},
-        {_sql_assign_ctes('cent1', 'a2')},
+        {_sql_assign_ctes('cent1', 'a2', src='train')},
         {_sql_mean_ctes('a2', 'cent2')},
         {_sql_assign_ctes('cent2', 'lists')}"""
 
@@ -321,8 +441,8 @@ ORACLE = {
                 SELECT query_id, list_id,
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY c_cos DESC, list_id) AS prk
-                FROM qscore) t
-            WHERE prk <= {_NPROBE}
+                FROM qscore) t, nk
+            WHERE prk <= {_SQL_NPROBE}
         ), pairs AS (
             SELECT p.query_id, l.vec_id AS cand_id,
                    q.embedding AS qv, c.embedding AS cv

@@ -35,7 +35,9 @@ _NPROBE = 2
 _TOP_K = 3
 
 
-def _probe_lists(e: DataFrame, cents: DataFrame) -> DataFrame:
+def _probe_lists(
+    e: DataFrame, cents: DataFrame, nprobe: int = _NPROBE
+) -> DataFrame:
     """(query_id, list_id) nprobe routing — the exact probe set the
     composed index searches; exposed so tests can assert the ADC
     candidates' lists are contained in it."""
@@ -52,7 +54,7 @@ def _probe_lists(e: DataFrame, cents: DataFrame) -> DataFrame:
             "c_cos", F.round(F.expr(f"{cdot} / (({qnorm}) * ({cnorm}))"), 8)
         )
         .withColumn("prk", F.row_number().over(wq))
-        .where(F.col("prk") <= _NPROBE)
+        .where(F.col("prk") <= nprobe)
         .select("query_id", "list_id")
     )
 
@@ -64,9 +66,10 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, ties to lower cand_id; the query itself is excluded.
     """
     # --- IVF side: trained lists + per-query probe set -------------
-    cents, lists = _ivf._kmeans(spark, sf_dir)
+    k = _ivf.corpus_list_count(spark, sf_dir)
+    cents, lists = _ivf._kmeans(spark, sf_dir, k=k)
     e = _ivf.load_table(spark, sf_dir, "embeddings")
-    probes = _probe_lists(e, cents)
+    probes = _probe_lists(e, cents, nprobe=_ivf.n_probe(k))
 
     # --- PQ side: trained codebooks, corpus codes, query tables ----
     subs = _pq._subs(spark, sf_dir).transform(spread_small_input)
@@ -131,18 +134,27 @@ QUERIES = {"ann_ivf_pq_topk": ann_ivf_pq_topk}
 
 # IVF training chain with i-prefixed CTE names so it can share one
 # WITH clause with the PQ training chain (both canonically use
-# seeds/cent0/a1/cent1).
-_IVF_CTES = f"""iseeds AS (
-            SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding
-            FROM embeddings ORDER BY h LIMIT {_ivf._N_LISTS}
+# seeds/cent0/a1/cent1). K and the training sample are in-plan, in
+# lockstep with ivf._KMEANS_CTES.
+_IVF_CTES = f"""ink AS ({_ivf._SQL_NK}), iranked AS (
+            SELECT vec_id, embedding,
+                   md5(CAST(vec_id AS VARCHAR)) AS h,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+            FROM embeddings
+        ), iseeds AS (
+            SELECT h, embedding FROM iranked, ink WHERE rn <= ink.k
+        ), itrain AS (
+            SELECT vec_id, embedding FROM iranked, ink
+            WHERE rn <= ink.k * {_ivf._TRAIN_PER_LIST}
         ), icent0 AS (
             SELECT row_number() OVER (ORDER BY h) AS list_id,
                    list_transform(embedding,
                                   x -> round(CAST(x AS DOUBLE), 6)) AS centroid
             FROM iseeds
-        ), {_ivf._sql_assign_ctes('icent0', 'ia1')},
+        ), {_ivf._sql_assign_ctes('icent0', 'ia1', src='itrain')},
         {_ivf._sql_mean_ctes('ia1', 'icent1')},
-        {_ivf._sql_assign_ctes('icent1', 'ia2')},
+        {_ivf._sql_assign_ctes('icent1', 'ia2', src='itrain')},
         {_ivf._sql_mean_ctes('ia2', 'icent2')},
         {_ivf._sql_assign_ctes('icent2', 'ilists')}"""
 
@@ -164,8 +176,8 @@ ORACLE = {
                 SELECT query_id, list_id,
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY c_cos DESC, list_id) AS prk
-                FROM qscore) t
-            WHERE prk <= {_NPROBE}
+                FROM qscore) t, ink nk
+            WHERE prk <= {_ivf._SQL_NPROBE}
         ), dtab_x AS (
             SELECT sb.vec_id AS query_id, sb.s, c.cid AS code,
                    unnest(sb.sub) AS xa, unnest(c.cent) AS xb

@@ -21,11 +21,13 @@ doomed it (0 for keepers).
 
 Scale: the k-means trains on a sample (see ivf.py's scale notes);
 assignment is a broadcast cross-score; the pair stage is an equi-join
-on list_id whose fanout is bounded by cluster sizes — at 100 TB you
-raise K so clusters stay ~10^4-10^5 vectors (the paper uses
-K=50,000 for LAION), keeping per-cluster pair work bounded while the
-join stays a single shuffle on list_id. Exact-decimal dot products
-keep the verdict bit-identical across engines.
+on list_id whose fanout is bounded by cluster sizes — K is
+SCALE-ADAPTIVE (ivf.n_lists: clamp(ceil(N/64), 8, 1024), oracle
+in-plan from COUNT(*)), so clusters hold ~64 vectors at any corpus
+size and the within-cluster pair work stays ~linear in N (the paper
+raises K the same way — 50,000 lists for LAION), while the join stays
+a single shuffle on list_id. Exact-decimal dot products keep the
+verdict bit-identical across engines.
 """
 
 from __future__ import annotations

@@ -36,9 +36,8 @@ from pyspark.sql import functions as F
 from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
 from aichemy_data_pipelines_spark.operators.ivf import (
     _kmeans,
-    _N_LISTS,
-    _NPROBE,
     _TOP_K,
+    n_probe,
 )
 from aichemy_data_pipelines_spark.pipeline.atomic import AtomicParquetTable
 
@@ -59,7 +58,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str, root: str) -> int:
         lists.select("list_id", "vec_id", "embedding"),
         partition_by=["list_id"],
         meta={
-            "n_lists": _N_LISTS,
+            "n_lists": len(cent_rows),
             "sf_dir": sf_dir,
             "centroids": cent_rows,
         },
@@ -89,7 +88,7 @@ def query_ivf_index(
     spark: SparkSession,
     root: str,
     queries: DataFrame,
-    nprobe: int = _NPROBE,
+    nprobe: int | None = None,
     top_k: int = _TOP_K,
     exclude_query_ids: bool = True,
 ) -> DataFrame:
@@ -97,6 +96,8 @@ def query_ivf_index(
 
     *queries*: (query_id, embedding).  Output matches
     operators/ivf.ann_ivf_topk: (query_id, rk, cand_id, cosine).
+    ``nprobe`` defaults to ``ivf.n_probe(K)`` for the index's own K
+    (read from the manifest), matching the inline operator.
 
     ``exclude_query_ids``: drop candidates whose ``vec_id`` equals
     the query's ``query_id`` — correct when query ids ARE corpus
@@ -112,6 +113,8 @@ def query_ivf_index(
     table = _postings_table(root)
     version = table.version()
     cents = _load_centroids(spark, root, version)
+    if nprobe is None:
+        nprobe = n_probe(len(table.meta(version)["centroids"]))
     postings = table.read(spark, version=version)
     if postings is None:
         raise ValueError(

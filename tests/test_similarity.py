@@ -271,3 +271,157 @@ def test_knn_graph_recall_and_shape(spark):
         hits += len(exact & got)
         total += 3
     assert hits / total >= 0.3, f"kNN graph recall collapsed: {hits/total:.2f}"
+
+
+def test_banded_recall_floor_at_elevated_plane_count(spark):
+    """The round-12 single-band design collapsed recall when the
+    adaptive plane count grew past the 4-bit floor (46%->23% at
+    planes=6); the round-13 B=4 banded OR-construction is supposed to
+    buy it back. Force the elevated regime on the small corpus
+    (targetBlock=8 -> planes=6 at 500 rows, the same plane count
+    where sf0.1 measured dedup recall 0.639 / knn edge recall 0.733)
+    and pin floors against exact ground truth computed in-test:
+    dedup_embedding_cosine recall >= 0.45 and ann_knn_graph edge
+    recall >= 0.55 (measured 0.556 / 0.680 here; 10-20% headroom).
+    The non-default targetBlock must also raise the oracle-divergence
+    warning (similarity.corpus_plane_count) -- asserted, because the
+    committed DuckDB oracles cannot see the conf."""
+    import warnings
+
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        ann_knn_graph,
+        corpus_plane_count,
+    )
+    from tests.conftest import SF_ORACLE
+
+    spark.conf.set("spark.aichemy.lsh.targetBlock", "8")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            planes = corpus_plane_count(spark, SF_ORACLE)
+        assert planes == 6, f"expected the elevated 6-plane regime, got {planes}"
+        assert any("targetBlock" in str(w.message) for w in caught), (
+            "non-default targetBlock must warn about oracle divergence"
+        )
+
+        rows = sorted(
+            spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").collect(),
+            key=lambda r: r.vec_id,
+        )
+        ids = [r.vec_id for r in rows]
+        labels = [r.label for r in rows]
+        v = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        cos = vn @ vn.T
+        n = len(ids)
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            got_pairs = {
+                (r.id_a, r.id_b)
+                for r in dedup_embedding_cosine(spark, SF_ORACLE).collect()
+            }
+            got_edges = {
+                (r.vec_id, r.nbr_id)
+                for r in ann_knn_graph(spark, SF_ORACLE).collect()
+            }
+
+        iu, ju = np.triu_indices(n, 1)
+        same = np.array(labels)[iu] == np.array(labels)[ju]
+        near = cos[iu, ju] >= 0.25
+        truth = {
+            (ids[i], ids[j])
+            for i, j in zip(iu[same & near], ju[same & near])
+        }
+        assert truth
+        recall = len(truth & got_pairs) / len(truth)
+        precision = len(truth & got_pairs) / max(len(got_pairs), 1)
+        assert recall >= 0.45, f"banded dedup recall collapsed: {recall:.3f}"
+        assert precision >= 0.99, f"dedup emitted false pairs: {precision:.3f}"
+
+        np.fill_diagonal(cos, -2.0)
+        exact_edges = set()
+        for i in range(n):
+            top = sorted(range(n), key=lambda j: (-cos[i, j], ids[j]))[:3]
+            exact_edges.update((ids[i], ids[j]) for j in top)
+        edge_recall = len(exact_edges & got_edges) / len(exact_edges)
+        assert edge_recall >= 0.55, (
+            f"banded kNN edge recall collapsed: {edge_recall:.3f}"
+        )
+    finally:
+        spark.conf.unset("spark.aichemy.lsh.targetBlock")
+
+
+def test_ivf_k_formula_and_probe_scaling():
+    """K = clamp(ceil(N/64), 8, 1024), nprobe = max(2, ceil(sqrt(K/2)))
+    — the pinned scale contract (r11 verdict #2): list sizes stay
+    ~constant as the corpus grows, probe count grows as sqrt(K)."""
+    from aichemy_data_pipelines_spark.operators.ivf import n_lists, n_probe
+
+    assert n_lists(1) == 8          # floor
+    assert n_lists(500) == 8        # test corpora stay on K=8
+    assert n_lists(512) == 8
+    assert n_lists(513) == 9
+    assert n_lists(2000) == 32      # sf0.1
+    assert n_lists(20000) == 313    # the 10x stress corpus
+    assert n_lists(10**9) == 1024   # cap
+    assert n_probe(8) == 2          # historical behavior at the floor
+    assert n_probe(32) == 4
+    assert n_probe(313) == 13
+    assert n_probe(1024) == 23
+
+
+def test_ivf_elevated_k_recall_and_bounded_lists(spark):
+    """Force the adaptive-K path on the small corpus
+    (targetList=16 -> K=32, nprobe=4 at 500 rows): the non-default
+    conf must warn (oracle divergence), lists must stay bounded near
+    the target (the whole point of K ∝ N), and IVF recall vs the
+    exact baseline must clear a floor -- k-means lists stay
+    cosine-cohesive at 4x the list count."""
+    import warnings
+
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _kmeans,
+        ann_ivf_topk,
+        corpus_list_count,
+    )
+
+    spark.conf.set("spark.aichemy.ivf.targetList", "16")
+    try:
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            k = corpus_list_count(spark, SF_SMOKE)
+        assert k == 32
+        assert any("targetList" in str(w.message) for w in caught), (
+            "non-default targetList must warn about oracle divergence"
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            _, lists = _kmeans(spark, SF_SMOKE, k=k)
+            sizes = [
+                r["count"] for r in lists.groupBy("list_id").count().collect()
+            ]
+            approx = {
+                (r.query_id, r.cand_id)
+                for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+            }
+        assert len(sizes) > 16  # K=32 seeds; near-all lists non-empty
+        assert sum(sizes) == 500
+        # bounded lists: no list hoards a label-block's worth of the
+        # corpus (k-means skew exists, but the 16-target split must
+        # hold the max well under the K=8 average of 62)
+        assert max(sizes) < 100, f"degenerate list sizes: {sorted(sizes)[-5:]}"
+        exact = {
+            (r.query_id, r.cand_id)
+            for r in ann_cosine_topk(spark, SF_SMOKE).collect()
+            if r.rk <= 3
+        }
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.3, f"elevated-K IVF recall collapsed: {recall:.2f}"
+    finally:
+        spark.conf.unset("spark.aichemy.ivf.targetList")
