@@ -242,10 +242,25 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict (quality_score >= 0.40), score = σ(w·x) after _STEPS
     gradient steps rounded 6dp, pred = score >= 0.5. Training shape
     and plan contract documented on train_weights.
+
+    When ``spark.graft.clf.indexRoot`` names a persisted snapshot for
+    THIS corpus (pipeline/clf_index.py, r11 verdict #5), scoring runs
+    through the frozen weight table instead of re-training — the
+    production train-once/score-many shape; byte-identical by the
+    tests/test_clf_index.py equality pin, so every composition
+    (curriculum mix, clf agreement, screens) inherits the fast path
+    untouched. Unset (the driver's gate condition) the inline
+    training loop runs as documented.
     """
+    from aichemy_data_pipelines_spark.pipeline.clf_index import (
+        frozen_weights,
+    )
+
     feat = _features(spark, sf_dir)
-    w = train_weights(spark, feat)
-    return present_scores(_score(feat, weights_frame(spark, w)))
+    w = frozen_weights(spark, sf_dir)
+    if w is None:
+        w = weights_frame(spark, train_weights(spark, feat))
+    return present_scores(_score(feat, w))
 
 
 QUERIES = {"docs_quality_classifier": docs_quality_classifier}

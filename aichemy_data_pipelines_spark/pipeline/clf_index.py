@@ -48,9 +48,66 @@ _META = {
     "min_quality": _MIN_QUALITY,
 }
 
+#: Points corpus queries at a persisted weight snapshot: when set,
+#: ``docs_quality_classifier`` (and everything composing it —
+#: corpus_curriculum_mix, corpus_clf_agreement, the screens) scores
+#: through the frozen weights instead of re-training inline
+#: (r11 verdict #5). Unset (the default, and the driver's gate
+#: condition) the inline training path runs unchanged.
+CLF_ROOT_CONF = "spark.graft.clf.indexRoot"
+
 
 def _clf_table(root: str) -> AtomicParquetTable:
     return AtomicParquetTable(os.path.join(root, "clf_weights.parquet"))
+
+
+def _refuse_on_meta_mismatch(meta: dict) -> None:
+    """Weights trained under different hashing/feature constants
+    would silently score against the wrong feature space — refuse."""
+    mismatched = {
+        key: (meta.get(key), want)
+        for key, want in _META.items()
+        if meta.get(key) != want
+    }
+    if mismatched:
+        raise ValueError(
+            f"persisted classifier meta {mismatched} is incompatible "
+            "with the current constants; rebuild with build_clf_index"
+        )
+
+
+def frozen_weights(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The persisted (j, w) weight table for ``sf_dir``, or None when
+    the inline-training path should run.
+
+    Resolution: ``spark.graft.clf.indexRoot`` unset → None (default);
+    set but no snapshot committed yet → None (inline-train fallback —
+    a missing artifact must not break the query); snapshot trained
+    under DIFFERENT constants → ValueError (scoring through the wrong
+    feature space must never be silent); snapshot trained on a
+    DIFFERENT corpus → warn + None (its weights are valid, just not
+    byte-comparable to this corpus's oracle).
+    """
+    import warnings
+
+    root = str(spark.conf.get(CLF_ROOT_CONF, "") or "")
+    if not root:
+        return None
+    table = _clf_table(root)
+    w = table.read(spark)
+    if w is None:
+        return None
+    meta = table.meta()
+    _refuse_on_meta_mismatch(meta)
+    if meta.get("sf_dir") != sf_dir:
+        warnings.warn(
+            f"classifier snapshot at {root!r} was trained on "
+            f"{meta.get('sf_dir')!r}, not {sf_dir!r}; falling back to "
+            "inline training for oracle-comparable scores",
+            stacklevel=2,
+        )
+        return None
+    return w
 
 
 def build_clf_index(spark: SparkSession, sf_dir: str, root: str) -> int:
@@ -80,17 +137,5 @@ def score_batch(
     w = table.read(spark)
     if w is None:
         raise ValueError(f"no classifier snapshot at {root}")
-    meta = table.meta()
-    # weights trained under different hashing/feature constants would
-    # silently score against the wrong feature space — refuse instead
-    mismatched = {
-        key: (meta.get(key), want)
-        for key, want in _META.items()
-        if meta.get(key) != want
-    }
-    if mismatched:
-        raise ValueError(
-            f"persisted classifier meta {mismatched} is incompatible "
-            "with the current constants; rebuild with build_clf_index"
-        )
+    _refuse_on_meta_mismatch(table.meta())
     return present_scores(_score(features_from_docs(docs), w))
