@@ -491,7 +491,124 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_COS = 0.35
 
 
+def decontam_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level decontamination report: for every contaminated
+    training doc, HOW MUCH of it is contaminated — total covered
+    tokens, the longest contaminated token run, and both as fractions
+    of the doc — the numbers a model card actually reports
+    (``decontam_ngram_overlap`` gives binary hits + shingle counts,
+    not span extent).
+
+    Semantics: a token position is contaminated when it is covered by
+    any word ``_DECON_N``-gram the doc shares with the held-out eval
+    split (doc_id % ``_EVAL_MOD`` == 0). Matching shingle START
+    positions are merged gaps-and-islands style: starts ``i`` and
+    ``i'`` belong to one run when ``i' − i <= _DECON_N`` (their
+    covered spans overlap or touch), so each island covers exactly
+    ``max(i) − min(i) + _DECON_N`` tokens and islands are disjoint —
+    summing them is the exact covered-token count, no double count.
+
+    Output: one row per contaminated training doc — (doc_id,
+    n_tokens, n_islands, contaminated_tokens, contaminated_frac,
+    longest_run, longest_frac).
+
+    Scale: the decontam_ngram_overlap shape plus per-doc windows —
+    the eval side broadcasts behind the same row-count guard
+    (``spark.graft.decontam.maxBroadcastEvalRows``), so the corpus is
+    ONE scan + map-side hash join; the islands windows and final agg
+    all partition by doc_id, so the matched-positions frame (tiny —
+    only contaminated docs' hit positions) shuffles ONCE on doc_id
+    and every later step reuses that partitioning.
+    """
+    from aichemy_data_pipelines_spark.functions.hints import (
+        DECONTAM_MAX_EVAL_ROWS,
+        DEFAULT_MAX_BROADCAST_ROWS,
+        broadcast_when,
+        conf_int,
+    )
+
+    base = load_table(spark, sf_dir, "documents")
+    # same hinted-side size proxy as decontam_ngram_overlap: eval
+    # chars / 6 ≈ eval tokens ≥ distinct eval shingles
+    est_eval_rows = int(
+        (
+            base.where(F.col("doc_id") % _EVAL_MOD == 0)
+            .agg(F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c"))
+            .first()["c"]
+        )
+        // 6
+    )
+    toks = (
+        base.transform(spread_small_input)
+        .select("doc_id", F.expr(SPARK_TOKENS).alias("tokens"))
+        .where(F.size("tokens") >= _DECON_N)
+    )
+    # positional variant of functions.text.exploded_shingles: explode
+    # the index sequence (O(len), not O(len^2) — see that docstring)
+    # and KEEP the start position i
+    pos_sh = toks.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "tokens",
+        F.explode(
+            F.expr(f"sequence(0, size(tokens) - {_DECON_N})")
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "i",
+        F.expr(f"concat_ws(' ', slice(tokens, i + 1, {_DECON_N}))").alias(
+            "sh"
+        ),
+    )
+    ev = (
+        pos_sh.where(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("sh")
+        .distinct()
+    )
+    tr = pos_sh.where(F.col("doc_id") % _EVAL_MOD != 0)
+    hits = tr.join(
+        broadcast_when(
+            ev,
+            est_eval_rows,
+            conf_int(
+                spark, DECONTAM_MAX_EVAL_ROWS, DEFAULT_MAX_BROADCAST_ROWS
+            ),
+            "decontam_token_report",
+        ),
+        "sh",
+    ).select("doc_id", "n_tokens", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    lag_i = F.lag("i").over(w)
+    islands = hits.withColumn(
+        "new_isl",
+        F.when(
+            lag_i.isNull() | (F.col("i") - lag_i > _DECON_N), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island_id",
+        F.sum("new_isl").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = islands.groupBy("doc_id", "n_tokens", "island_id").agg(
+        (F.max("i") - F.min("i") + F.lit(_DECON_N)).alias("run_len")
+    )
+    return runs.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum("run_len").cast("long").alias("contaminated_tokens"),
+        F.round(
+            F.sum("run_len") / F.col("n_tokens").cast("double"), 6
+        ).alias("contaminated_frac"),
+        F.max("run_len").cast("long").alias("longest_run"),
+        F.round(
+            F.max("run_len") / F.col("n_tokens").cast("double"), 6
+        ).alias("longest_frac"),
+    )
+
+
 QUERIES = {
+    "decontam_token_report": decontam_token_report,
     "corpus_dedup_savings": corpus_dedup_savings,
     "decontam_embedding": decontam_embedding,
     "docs_length_percentiles_by_source": docs_length_percentiles_by_source,
@@ -574,6 +691,51 @@ ORACLE = {
                COUNT(DISTINCT ev.eval_id) AS n_eval_docs
         FROM tr JOIN ev ON tr.sh = ev.sh
         GROUP BY tr.doc_id
+    """,
+    "decontam_token_report": f"""
+        WITH toks AS (
+            SELECT doc_id, {_T} AS tokens FROM documents
+        ), t2 AS (
+            SELECT doc_id, CAST(len(tokens) AS BIGINT) AS n_tokens,
+                   tokens
+            FROM toks WHERE len(tokens) >= {_DECON_N}
+        ), pos AS (
+            SELECT doc_id, n_tokens,
+                   unnest(range(0, len(tokens) - {_DECON_N - 1})) AS i,
+                   unnest({sql_shingles('tokens', _DECON_N)}) AS sh
+            FROM t2
+        ), ev AS (
+            SELECT DISTINCT sh FROM pos WHERE doc_id % {_EVAL_MOD} = 0
+        ), hits AS (
+            SELECT p.doc_id, p.n_tokens, p.i
+            FROM pos p JOIN ev ON p.sh = ev.sh
+            WHERE p.doc_id % {_EVAL_MOD} <> 0
+        ), isl AS (
+            SELECT doc_id, n_tokens, i,
+                   CASE WHEN lag(i) OVER w IS NULL
+                          OR i - lag(i) OVER w > {_DECON_N}
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+        ), isl2 AS (
+            SELECT doc_id, n_tokens, i,
+                   SUM(new_isl) OVER (
+                       PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS island_id
+            FROM isl
+        ), runs AS (
+            SELECT doc_id, n_tokens, island_id,
+                   MAX(i) - MIN(i) + {_DECON_N} AS run_len
+            FROM isl2 GROUP BY doc_id, n_tokens, island_id
+        )
+        SELECT doc_id, n_tokens,
+               COUNT(*) AS n_islands,
+               CAST(SUM(run_len) AS BIGINT) AS contaminated_tokens,
+               round(CAST(SUM(run_len) AS DOUBLE) / n_tokens, 6)
+                 AS contaminated_frac,
+               CAST(MAX(run_len) AS BIGINT) AS longest_run,
+               round(CAST(MAX(run_len) AS DOUBLE) / n_tokens, 6)
+                 AS longest_frac
+        FROM runs GROUP BY doc_id, n_tokens
     """,
     "corpus_token_budget": f"""
         SELECT source,

@@ -93,17 +93,12 @@ def n_probe(k: int) -> int:
 
 
 def _conf_target_list(spark: SparkSession) -> int:
-    return int(spark.conf.get(_LIST_CONF, str(_TARGET_LIST)))
-
-
-def _corpus_k_n(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    """(K, N) for the embeddings corpus at ``sf_dir`` — one
-    metadata-cheap parquet count, then the deterministic formula both
-    engines share. A non-default ``spark.aichemy.ivf.targetList``
-    changes only the Spark side — the committed oracle SQL hardcodes
-    the default — so it warns loudly instead of silently failing the
-    driver's value gate (the LSH targetBlock recipe)."""
-    target = _conf_target_list(spark)
+    """The targetList knob, with the oracle-divergence warning on a
+    non-default value (the LSH targetBlock recipe): the committed
+    DuckDB oracles hardcode the default, so a changed conf moves only
+    the Spark side — warn loudly instead of silently failing the
+    driver's value gate."""
+    target = int(spark.conf.get(_LIST_CONF, str(_TARGET_LIST)))
     if target != _TARGET_LIST:
         warnings.warn(
             f"{_LIST_CONF}={target} diverges from the default "
@@ -112,6 +107,14 @@ def _corpus_k_n(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
             "conf (test/eval use only)",
             stacklevel=2,
         )
+    return target
+
+
+def _corpus_k_n(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(K, N) for the embeddings corpus at ``sf_dir`` — one
+    metadata-cheap parquet count, then the deterministic formula both
+    engines share."""
+    target = _conf_target_list(spark)
     n = load_table(spark, sf_dir, "embeddings").count()
     return n_lists(n, target), n
 
@@ -185,6 +188,16 @@ def _kmeans(
         k, n = _corpus_k_n(spark, sf_dir)
     else:
         n = load_table(spark, sf_dir, "embeddings").count()
+    return _train_quantizer(e, k, n)
+
+
+def _train_quantizer(
+    e: DataFrame, k: int, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """The _kmeans body over an arbitrary (vec_id, embedding) corpus
+    frame — shared with ``ann_incremental_screen``, whose quantizer
+    trains on the CORPUS SPLIT only (the persisted-snapshot shape,
+    where the index predates the incoming batch)."""
     # Lloyd iterations run on the md5-leading training sample when the
     # corpus outgrows _TRAIN_PER_LIST·K (only possible past the
     # _MAX_LISTS cap, >65k vectors at the default target): bounded
@@ -330,8 +343,126 @@ def embeddings_cluster_outliers(
     )
 
 
+#: incremental-screen split: vec_id % _INCR_MOD == 0 plays the new
+#: ingestion batch (dedup_incremental's convention on documents);
+#: the rest is the already-indexed corpus
+_INCR_MOD = 10
+#: near-dup bar for the screen verdict — the dedup_embedding_cosine
+#: similarity bar, so the two screens compose
+_SCREEN_COS = 0.25
+
+
+def ann_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN screening: a NEW embedding batch checked
+    against the corpus IVF index — the vector twin of
+    dedup_incremental, and the operational gap the persisted index
+    (pipeline/ann_index.py) exists to close: on ingest, the corpus is
+    never re-trained or re-scanned beyond its inverted lists.
+
+    The quantizer trains on the CORPUS SPLIT ONLY
+    (vec_id % _INCR_MOD != 0) — exactly what a snapshot built before
+    the batch arrived would hold; each batch vector then probes its
+    n_probe(K) nearest lists and any corpus vector at cosine ≥
+    _SCREEN_COS inside them counts as a near-dup hit.
+
+    Output: one verdict row per batch vector — (vec_id,
+    n_corpus_matches, best_cand, best_cosine, is_new); vectors whose
+    probed lists hold no hit are new (best_* NULL).
+
+    At 100 TB this runs against pipeline/ann_index.py postings
+    (hive-partitioned by list_id, so a batch touches ~nprobe/K of the
+    corpus via partition pruning) with the trained centroids from the
+    manifest; tests/test_ann_index.py pins byte-equality between this
+    self-contained query and the persisted-snapshot path
+    (build_ivf_index on the corpus split + screen_batch).
+
+    Scale: batch-side work is proportional to the batch (K-row
+    centroid broadcast + nprobe bounded list probes); corpus-side
+    work is one postings scan. The probes frame (batch × nprobe rows)
+    broadcasts — an ingest micro-batch by precondition, same as
+    dedup_incremental.
+    """
+    e = load_table(spark, sf_dir, "embeddings").transform(
+        spread_small_input
+    )
+    corpus = e.where(F.col("vec_id") % _INCR_MOD != 0).select(
+        "vec_id", "embedding"
+    )
+    n_corpus = corpus.count()
+    k = n_lists(n_corpus, _conf_target_list(spark))
+    nprobe = n_probe(k)
+    cents, lists = _train_quantizer(corpus, k, n_corpus)
+
+    batch = e.where(F.col("vec_id") % _INCR_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.expr(_NORM).alias("qn"),
+    )
+    cdot = spark_dot_exact("qv", "centroid")
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "list_id")
+    probes = (
+        batch.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "c_cos", F.round(F.expr(f"{cdot} / (qn * ({cnorm}))"), 8)
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .where(F.col("prk") <= nprobe)
+        .select("query_id", "qv", "qn", "list_id")
+    )
+    c = lists.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("cv"),
+        "list_id",
+    ).withColumn("cn", F.expr(f"sqrt({spark_dot_exact('cv', 'cv')})"))
+    dot = spark_dot_exact("qv", "cv")
+    scored = (
+        F.broadcast(probes)
+        .join(c, "list_id")
+        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        .select("query_id", "cand_id", "cosine")
+    )
+    spine = e.where(F.col("vec_id") % _INCR_MOD == 0).select("vec_id")
+    return screen_verdicts(scored, spine)
+
+
+def screen_verdicts(
+    scored: DataFrame, spine: DataFrame, bar: float = _SCREEN_COS
+) -> DataFrame:
+    """(query_id, cand_id, cosine) candidates + a batch spine → the
+    per-vector screen verdict shape. Shared with the persisted-index
+    path (pipeline/ann_index.screen_batch) so the two can't drift."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
+    hits = (
+        scored.where(F.col("cosine") >= bar)
+        .withColumn("rk", F.row_number().over(w))
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_corpus_matches"),
+            F.max(F.when(F.col("rk") == 1, F.col("cand_id"))).alias(
+                "best_cand"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("cosine"))).alias(
+                "best_cosine"
+            ),
+        )
+    )
+    return spine.join(
+        hits.withColumnRenamed("query_id", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce("n_corpus_matches", F.lit(0).cast("long")).alias(
+            "n_corpus_matches"
+        ),
+        "best_cand",
+        "best_cosine",
+        (F.coalesce("n_corpus_matches", F.lit(0)) == 0).alias("is_new"),
+    )
+
+
 QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_incremental_screen": ann_incremental_screen,
     "embeddings_cluster_outliers": embeddings_cluster_outliers,
 }
 
@@ -395,21 +526,31 @@ def _sql_mean_ctes(assign: str, out: str) -> str:
 # with the same clamp the Spark side computes, seeds/training sample
 # are the md5-leading rows, Lloyd runs on the sample, the final
 # assignment on the full table — lockstep with _kmeans at any scale.
-_SQL_NK = (
-    f"SELECT CAST(LEAST({_MAX_LISTS}, GREATEST({_MIN_LISTS}, "
-    f"CEIL(COUNT(*) / {_TARGET_LIST}.0))) AS BIGINT) AS k "
-    "FROM embeddings"
-)
+def _sql_nk(src: str = "embeddings") -> str:
+    return (
+        f"SELECT CAST(LEAST({_MAX_LISTS}, GREATEST({_MIN_LISTS}, "
+        f"CEIL(COUNT(*) / {_TARGET_LIST}.0))) AS BIGINT) AS k "
+        f"FROM {src}"
+    )
+
+
+_SQL_NK = _sql_nk()
 _SQL_NPROBE = (
     f"GREATEST({_NPROBE}, CAST(CEIL(SQRT(nk.k / 2.0)) AS BIGINT))"
 )
 
-_KMEANS_CTES = f"""nk AS ({_SQL_NK}), ranked AS (
+
+def _sql_kmeans_ctes(src: str = "embeddings") -> str:
+    """The full quantizer-training CTE chain over ``src`` — emits
+    ``nk``, ``cent2`` (trained centroids) and ``lists`` (final
+    assignment). ``ann_incremental_screen`` trains on the corpus
+    split; everything else on the whole table."""
+    return f"""nk AS ({_sql_nk(src)}), ranked AS (
             SELECT vec_id, embedding,
                    md5(CAST(vec_id AS VARCHAR)) AS h,
                    row_number() OVER (
                        ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
-            FROM embeddings
+            FROM {src}
         ), seeds AS (
             SELECT h, embedding FROM ranked, nk WHERE rn <= nk.k
         ), train AS (
@@ -424,7 +565,10 @@ _KMEANS_CTES = f"""nk AS ({_SQL_NK}), ranked AS (
         {_sql_mean_ctes('a1', 'cent1')},
         {_sql_assign_ctes('cent1', 'a2', src='train')},
         {_sql_mean_ctes('a2', 'cent2')},
-        {_sql_assign_ctes('cent2', 'lists')}"""
+        {_sql_assign_ctes('cent2', 'lists', src=src)}"""
+
+
+_KMEANS_CTES = _sql_kmeans_ctes()
 
 
 ORACLE = {
@@ -464,6 +608,58 @@ ORACLE = {
                                       ORDER BY cosine DESC, cand_id) AS rk
             FROM cos) t
         WHERE rk <= {_TOP_K}
+    """,
+    "ann_incremental_screen": f"""
+        WITH corpus AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {_INCR_MOD} <> 0
+        ), {_sql_kmeans_ctes('corpus')}, batch AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {_INCR_MOD} = 0
+        ), qc AS (
+            SELECT q.vec_id AS query_id, cv.list_id,
+                   unnest(q.embedding) AS xa, unnest(cv.centroid) AS xb
+            FROM batch q, cent2 cv
+        ), qscore AS (
+            SELECT query_id, list_id, {_sql_pair_cos('xa', 'xb')} AS c_cos
+            FROM qc GROUP BY query_id, list_id
+        ), probes AS (
+            SELECT query_id, list_id FROM (
+                SELECT query_id, list_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c_cos DESC, list_id) AS prk
+                FROM qscore) t, nk
+            WHERE prk <= {_SQL_NPROBE}
+        ), pairs AS (
+            SELECT p.query_id, l.vec_id AS cand_id,
+                   q.embedding AS qv, c.embedding AS cv
+            FROM probes p
+            JOIN batch q ON q.vec_id = p.query_id
+            JOIN lists l ON l.list_id = p.list_id
+            JOIN embeddings c ON c.vec_id = l.vec_id
+        ), expl AS (
+            SELECT query_id, cand_id, unnest(qv) AS xa, unnest(cv) AS xb
+            FROM pairs
+        ), cos AS (
+            SELECT query_id, cand_id, {_sql_pair_cos('xa', 'xb')} AS cosine
+            FROM expl GROUP BY query_id, cand_id
+        ), hits AS (
+            SELECT query_id, cand_id, cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, cand_id) AS rk
+            FROM cos WHERE cosine >= {_SCREEN_COS}
+        ), agg AS (
+            SELECT query_id,
+                   COUNT(*) AS n_corpus_matches,
+                   MAX(CASE WHEN rk = 1 THEN cand_id END) AS best_cand,
+                   MAX(CASE WHEN rk = 1 THEN cosine END) AS best_cosine
+            FROM hits GROUP BY query_id
+        )
+        SELECT b.vec_id,
+               COALESCE(a.n_corpus_matches, 0) AS n_corpus_matches,
+               a.best_cand, a.best_cosine,
+               COALESCE(a.n_corpus_matches, 0) = 0 AS is_new
+        FROM batch b LEFT JOIN agg a ON a.query_id = b.vec_id
     """,
     "embeddings_cluster_outliers": f"""
         WITH {_KMEANS_CTES}, vc AS (

@@ -106,6 +106,28 @@ def query_ivf_index(
     corpus, or a legitimate candidate sharing the number would be
     silently lost.
     """
+    joined = _scored_candidates(spark, root, queries, nprobe)
+    if exclude_query_ids:
+        joined = joined.where(F.col("query_id") != F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), "cand_id"
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .select("query_id", "rk", "cand_id", "cosine")
+    )
+
+
+def _scored_candidates(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """(query_id, cand_id, cosine) over the probed inverted lists —
+    the shared probe+re-rank core of query_ivf_index (top-k search)
+    and screen_batch (threshold screening)."""
     # resolve the index version ONCE: centroids and postings must
     # come from the SAME manifest, or a concurrent rebuild between
     # the two reads serves new centroids over old lists — the torn
@@ -148,17 +170,51 @@ def query_ivf_index(
         "list_id",
     ).withColumn("cn", F.expr(f"sqrt({spark_dot_exact('cv', 'cv')})"))
     dot = spark_dot_exact("qv", "cv")
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), "cand_id"
-    )
-    joined = F.broadcast(probes).join(c, "list_id")
-    if exclude_query_ids:
-        joined = joined.where(F.col("query_id") != F.col("cand_id"))
     return (
-        joined.withColumn(
-            "cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8)
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= top_k)
-        .select("query_id", "rk", "cand_id", "cosine")
+        F.broadcast(probes)
+        .join(c, "list_id")
+        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        .select("query_id", "cand_id", "cosine")
+    )
+
+
+def screen_batch(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    bar: float | None = None,
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Incremental ANN screening of a NEW (vec_id, embedding) batch
+    against the persisted index — the operational twin of
+    operators/ivf.ann_incremental_screen (byte-equality pinned in
+    tests/test_ann_index.py): on ingest, probe each new vector's
+    n_probe(K) lists and report every indexed vector at cosine ≥
+    ``bar`` (default ivf._SCREEN_COS).
+
+    Output: (vec_id, n_corpus_matches, best_cand, best_cosine,
+    is_new) — one verdict row per batch vector; the ``is_new`` rows
+    are safe to append to the index (the dedup_incremental accept
+    path, vector edition).
+
+    Scale: batch-proportional — K-row centroid broadcast, nprobe
+    list-partition reads via partition pruning, no training, no
+    corpus rescan."""
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _SCREEN_COS,
+        screen_verdicts,
+    )
+
+    scored = _scored_candidates(
+        spark,
+        root,
+        batch.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        nprobe,
+    )
+    return screen_verdicts(
+        scored,
+        batch.select("vec_id"),
+        _SCREEN_COS if bar is None else bar,
     )

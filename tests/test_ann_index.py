@@ -66,3 +66,43 @@ def test_postings_are_partitioned_by_list(spark, tmp_path):
         if n.startswith("list_id=") and os.path.isdir(os.path.join(data_dir, n))
     }
     assert len(parts) >= 2
+
+
+def test_screen_batch_matches_inline_operator(spark, tmp_path):
+    """ann_incremental_screen (self-contained, oracle-checked) and
+    the operational path (build_ivf_index on the corpus split +
+    screen_batch) must agree row-for-row — index staleness, probe
+    drift, or verdict-shape drift fails here."""
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _INCR_MOD,
+        ann_incremental_screen,
+    )
+    from aichemy_data_pipelines_spark.pipeline.ann_index import (
+        screen_batch,
+    )
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus_dir = str(tmp_path / "corpus_sf")
+    os.makedirs(corpus_dir)
+    e.where(F.col("vec_id") % _INCR_MOD != 0).write.parquet(
+        f"{corpus_dir}/embeddings.parquet"
+    )
+    root = str(tmp_path / "ivf")
+    build_ivf_index(spark, corpus_dir, root)
+
+    batch = e.where(F.col("vec_id") % _INCR_MOD == 0).select(
+        "vec_id", "embedding"
+    )
+    key = lambda r: (  # noqa: E731
+        r.vec_id, r.n_corpus_matches, r.best_cand, r.best_cosine, r.is_new
+    )
+    persisted = sorted(map(key, screen_batch(spark, root, batch).collect()))
+    inline = sorted(
+        map(key, ann_incremental_screen(spark, SF_SMOKE).collect())
+    )
+    assert persisted == inline
+    assert inline, "batch split is non-empty by construction"
+    for t in inline:
+        # verdict-shape invariants: is_new ⟺ zero matches ⟺ no best
+        assert t[4] == (t[1] == 0)
+        assert (t[2] is None) == t[4] and (t[3] is None) == t[4]

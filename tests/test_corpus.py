@@ -83,3 +83,57 @@ def test_distinct_terms_ranking_is_deterministic(spark):
         # the (tf DESC, df ASC, token ASC) key must be non-increasing
         keys = [(-r.tf, r.df, r.token) for r in doc_rows]
         assert keys == sorted(keys)
+
+
+def test_token_report_spans_verified_in_python(spark):
+    """decontam_token_report's island arithmetic re-derived in pure
+    Python: per training doc, mark every token position covered by an
+    eval-shared 8-gram, merge into runs, and compare total coverage,
+    longest run, and island count exactly. The flagged doc set must
+    equal decontam_ngram_overlap's (same N, same split, same min
+    length), and fractions must be consistent with their integers."""
+    from aichemy_data_pipelines_spark.operators.corpus_ops import (
+        decontam_token_report,
+    )
+
+    rows = decontam_token_report(spark, SF_SMOKE).collect()
+    assert rows, "synthetic corpus plants near-dups across the eval split"
+    flagged = {r.doc_id for r in rows}
+    overlap = {
+        r.doc_id for r in decontam_ngram_overlap(spark, SF_SMOKE).collect()
+    }
+    assert flagged == overlap
+
+    docs = {
+        d.doc_id: d.text.strip().lower().split()
+        for d in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    ev_sh = set()
+    for i, toks in docs.items():
+        if i % _EVAL_MOD == 0:
+            for s in range(len(toks) - _DECON_N + 1):
+                ev_sh.add(" ".join(toks[s : s + _DECON_N]))
+    for r in rows:
+        toks = docs[r.doc_id]
+        assert r.n_tokens == len(toks)
+        covered = [False] * len(toks)
+        for s in range(len(toks) - _DECON_N + 1):
+            if " ".join(toks[s : s + _DECON_N]) in ev_sh:
+                for p in range(s, s + _DECON_N):
+                    covered[p] = True
+        runs, cur = [], 0
+        for c in covered + [False]:
+            if c:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        assert runs, f"doc {r.doc_id} flagged but no covered tokens"
+        assert r.contaminated_tokens == sum(runs)
+        assert r.longest_run == max(runs)
+        assert r.n_islands == len(runs)
+        assert r.contaminated_frac == round(sum(runs) / len(toks), 6)
+        assert r.longest_frac == round(max(runs) / len(toks), 6)
+        assert 0 < r.longest_frac <= r.contaminated_frac <= 1.0

@@ -636,6 +636,11 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # covered by the default)
     "text_langid_classifier": {"documents": 2},
     "decontam_bloom": {"documents": 2},
+    # r14 widening: token-report eval/train branches off one shingle
+    # derivation; incremental screen = corpus lists + batch probes +
+    # verdict spine (training is sample-sized and checkpointed away)
+    "decontam_token_report": {"documents": 2},
+    "ann_incremental_screen": {"embeddings": 3},
 }
 
 
