@@ -185,43 +185,122 @@ def weights_frame(spark: SparkSession, weights) -> DataFrame:
     )
 
 
+def _dense_features(feat: DataFrame) -> DataFrame:
+    """(doc_id, y, xs): the per-doc DENSE feature vector (length
+    _K+2, absent buckets = exact decimal 0) — the training-loop
+    layout. Dense-ing is lossless both ways: a 0 entry contributes an
+    exact decimal 0 to w·x and to every gradient term, so sums over
+    the dense vector equal sums over the sparse rows bit-for-bit."""
+    return (
+        feat.groupBy("doc_id", "y")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("j", "x"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            "y",
+            F.expr(
+                f"transform(sequence(0, {_K + 1}), jj -> "
+                f"coalesce(m[cast(jj as bigint)], cast(0 as {_DEC})))"
+            ).alias("xs"),
+        )
+    )
+
+
+#: per-row exact-decimal dot of the dense features against a weight
+#: vector expression ``{ws}`` — same scale-18 sum the scoring join's
+#: Sum aggregate produces, just folded row-local (decimal addition is
+#: exact and order-free, so the values are identical)
+_Z_DENSE = (
+    "aggregate(zip_with(xs, {ws}, (x, w) -> w * x), "
+    "cast(0 as decimal(38,18)), "
+    "(acc, v) -> cast(acc + v as decimal(38,18)))"
+)
+_P_DENSE = (
+    f"cast(round(1 / (1 + exp(-cast(({_Z_DENSE}) as double))), 9) "
+    f"as {_DEC})"
+)
+
+
+def _w_literal(values) -> str:
+    """Exact decimal literal array for a weight vector: scale-9
+    Decimals render verbatim (str(Decimal) is exact), so the literal
+    IS the driver-held value — weights enter the plan as constants,
+    not a broadcast (a per-step broadcast exchange measured ~0.4 s of
+    pure fixed overhead per training step)."""
+    return (
+        "array("
+        + ", ".join(f"cast('{v}' as {_DEC})" for v in values)
+        + ")"
+    )
+
+
 def train_weights(spark: SparkSession, feat: DataFrame):
     """Train the student on a feature frame; returns [(j, Decimal)].
 
-    Training loop = MLlib's own iterative shape (persisted features +
-    driver-held weights + one bounded aggregate per step), NOT lazy
-    DataFrame chaining: chaining w_t through w_{t-1} doubles the
-    logical plan per step (w_t references w_{t-1} twice — scoring and
-    update), which measured 380 parquet scans / a 1.5 MB plan at
-    _STEPS = 6. Instead the feature frame persists once
-    (MEMORY_AND_DISK — at corpus scale it spills, and it is ~K rows
-    of decimals per doc, far smaller than the text it derives from),
-    each step collects the (_K+2)-row 9dp-rounded gradient, and the
-    w ← w − LR·g update runs in exact Python Decimal (subtraction of
-    scale-9 decimals — exact in every engine, so driver arithmetic
-    cannot diverge from the oracle's in-SQL update). Weights re-enter
-    each step as a broadcast literal, keeping every step's plan flat.
+    Training loop = ONE map-side aggregate per step, no per-step
+    joins or corpus shuffles (r11 verdict #6 — the join-shaped loop
+    spent ~1.8 s/step in shuffle/stage/broadcast overhead at ANY
+    scale): the per-doc features pivot ONCE into a dense
+    (_K+2)-vector (persisted MEMORY_AND_DISK — at corpus scale it
+    spills, and it is ~K decimals per doc, far smaller than the text
+    it derives from); each step computes p per row against the
+    LITERAL weight array (exact-decimal dot, 9dp round —
+    bit-identical to the scoring join by decimal exactness) and
+    reduces all _K+2 gradient sums in a single partial-aggregate
+    pass: per-step shuffle traffic is _K+2 decimals per partition,
+    nothing else — measured ~0.3 s/step vs ~1.8. The 9dp gradient
+    rounding stays IN-ENGINE; the w ← w − LR·g update runs in exact
+    Python Decimal (scale-9 subtraction — exact in every engine).
+    NOT lazy DataFrame chaining: chaining w_t through w_{t-1} doubles
+    the logical plan per step (measured 380 parquet scans / 1.5 MB
+    plan at _STEPS = 6).
     """
-    from decimal import Decimal
-
     from pyspark import StorageLevel
 
-    feat.persist(StorageLevel.MEMORY_AND_DISK)
+    dense = _dense_features(feat)
+    dense.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n_docs = feat.select("doc_id").distinct().count()
-        weights = {j: Decimal(0) for j in range(_K + 2)}
-        for _ in range(_STEPS):
-            g = _gradient(
-                feat, n_docs, weights_frame(spark, weights.items())
-            )
-            for row in g.collect():
-                weights[row.j] = weights[row.j] - _LR * row.g
+        return _train_weights_dense(spark, dense)
     finally:
-        # training collects ran against the cache; callers' plans
-        # re-derive features at execution, leaving no cache behind to
-        # skew other queries' plans
-        feat.unpersist()
+        # training ran against the cache; callers' plans re-derive
+        # features at execution, leaving no cache behind to skew
+        # other queries' plans
+        dense.unpersist()
+
+
+def _train_weights_dense(spark: SparkSession, dense: DataFrame):
+    """The training loop over an already-persisted dense frame (see
+    train_weights for the plan contract)."""
+    from decimal import Decimal
+
+    n_docs = dense.count()
+    weights = {j: Decimal(0) for j in range(_K + 2)}
+    gcols = [
+        F.expr(
+            f"cast(round(cast(sum((p - y) * xs[{j}]) as double) "
+            f"/ {n_docs}, 9) as {_DEC})"
+        ).alias(f"g{j}")
+        for j in range(_K + 2)
+    ]
+    for _ in range(_STEPS):
+        p = _P_DENSE.format(
+            ws=_w_literal(weights[j] for j in range(_K + 2))
+        )
+        row = dense.withColumn("p", F.expr(p)).agg(*gcols).first()
+        for j in range(_K + 2):
+            weights[j] = weights[j] - _LR * row[f"g{j}"]
     return sorted(weights.items())
+
+
+def _score_dense(dense: DataFrame, weights) -> DataFrame:
+    """(doc_id, y, p) from the persisted dense frame + the literal
+    final weights — bit-identical to ``_score(feat, weights_frame)``
+    by decimal exactness, without re-deriving features."""
+    p = _P_DENSE.format(ws=_w_literal(w for _, w in weights))
+    return dense.select("doc_id", "y", F.expr(p).alias("p"))
 
 
 def present_scores(scored: DataFrame) -> DataFrame:
@@ -258,9 +337,21 @@ def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     feat = _features(spark, sf_dir)
     w = frozen_weights(spark, sf_dir)
-    if w is None:
-        w = weights_frame(spark, train_weights(spark, feat))
-    return present_scores(_score(feat, w))
+    if w is not None:
+        return present_scores(_score(feat, w))
+    # inline training: score through the SAME persisted dense frame
+    # the trainer pivoted (one featurization pass, not two; values
+    # bit-identical to the scoring join — see _score_dense), then
+    # localCheckpoint so the returned plan owns no live cache
+    from pyspark import StorageLevel
+
+    dense = _dense_features(feat)
+    dense.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        wts = _train_weights_dense(spark, dense)
+        return present_scores(_score_dense(dense, wts)).localCheckpoint()
+    finally:
+        dense.unpersist()
 
 
 QUERIES = {"docs_quality_classifier": docs_quality_classifier}

@@ -37,12 +37,14 @@ template, so Spark and SQL cannot disagree on step count or
 arithmetic.
 
 Scale: one tokenize pass over the corpus → a sparse (doc, bucket)
-presence frame (≤ ``_K``+2 rows per doc, map-side combined); each
-training step is one bounded aggregate (``_N_CLASSES``·(``_K``+2) =
-330 rows) collected to the driver and re-broadcast as a literal —
-the MLlib iterative shape (persisted features, flat per-step plans;
-see classifier_ops.train_weights for why lazy chaining is a
-380-scan failure mode). At 100 TB the feature frame persists once
+presence frame pivoted ONCE into a persisted dense per-doc vector;
+each training step is one map-side pass (logits fold row-local
+against LITERAL weight arrays, the gradient reduces over a
+posexploded (j, residual) layout to ``_N_CLASSES``·(``_K``+2) = 330
+driver rows) — the MLlib iterative shape with zero per-step
+joins/broadcasts (see classifier_ops.train_weights for the measured
+numbers and why lazy chaining is a 380-scan failure mode). Scoring
+reuses the same dense frame. At 100 TB the dense frame persists once
 and spills; everything else is bounded.
 
 No reference twin: the reference pipeline has no trained models;
@@ -179,66 +181,153 @@ def _class_probs(feat: DataFrame, w: DataFrame) -> DataFrame:
     return z.select("doc_id", "y", *pcols)
 
 
+def _dense_features(feat: DataFrame) -> DataFrame:
+    """(doc_id, y, xs): the per-doc DENSE feature vector (length
+    _K+2, absent buckets = exact decimal 0) — the training-loop
+    layout (classifier_ops._dense_features, langid edition). Lossless
+    both ways: a 0 entry contributes an exact decimal 0 to every
+    class logit and every gradient term."""
+    return (
+        feat.groupBy("doc_id", "y")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("j", "x"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            "y",
+            F.expr(
+                f"transform(sequence(0, {_K + 1}), jj -> "
+                f"coalesce(m[cast(jj as bigint)], cast(0 as {_DEC})))"
+            ).alias("xs"),
+        )
+    )
+
+
+def _z_cols(weights):
+    """Per-class exact-decimal logit columns over the dense ``xs``
+    against LITERAL weight arrays — the row-local fold equals the old
+    scoring join's Sum aggregate bit-for-bit (decimal addition is
+    exact and order-free)."""
+    from aichemy_data_pipelines_spark.operators.classifier_ops import (
+        _w_literal,
+    )
+
+    return [
+        F.expr(
+            "aggregate(zip_with(xs, "
+            + _w_literal(weights[(c, j)] for j in range(_K + 2))
+            + ", (x, w) -> w * x), cast(0 as decimal(38,18)), "
+            "(acc, v) -> cast(acc + v as decimal(38,18)))"
+        ).alias(f"z{c}")
+        for c in range(_N_CLASSES)
+    ]
+
+
+def _p_cols():
+    """z0..z4 → 9dp softmax probability columns (the _class_probs
+    expressions verbatim, so the two scoring paths cannot differ)."""
+    denom = " + ".join(
+        f"exp(cast(z{i} as double))" for i in range(_N_CLASSES)
+    )
+    return [
+        F.expr(
+            f"cast(round(exp(cast(z{i} as double)) / ({denom}), 9)"
+            f" as {_DEC})"
+        ).alias(f"p{i}")
+        for i in range(_N_CLASSES)
+    ]
+
+
+def _class_probs_dense(dense: DataFrame, weights) -> DataFrame:
+    """(doc_id, y, p0..p4) from the persisted dense frame + literal
+    final weights — bit-identical to
+    ``_class_probs(feat, _weights_frame(...))`` by decimal exactness,
+    without re-deriving features for the scoring pass."""
+    return dense.select("doc_id", "y", *_z_cols(weights)).select(
+        "doc_id", "y", *_p_cols()
+    )
+
+
 def _train(spark: SparkSession, feat: DataFrame):
     """Full-batch weighted softmax GD; returns {(c, j): Decimal}.
-
-    Same plan contract as classifier_ops.train_weights: features
-    persist once, each step collects the bounded 9dp-rounded
-    gradient, the w ← w − LR·g update runs in exact Python Decimal,
-    and weights re-enter as a broadcast literal — flat per-step
-    plans, no iterative lineage growth."""
+    Self-contained wrapper: pivots, persists, trains, unpersists."""
     from pyspark import StorageLevel
 
-    feat.persist(StorageLevel.MEMORY_AND_DISK)
+    dense = _dense_features(feat)
+    dense.persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        n_docs = feat.select("doc_id").distinct().count()
-        weights = {
-            (c, j): Decimal(0)
-            for c in range(_N_CLASSES)
-            for j in range(_K + 2)
-        }
-        stack_args = ", ".join(f"{i}, p{i}" for i in range(_N_CLASSES))
-        for _ in range(_STEPS):
-            p = _class_probs(feat, _weights_frame(spark, weights))
-            pl = p.select(
-                "doc_id",
-                F.expr(f"stack({_N_CLASSES}, {stack_args}) as (c, p)"),
-            )
-            # the weighted residual wt·(p − 1[y=c]) is exact at scale 9
-            # and |·| ≤ 9, so it fits DECIMAL(12,9) EXACTLY — the cast
-            # is load-bearing: left to type promotion, the 3-factor
-            # int·decimal·decimal product blows past precision 38 and
-            # Spark's precision-loss rule TRUNCATES the product to
-            # scale 6 (DuckDB keeps scale 18), which diverged the
-            # engines' gradients from step 2 on (measured r11). Cast
-            # down first and the (12,9)×(18,9) product is exact
-            # (31,18) in both engines.
-            g = (
-                feat.join(pl, "doc_id")
-                .groupBy("c", "j")
-                .agg(
-                    F.sum(
-                        F.expr(
-                            f"cast((case when y = {_UND} then {_UND_WT} "
-                            "else 1 end) * (p - cast(y = c as int)) "
-                            "as decimal(12,9)) * x"
-                        )
-                    ).alias("gsum")
-                )
-                .select(
-                    "c",
-                    "j",
-                    F.expr(
-                        f"cast(round(cast(gsum as double) / {n_docs}, 9)"
-                        f" as {_DEC})"
-                    ).alias("g"),
-                )
-            )
-            for row in g.collect():
-                weights[(row.c, row.j)] -= _LR * row.g
+        return _train_dense(spark, dense)
     finally:
-        feat.unpersist()
+        dense.unpersist()
+
+
+def _train_dense(spark: SparkSession, dense: DataFrame):
+    """The training loop over an already-persisted dense frame.
+
+    Same plan contract as classifier_ops.train_weights (see its
+    docstring for the measured numbers): the features pivot ONCE into
+    a persisted dense vector; each step is ONE map-side pass —
+    per-class logits fold row-local against the LITERAL weight arrays
+    (exact decimal, so z/p/gradient values are bit-identical to the
+    old per-step broadcast-join plan, which cost ~1.8 s/step of pure
+    fixed overhead), and the 9dp-rounded gradient reduces over a
+    posexploded (j, class-residual) layout. The w ← w − LR·g update
+    stays exact Python Decimal; no per-step join, corpus shuffle,
+    broadcast, or lineage growth."""
+    n_docs = dense.count()
+    weights = {
+        (c, j): Decimal(0)
+        for c in range(_N_CLASSES)
+        for j in range(_K + 2)
+    }
+    # the weighted residual wt*(p - 1[y=c]) is exact at scale 9
+    # and |.| <= 9, so it fits DECIMAL(12,9) EXACTLY -- the cast
+    # is load-bearing: left to type promotion, the 3-factor
+    # int*decimal*decimal product blows past precision 38 and
+    # Spark's precision-loss rule TRUNCATES the product to
+    # scale 6 (DuckDB keeps scale 18), which diverged the
+    # engines' gradients from step 2 on (measured r11). Cast
+    # down first and the (12,9)x(18,9) product is exact
+    # (31,18) in both engines.
+    rcols = [
+        F.expr(
+            f"cast((case when y = {_UND} then {_UND_WT} "
+            f"else 1 end) * (p{c} - cast(y = {c} as int)) "
+            "as decimal(12,9))"
+        ).alias(f"r{c}")
+        for c in range(_N_CLASSES)
+    ]
+    # gradient layout: posexplode the dense vector and reduce 5
+    # class sums over 66 j-groups -- NOT 330 aggregate columns
+    # (that blows past spark.sql.codegen.maxFields and falls out
+    # of whole-stage codegen; measured 2-3x slower per step)
+    gcols = [
+        F.expr(
+            f"cast(round(cast(sum(r{c} * x) as double) "
+            f"/ {n_docs}, 9) as {_DEC})"
+        ).alias(f"g{c}")
+        for c in range(_N_CLASSES)
+    ]
+    for _ in range(_STEPS):
+        rows = (
+            dense.select("y", "xs", *_z_cols(weights))
+            .select("y", "xs", *_p_cols())
+            .select("xs", *rcols)
+            .select(
+                F.posexplode("xs").alias("j", "x"),
+                *[f"r{c}" for c in range(_N_CLASSES)],
+            )
+            .groupBy("j")
+            .agg(*gcols)
+            .collect()
+        )
+        for row in rows:
+            for c in range(_N_CLASSES):
+                weights[(c, row.j)] -= _LR * row[f"g{c}"]
     return weights
+
 
 
 def _pred_expr() -> str:
@@ -262,12 +351,25 @@ def text_langid_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     teacher_lang is the heuristic's verdict, pred_lang the student's
     argmax (teacher-order tie-break), score = the winning class's
     9dp softmax probability as a double, agree = 1 when they match.
+
+    The scoring pass reuses the SAME persisted dense frame training
+    pivoted (one featurization pass total, not two — the fixed
+    ~4 s/corpus-pass half of r11 verdict #6), scoring through
+    _class_probs_dense (bit-identical to the broadcast-join scorer);
+    the bounded result localCheckpoints so the returned plan owns no
+    live cache.
     """
-    feat = _features(spark, sf_dir)
-    w = _train(spark, feat)
-    return present_predictions(
-        _class_probs(feat, _weights_frame(spark, w))
-    )
+    from pyspark import StorageLevel
+
+    dense = _dense_features(_features(spark, sf_dir))
+    dense.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        w = _train_dense(spark, dense)
+        return present_predictions(
+            _class_probs_dense(dense, w)
+        ).localCheckpoint()
+    finally:
+        dense.unpersist()
 
 
 def present_predictions(p: DataFrame) -> DataFrame:

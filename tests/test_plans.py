@@ -430,7 +430,10 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         ("docs_gopher_quality", 0),  # map-only: per-row lambdas, no agg
         ("decontam_embedding", 3),  # eval broadcast + spread + vec_id agg
         ("corpus_perplexity_buckets", 10),  # ppl chain + lang-cuts broadcast
-        ("docs_quality_classifier", 3),  # feat agg + w broadcast + score agg
+        # r14: inline path scores through the trainer's dense frame
+        # and localCheckpoints (0 exchanges in the returned plan);
+        # the frozen-weights path keeps the 3-exchange join shape
+        ("docs_quality_classifier", 3),
         ("dedup_cross_modal", 9),  # both member pair plans + outer join
         ("dedup_remove_spans", 6),  # tile hash agg + canon join + doc agg
         ("dedup_lsh_precision_eval", 10),  # jaccard member now checkpointed (was 27 lazy)
