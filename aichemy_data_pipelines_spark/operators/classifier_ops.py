@@ -12,10 +12,10 @@ truth, so the label can never drift from the screen it distills).
 Student features: ``_K`` hashed token-frequency buckets (portable
 md5, functions/hashing.py) + a capped length feature + bias.
 Training = ``_STEPS`` full-batch gradient-descent steps with integer
-learning rate ``_LR``, entirely in DataFrames — no MLlib, no driver
-round-trips: each step's gradient is a (``_K``+2)-row aggregate
-broadcast back onto the feature frame, the bounded-artifact pattern
-of the IVF centroids (ivf.py) and the LM count tables (lm_ops.py).
+learning rate ``_LR``, entirely in DataFrames — no MLlib: each step
+reduces the (``_K``+2)-element gradient in one map-side aggregate
+against LITERAL weights, the bounded-artifact pattern of the IVF
+centroids (ivf.py) and the LM count tables (lm_ops.py).
 At sf0.01 the student reaches ~0.87 train accuracy against the
 teacher (base rate 0.75) with mixed predictions — it genuinely
 learns the boundary (pinned in tests/test_classifier.py).
@@ -30,12 +30,13 @@ generated from one template so Spark and SQL cannot disagree on the
 step count.
 
 Scale: one tokenize pass over the corpus → a (doc, bucket) count
-frame that partially aggregates map-side to <= ``_K``+2 rows per
-doc; each training step is one bounded agg + one broadcast join
-against it. ``_STEPS`` is a constant, so the plan is a fixed-depth
-chain — no iterative lineage growth. At 100 TB a caller would
-persist the feature frame once (catalog.share_frame) exactly as a
-real fastText pipeline materializes its n-gram table.
+frame pivoted ONCE into a persisted dense per-doc vector; each
+training step is one map-side aggregate against LITERAL weights
+(see train_weights — zero per-step joins/broadcasts/corpus
+shuffles), and scoring reuses the same dense frame. ``_STEPS`` is a
+constant, so the plan is a fixed-depth chain — no iterative lineage
+growth. At 100 TB the dense frame persists once and spills, exactly
+as a real fastText pipeline materializes its n-gram table.
 
 No reference twin: the reference pipeline has no trained classifier
 (its quality gates are static thresholds); this extends the curation
@@ -154,34 +155,6 @@ def _score(feat: DataFrame, w: DataFrame) -> DataFrame:
         F.expr(
             f"cast(round(1 / (1 + exp(-cast(z as double))), 9) as {_DEC})"
         ).alias("p"),
-    )
-
-
-def _gradient(feat: DataFrame, n_docs: int, w: DataFrame) -> DataFrame:
-    """(j, g): the full-batch gradient mean_d[(p_d − y_d)·x_dj] under
-    weights ``w``, 9dp-rounded IN-ENGINE (the portability-critical
-    rounding stays on the JVM; only the exact decimal update runs on
-    the driver)."""
-    p = _score(feat, w)
-    return (
-        feat.join(p.select("doc_id", "p"), "doc_id")
-        .groupBy("j")
-        .agg(F.sum(F.expr("(p - y) * x")).alias("gsum"))
-        .select(
-            "j",
-            F.expr(
-                f"cast(round(cast(gsum as double) / {n_docs}, 9)"
-                f" as {_DEC})"
-            ).alias("g"),
-        )
-    )
-
-
-def weights_frame(spark: SparkSession, weights) -> DataFrame:
-    """[(j, Decimal)] → the (j, w) literal frame the scoring join
-    broadcasts."""
-    return spark.createDataFrame(
-        sorted(weights), f"j bigint, w {_DEC}"
     )
 
 

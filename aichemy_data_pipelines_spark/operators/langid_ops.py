@@ -148,15 +148,6 @@ def features_from_docs(docs: DataFrame) -> DataFrame:
     return presence.unionByName(dense)
 
 
-def _weights_frame(spark: SparkSession, weights) -> DataFrame:
-    """{(c, j): Decimal} → the (c, j, w) literal frame each step
-    broadcasts (``_N_CLASSES``·(``_K``+2) rows — constant-bounded)."""
-    return spark.createDataFrame(
-        sorted((c, j, w) for (c, j), w in weights.items()),
-        f"c int, j bigint, w {_DEC}",
-    )
-
-
 def _class_probs(feat: DataFrame, w: DataFrame) -> DataFrame:
     """(doc_id, y, p0..p4): per-class softmax probabilities,
     9dp-rounded decimal. The per-class logits pivot into FIXED

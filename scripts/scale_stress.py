@@ -54,11 +54,20 @@ PANEL = [
     "decontam_ngram_overlap",
     "corpus_curriculum_mix",
     "corpus_perplexity_buckets",
+    # the six screens members individually (r11 verdict #7: attribute
+    # the matrix's 10x ratio member-by-member), then the matrix
+    "text_readability",
+    "corpus_bigram_perplexity",
+    "dedup_keep_one",
+    "corpus_dsir_weights",
     "corpus_screens_matrix",
     "embeddings_pq_encode",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "dedup_embedding_cosine",
+    # the banded-LSH and incremental-screen lines (r12 verdict #3)
+    "ann_knn_graph",
+    "ann_incremental_screen",
     "ann_cosine_topk",
 ]
 HEAVY = {"corpus_screens_matrix", "corpus_perplexity_buckets"}
