@@ -133,14 +133,51 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     crossJoin — the exact-decimal aggregate HOF is interpreted
     BigDecimal work, and evaluating it per PAIR (K× per vector) was
     the dominant training cost. Same sqrt values, same final
-    multiply/divide association → bit-identical cosines."""
+    multiply/divide association → bit-identical cosines.
+
+    With K now scale-adaptive, even norm-hoisted exact pair cosines
+    dominate (N·K decimal folds — measured 11.6x wall on the 10x
+    corpus at K=313): each vector first scores all K centroids with a
+    plain DOUBLE cosine and only centroids within 1e-6 of its double
+    max are exact-scored. Lossless by margin analysis (the
+    decontam_embedding recipe): |double − exact| ≲ 3e-12 per cosine
+    and the 8dp argmax winner is within 2·5e-9 + 6e-12 of the double
+    max — far inside 1e-6 — so the survivor set (~1-2 centroids per
+    vector) provably contains the exact winner; ties at 8dp all
+    survive too (equal rounded values differ < 1e-8 in double).
+    Equality with the all-exact assignment is pinned in
+    tests/test_similarity.py::test_ivf_assign_prefilter_is_lossless.
+    """
+    from aichemy_data_pipelines_spark.functions.vectors import spark_dot
+
     cdot = spark_dot_exact("embedding", "centroid")
     cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    # the exact norms (already doubles) hoist once per side and are
+    # reused by the prefilter, so each pair pays ONE double fold; the
+    # pair frame drops both arrays BEFORE the per-vector window, so
+    # the N·K window shuffle carries 3 slim columns instead of two
+    # 64-double arrays per row (~20x fewer shuffle bytes), and the
+    # arrays re-join only for the ~1-2 surviving rows per vector
     en = e.withColumn("en", F.expr(_NORM))
     cn = cents.withColumn("cn", F.expr(cnorm))
+    dmax = F.max("dcos").over(Window.partitionBy("vec_id"))
+    surv = (
+        en.crossJoin(F.broadcast(cn))
+        .select(
+            "vec_id",
+            "list_id",
+            F.expr(
+                f"{spark_dot('embedding', 'centroid')} / (en * cn)"
+            ).alias("dcos"),
+        )
+        .withColumn("dmax", dmax)
+        .where(F.col("dcos") >= F.col("dmax") - 1e-6)
+        .select("vec_id", "list_id")
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), "list_id")
     return (
-        en.crossJoin(F.broadcast(cn))
+        surv.join(en, "vec_id")
+        .join(F.broadcast(cn), "list_id")
         .withColumn(
             "a_cos", F.round(F.expr(f"{cdot} / ((en) * (cn))"), 8)
         )
@@ -415,10 +452,21 @@ def ann_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("cv"),
         "list_id",
     ).withColumn("cn", F.expr(f"sqrt({spark_dot_exact('cv', 'cv')})"))
+    from aichemy_data_pipelines_spark.functions.vectors import spark_dot
+
     dot = spark_dot_exact("qv", "cv")
+    # threshold prefilter in DOUBLE (the decontam_embedding recipe),
+    # reusing the hoisted exact norms so each candidate pays one
+    # double fold: only candidates within 1e-6 of the screen bar pay
+    # the exact-decimal fold; lossless because |double − exact| ≲
+    # 3e-12 and the exact test rounds at 5e-9 granularity
     scored = (
         F.broadcast(probes)
         .join(c, "list_id")
+        .where(
+            F.expr(f"{spark_dot('qv', 'cv')} / (qn * cn)")
+            >= _SCREEN_COS - 1e-6
+        )
         .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
         .select("query_id", "cand_id", "cosine")
     )

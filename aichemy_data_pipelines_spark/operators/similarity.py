@@ -53,6 +53,7 @@ from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.vectors import (
     spark_cosine_exact,
+    spark_dot,
     spark_dot_exact,
 )
 
@@ -304,6 +305,22 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "sigs", F.expr(_spark_sig_keys("embedding", planes))
     )
+    # Candidate pass scores with a plain DOUBLE cosine: the exact-
+    # decimal fold is interpreted BigDecimal work ~an order of
+    # magnitude costlier per pair, and the candidate volume is
+    # B·(planes+1)·N·block — it dominated the query (measured 131 s
+    # at sf0.1 with exact dots on every candidate vs ~8 s this way).
+    # Lossless by margin analysis (the decontam_embedding recipe):
+    # |double cosine − exact cosine| ≲ 3e-12 (per-dim float products
+    # are exact in doubles; only summation order varies), so any pair
+    # the exact 8dp ranking puts in the top-K has a double cosine
+    # within 2·3e-12 + 5e-9 of the double kth — far inside the 1e-6
+    # keep-margin below; dropped pairs are provably outranked by K
+    # strictly-better pairs at 8dp. Survivors (≈ N·K + boundary ties)
+    # are re-scored with the exact-decimal dot via two join-backs —
+    # shuffling the OUTPUT-sized survivor frame plus the corpus
+    # arrays once beats folding decimals over every candidate.
+    # Boundary behavior pinned in tests/test_similarity.py.
     norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
     a = e.select(
         "vec_id",
@@ -317,14 +334,48 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(norm).alias("nb"),
         F.explode(F.expr(f"array({_spark_member_keys()})")).alias("sig"),
     )
+    # exact norms (already doubles) hoist once per side — each
+    # candidate pays ONE double fold, not a three-fold double cosine
+    cand = (
+        a.join(b, "sig")
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn(
+            "dcos", F.expr(f"{spark_dot('va', 'vb')} / (na * nb)")
+        )
+        .groupBy("vec_id", "nbr_id")
+        .agg(F.max("dcos").alias("dcos"))
+    )
+    wd = Window.partitionBy("vec_id").orderBy(F.desc("dcos"), "nbr_id")
+    kth = F.max(F.when(F.col("drk") == _KNN_K, F.col("dcos"))).over(
+        Window.partitionBy("vec_id")
+    )
+    surv = (
+        cand.withColumn("drk", F.row_number().over(wd))
+        .withColumn("kth", kth)
+        .where(
+            (F.col("drk") <= _KNN_K)
+            | F.col("kth").isNull()
+            | (F.col("dcos") >= F.col("kth") - 1e-6)
+        )
+        .select("vec_id", "nbr_id")
+    )
+    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
+    ea = e.select(
+        "vec_id",
+        F.col("embedding").alias("va"),
+        F.expr(norm).alias("na"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("vb"),
+        F.expr(norm).alias("nb"),
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nbr_id")
     dot = spark_dot_exact("va", "vb")
     return (
-        a.join(b, "sig")
-        .where(F.col("vec_id") != F.col("nbr_id"))
+        surv.join(ea, "vec_id")
+        .join(eb, "nbr_id")
         .withColumn("cosine", F.round(F.expr(f"{dot} / (na * nb)"), 8))
-        .groupBy("vec_id", "nbr_id")
-        .agg(F.max("cosine").alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _KNN_K)
         .select("vec_id", "rk", "nbr_id", "cosine")

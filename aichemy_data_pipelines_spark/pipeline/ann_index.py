@@ -124,10 +124,18 @@ def _scored_candidates(
     root: str,
     queries: DataFrame,
     nprobe: int | None = None,
+    min_cosine: float | None = None,
 ) -> DataFrame:
     """(query_id, cand_id, cosine) over the probed inverted lists —
     the shared probe+re-rank core of query_ivf_index (top-k search)
-    and screen_batch (threshold screening)."""
+    and screen_batch (threshold screening).
+
+    ``min_cosine``: threshold paths pass their bar so candidates are
+    prefiltered with a plain DOUBLE cosine at bar − 1e-6 before the
+    exact-decimal fold (lossless — |double − exact| ≲ 3e-12 vs the
+    exact test's 5e-9 rounding granularity; the ivf._assign margin
+    analysis). Rank-based paths pass None: a top-k cutoff has no
+    fixed bar to prefilter against."""
     # resolve the index version ONCE: centroids and postings must
     # come from the SAME manifest, or a concurrent rebuild between
     # the two reads serves new centroids over old lists — the torn
@@ -170,10 +178,20 @@ def _scored_candidates(
         "list_id",
     ).withColumn("cn", F.expr(f"sqrt({spark_dot_exact('cv', 'cv')})"))
     dot = spark_dot_exact("qv", "cv")
+    joined = F.broadcast(probes).join(c, "list_id")
+    if min_cosine is not None:
+        from aichemy_data_pipelines_spark.functions.vectors import (
+            spark_dot,
+        )
+
+        joined = joined.where(
+            F.expr(f"{spark_dot('qv', 'cv')} / (qn * cn)")
+            >= min_cosine - 1e-6
+        )
     return (
-        F.broadcast(probes)
-        .join(c, "list_id")
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        joined.withColumn(
+            "cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8)
+        )
         .select("query_id", "cand_id", "cosine")
     )
 
@@ -205,6 +223,7 @@ def screen_batch(
         screen_verdicts,
     )
 
+    resolved = _SCREEN_COS if bar is None else bar
     scored = _scored_candidates(
         spark,
         root,
@@ -212,9 +231,6 @@ def screen_batch(
             F.col("vec_id").alias("query_id"), "embedding"
         ),
         nprobe,
+        min_cosine=resolved,
     )
-    return screen_verdicts(
-        scored,
-        batch.select("vec_id"),
-        _SCREEN_COS if bar is None else bar,
-    )
+    return screen_verdicts(scored, batch.select("vec_id"), resolved)

@@ -579,7 +579,11 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "q8_market_share": {"nation": 2},
     "q7_volume_shipping": {"nation": 2},
     "corpus_curation_funnel": {"documents": 5},
-    "ann_ivf_pq_topk": {"embeddings": 4},
+    # r14: ivf._assign's slim-shuffle prefilter adds ONE column-pruned
+    # embeddings scan per assignment (the survivor join-back) — the
+    # trade that stops the per-vector window from shuffling K x corpus
+    # bytes of arrays (at K=1024 that shuffle is ~1000x the corpus)
+    "ann_ivf_pq_topk": {"embeddings": 5},
     "ann_recall_eval": {"embeddings": 4},
     "corpus_perplexity_buckets": {"documents": 4},
     "customer_set_ops": {"customer": 2, "orders": 2},
@@ -590,7 +594,7 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "corpus_mixture_sample": {"documents": 3},
     "dedup_incremental": {"documents": 3},
     "dedup_remove_spans": {"documents": 3},
-    "dedup_semantic": {"embeddings": 3},
+    "dedup_semantic": {"embeddings": 6},  # r14: +assign join-backs (see ann_ivf_pq_topk note)
     "events_asof_join_bucketed": {"events": 3},
     "events_dau_mau": {"events": 3},
     "events_funnel": {"events": 3},
@@ -601,8 +605,11 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "q4_order_priority": {"orders": 2},
     "text_bm25_scores": {"documents": 3},
     "ann_cosine_topk": {"embeddings": 2},
-    "ann_ivf_topk": {"embeddings": 2},
-    "ann_knn_graph": {"embeddings": 2},
+    "ann_ivf_topk": {"embeddings": 3},  # r14: +assign join-back (see ann_ivf_pq_topk note)
+    # r14: +2 scans for the exact re-rank's survivor join-backs (the
+    # double-prefilter trade: ~N·K output-sized exact dots instead of
+    # exact dots on every candidate — measured 131 s -> ~8 s at sf0.1)
+    "ann_knn_graph": {"embeddings": 4},
     "ann_lsh_topk": {"embeddings": 2},
     "ann_pq_adc_topk": {"embeddings": 2},
     "corpus_dedup_savings": {"documents": 2},
@@ -615,7 +622,7 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "docs_distinct_terms": {"documents": 2},
     "docs_quality_classifier": {"documents": 2},
     "docs_tfidf_topterms": {"documents": 2},
-    "embeddings_cluster_outliers": {"embeddings": 2},
+    "embeddings_cluster_outliers": {"embeddings": 4},  # r14: +assign join-backs
     "embeddings_quantize_int8": {"embeddings": 2},
     "events_anomaly_zscore": {"events": 2},
     "events_conversion_latency": {"events": 2},
@@ -643,7 +650,7 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # derivation; incremental screen = corpus lists + batch probes +
     # verdict spine (training is sample-sized and checkpointed away)
     "decontam_token_report": {"documents": 2},
-    "ann_incremental_screen": {"embeddings": 3},
+    "ann_incremental_screen": {"embeddings": 4},  # r14: +assign join-back
 }
 
 

@@ -425,3 +425,110 @@ def test_ivf_elevated_k_recall_and_bounded_lists(spark):
         assert recall >= 0.3, f"elevated-K IVF recall collapsed: {recall:.2f}"
     finally:
         spark.conf.unset("spark.aichemy.ivf.targetList")
+
+
+def test_knn_graph_prefilter_is_lossless(spark):
+    """The r14 double-cosine prefilter (score candidates in double,
+    exact-decimal re-rank only the ~N*K survivors) must emit exactly
+    the graph the all-candidates exact ranking emits — this re-derives
+    the OLD plan (exact 8dp cosine on every candidate, dedup, rank)
+    and pins row-for-row equality, so a margin regression that drops a
+    boundary pair fails here."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        _KNN_K,
+        _spark_member_keys,
+        _spark_probe_keys,
+        _spark_sig_keys,
+        ann_knn_graph,
+        corpus_plane_count,
+    )
+
+    planes = corpus_plane_count(spark, SF_SMOKE)
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").withColumn(
+        "sigs", F.expr(_spark_sig_keys("embedding", planes))
+    )
+    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
+    a = e.select(
+        "vec_id",
+        F.col("embedding").alias("va"),
+        F.expr(norm).alias("na"),
+        F.explode(
+            F.expr(f"array({_spark_probe_keys(planes)})")
+        ).alias("sig"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("vb"),
+        F.expr(norm).alias("nb"),
+        F.explode(F.expr(f"array({_spark_member_keys()})")).alias("sig"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nbr_id")
+    dot = spark_dot_exact("va", "vb")
+    reference = sorted(
+        (r.vec_id, r.rk, r.nbr_id, r.cosine)
+        for r in (
+            a.join(b, "sig")
+            .where(F.col("vec_id") != F.col("nbr_id"))
+            .withColumn(
+                "cosine", F.round(F.expr(f"{dot} / (na * nb)"), 8)
+            )
+            .groupBy("vec_id", "nbr_id")
+            .agg(F.max("cosine").alias("cosine"))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= _KNN_K)
+            .select("vec_id", "rk", "nbr_id", "cosine")
+            .collect()
+        )
+    )
+    got = sorted(
+        (r.vec_id, r.rk, r.nbr_id, r.cosine)
+        for r in ann_knn_graph(spark, SF_SMOKE).collect()
+    )
+    assert got == reference
+
+
+def test_ivf_assign_prefilter_is_lossless(spark):
+    """ivf._assign's r14 double-cosine prefilter (only centroids
+    within 1e-6 of a vector's double max pay the exact-decimal fold)
+    must produce exactly the assignment the all-exact argmax
+    produces — re-derived here without the prefilter and pinned
+    row-for-row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+    )
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _NORM,
+        _kmeans,
+    )
+
+    cents, lists = _kmeans(spark, SF_SMOKE)
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cdot = spark_dot_exact("embedding", "centroid")
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    w = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), "list_id")
+    reference = sorted(
+        (r.vec_id, r.list_id)
+        for r in (
+            e.withColumn("en", F.expr(_NORM))
+            .crossJoin(F.broadcast(cents.withColumn("cn", F.expr(cnorm))))
+            .withColumn(
+                "a_cos", F.round(F.expr(f"{cdot} / ((en) * (cn))"), 8)
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .collect()
+        )
+    )
+    got = sorted((r.vec_id, r.list_id) for r in lists.collect())
+    assert got == reference
