@@ -52,7 +52,6 @@ from pyspark.sql import functions as F
 from aichemy_data_pipelines_spark.catalog import load_table
 from aichemy_data_pipelines_spark.functions.layout import spread_small_input
 from aichemy_data_pipelines_spark.functions.vectors import (
-    spark_cosine_exact,
     spark_dot,
     spark_dot_exact,
 )
@@ -309,7 +308,8 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal fold is interpreted BigDecimal work ~an order of
     # magnitude costlier per pair, and the candidate volume is
     # B·(planes+1)·N·block — it dominated the query (measured 131 s
-    # at sf0.1 with exact dots on every candidate vs ~8 s this way).
+    # at sf0.1 with exact dots on every candidate vs 28 s this way;
+    # 344 s vs 64 s on the 10x corpus).
     # Lossless by margin analysis (the decontam_embedding recipe):
     # |double cosine − exact cosine| ≲ 3e-12 (per-dim float products
     # are exact in doubles; only summation order varies), so any pair

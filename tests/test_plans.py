@@ -608,7 +608,7 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "ann_ivf_topk": {"embeddings": 3},  # r14: +assign join-back (see ann_ivf_pq_topk note)
     # r14: +2 scans for the exact re-rank's survivor join-backs (the
     # double-prefilter trade: ~N·K output-sized exact dots instead of
-    # exact dots on every candidate — measured 131 s -> ~8 s at sf0.1)
+    # exact dots on every candidate — measured 131 s -> 28 s at sf0.1)
     "ann_knn_graph": {"embeddings": 4},
     "ann_lsh_topk": {"embeddings": 2},
     "ann_pq_adc_topk": {"embeddings": 2},
