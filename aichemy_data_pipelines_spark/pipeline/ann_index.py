@@ -234,3 +234,47 @@ def screen_batch(
         min_cosine=resolved,
     )
     return screen_verdicts(scored, batch.select("vec_id"), resolved)
+
+
+def accept_batch(
+    spark: SparkSession,
+    root: str,
+    batch: DataFrame,
+    batch_id: int | None = None,
+    run_id: str | None = None,
+) -> int:
+    """Grow the index with a screened (vec_id, embedding) batch
+    WITHOUT retraining: vectors assign to the FROZEN manifest
+    centroids (the same deterministic max-cosine argmax the builder
+    used) and their postings append under the existing list_id
+    partitioning — the ANN twin of dedup_index.accept_batch, and the
+    accept half of the screen-then-grow ingest loop
+    (streaming/corpus_ingest.stream_embedding_ingest).
+
+    Replay-idempotent via the shared high-watermark guard
+    (pipeline/replay.py): any ``batch_id <= last_batch_id`` under the
+    same checkpoint identity no-ops. The centroid manifest meta
+    carries over through ``stamp`` so queries against the grown index
+    keep resolving centroids+postings from one manifest.
+
+    K stays frozen — appends grow the lists, not the quantizer; once
+    the corpus outgrows K·targetList by a margin, rebuild with
+    build_ivf_index (the IVF operational contract; FAISS's add-vs-
+    train split works the same way)."""
+    from aichemy_data_pipelines_spark.operators.ivf import _assign
+    from aichemy_data_pipelines_spark.pipeline.replay import (
+        is_replay,
+        stamp,
+    )
+
+    table = _postings_table(root)
+    meta = table.meta()
+    if is_replay(meta, batch_id, run_id):
+        return table.version()
+    cents = _load_centroids(spark, root, table.version())
+    lists = _assign(batch.select("vec_id", "embedding"), cents)
+    return table.append(
+        lists.select("list_id", "vec_id", "embedding"),
+        partition_by=["list_id"],
+        meta=stamp(meta, batch_id, run_id),
+    )

@@ -185,3 +185,104 @@ def stream_corpus_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def embedding_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_root: str,
+    verdicts: AtomicParquetTable,
+    run_id: str | None = None,
+) -> None:
+    """One embedding micro-batch through the ANN screen-then-grow
+    loop (the vector twin of :func:`ingest_batch`): screen against
+    the persisted IVF index (pipeline/ann_index.screen_batch), append
+    the per-vector verdicts, then grow the index with only the
+    ``is_new`` vectors (pipeline/ann_index.accept_batch).
+
+    Verdicts-first ordering is load-bearing, mirroring the docs
+    flow's curated-first rule: on a crash between the two appends the
+    replay recomputes the screen against the index state accept never
+    changed — deterministic, so the stamped verdicts stay truthful
+    and only the postings append re-applies. Were the index grown
+    first, a replayed screen would see the batch's own vectors and
+    mark everything a self-duplicate.
+    """
+    from aichemy_data_pipelines_spark.pipeline.ann_index import (
+        accept_batch,
+        screen_batch,
+    )
+
+    spark = batch_df.sparkSession
+    batch = batch_df.select("vec_id", "embedding")
+    # evaluated once, reused by both the verdict append and the
+    # is_new join — a lazy frame would re-run the screen twice
+    v = screen_batch(spark, index_root, batch).localCheckpoint()
+    if not is_replay(verdicts.meta(), batch_id, run_id):
+        verdicts.append(
+            v.withColumn("batch_id", F.lit(batch_id)),
+            meta=stamp(verdicts.meta(), batch_id, run_id),
+        )
+    new = batch.join(
+        v.where(F.col("is_new")).select("vec_id"), "vec_id"
+    )
+    accept_batch(spark, index_root, new, batch_id, run_id)
+
+
+def stream_embedding_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    index_root: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    glob: str = "*.parquet",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming ANN ingestion: tail a directory of embedding parquet
+    drops, screen every micro-batch against the persisted IVF index,
+    persist verdicts, and grow the index with the novel vectors —
+    exactly-once end to end via the shared replay watermark.
+
+    PRECONDITION: the index exists (build_ivf_index on a seed corpus)
+    — screening needs trained centroids; an ANN index cannot
+    bootstrap itself from an empty stream the way the band index can.
+
+    Scale: per-batch work is batch-proportional (K-row centroid
+    broadcast + nprobe pruned postings partitions); the index grows
+    by postings rows only, K frozen until an offline rebuild.
+    """
+    verdicts = AtomicParquetTable(
+        os.path.join(output_dir, "screen_verdicts.parquet")
+    )
+    probed = (
+        spark.read.option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .parquet(src_dir)
+    )
+    reader = (
+        spark.readStream.schema(probed.schema)
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    vecs = reader.parquet(src_dir)
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        embedding_ingest_batch(
+            batch_df,
+            batch_id,
+            index_root,
+            verdicts,
+            run_id=checkpoint_identity(checkpoint_dir),
+        )
+
+    q = (
+        vecs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -106,3 +106,34 @@ def test_screen_batch_matches_inline_operator(spark, tmp_path):
         # verdict-shape invariants: is_new ⟺ zero matches ⟺ no best
         assert t[4] == (t[1] == 0)
         assert (t[2] is None) == t[4] and (t[3] is None) == t[4]
+
+
+def test_accept_batch_is_replay_idempotent(spark, tmp_path):
+    """accept_batch under a re-delivered foreachBatch id must no-op
+    (high-watermark + checkpoint identity), and growing the index
+    must keep the centroid manifest so queries still resolve."""
+    from aichemy_data_pipelines_spark.pipeline.ann_index import (
+        _load_centroids,
+        accept_batch,
+    )
+
+    root = str(tmp_path / "ivf")
+    build_ivf_index(spark, SF_SMOKE, root)
+    table = _postings_table(root)
+    n0 = table.read(spark).count()
+
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .limit(3)
+        .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    )
+    v1 = accept_batch(spark, root, batch, batch_id=0, run_id="run-a")
+    assert table.read(spark).count() == n0 + 3
+    # replay of batch 0 under the same identity: no-op
+    assert accept_batch(spark, root, batch, batch_id=0, run_id="run-a") == v1
+    assert table.read(spark).count() == n0 + 3
+    # centroids survived the append (stamp carries manifest meta)
+    assert _load_centroids(spark, root, table.version()).count() > 0
+    # a NEW checkpoint identity restarts ids: batch 0 applies again
+    v2 = accept_batch(spark, root, batch, batch_id=0, run_id="run-b")
+    assert v2 > v1 and table.read(spark).count() == n0 + 6

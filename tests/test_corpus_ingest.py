@@ -190,3 +190,79 @@ def test_replay_after_crash_between_appends(spark, tmp_path):
     ingest_batch(spark.read.parquet(str(src / "f2.parquet")), 2, curated, sig)
     ids = sorted(r.doc_id for r in curated.read(spark).collect())
     assert ids == [1, 4]
+
+
+def test_stream_embedding_ingest_screens_and_grows(spark, tmp_path):
+    """The ANN screen-then-grow loop end to end: seed index from the
+    corpus split, stream two embedding drops (one containing a
+    near-dup of an indexed vector — its own copy), verify verdicts,
+    index growth by exactly the novel vectors, and replay safety on
+    a second identical run."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.operators.ivf import _INCR_MOD
+    from aichemy_data_pipelines_spark.pipeline.ann_index import (
+        _postings_table,
+        build_ivf_index,
+    )
+    from aichemy_data_pipelines_spark.streaming.corpus_ingest import (
+        stream_embedding_ingest,
+    )
+    from tests.conftest import SF_SMOKE
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    corpus_dir = tmp_path / "corpus_sf"
+    corpus_dir.mkdir()
+    e.where(F.col("vec_id") % _INCR_MOD != 0).write.parquet(
+        str(corpus_dir / "embeddings.parquet")
+    )
+    root = str(tmp_path / "ivf")
+    build_ivf_index(spark, str(corpus_dir), root)
+    table = _postings_table(root)
+    v_built = table.version()
+    n_indexed = table.read(spark).count()
+
+    # feed: drop 0 = fresh batch vectors; drop 1 = exact copies of
+    # two INDEXED vectors under new ids (guaranteed near-dups)
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    batch0 = e.where(F.col("vec_id") % _INCR_MOD == 0).select(
+        "vec_id", "embedding"
+    )
+    n_batch0 = batch0.count()
+    batch0.coalesce(1).write.parquet(str(feed / "b0.parquet"))
+    dup_src = e.where(F.col("vec_id") % _INCR_MOD != 0).limit(2)
+    dup_src.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    ).coalesce(1).write.parquet(str(feed / "b1.parquet"))
+
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    stream_embedding_ingest(
+        spark, str(feed), root, str(out), ckpt, max_files_per_trigger=1
+    )
+
+    verdicts = AtomicParquetTable(
+        str(out / "screen_verdicts.parquet")
+    ).read(spark)
+    rows = {r.vec_id: r for r in verdicts.collect()}
+    assert len(rows) == n_batch0 + 2
+    # the re-ingested copies MUST hit their indexed originals
+    for r in rows.values():
+        if r.vec_id >= 1_000_000:
+            assert not r.is_new and r.best_cosine == 1.0
+    n_new = sum(1 for r in rows.values() if r.is_new)
+    grown = _postings_table(root)
+    assert grown.read(spark).count() == n_indexed + n_new
+    assert grown.version() > v_built
+    v_after = grown.version()
+
+    # replay: same feed, same checkpoint -> availableNow finds no new
+    # files, nothing re-appends
+    stream_embedding_ingest(
+        spark, str(feed), root, str(out), ckpt, max_files_per_trigger=1
+    )
+    assert _postings_table(root).version() == v_after
+    assert AtomicParquetTable(
+        str(out / "screen_verdicts.parquet")
+    ).read(spark).count() == len(rows)
