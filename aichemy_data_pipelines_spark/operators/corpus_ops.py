@@ -607,8 +607,71 @@ def decontam_token_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE contamination extent — the table a model card
+    actually prints: for every training source, docs screened, docs
+    contaminated, the contamination rate, the share of training
+    tokens covered by eval-shared n-grams, and the mean/max
+    longest-contaminated-run fraction (composing
+    ``decontam_token_report``; short docs with no possible 8-gram
+    count as screened-and-clean).
+
+    Determinism: the per-doc fractions are 6dp-rounded doubles; their
+    MEAN goes through an exact decimal(10,6) sum (the
+    events_anomaly_zscore recipe) so partial-agg order cannot move
+    the 6th digit; token shares divide exact integer sums. Sources
+    with zero contaminated docs report NULL mean/max (no evidence,
+    not 0).
+
+    Scale: the token report's own shape plus one tokenize pass over
+    the training split and a |sources|-bounded aggregate.
+    """
+    rep = decontam_token_report(spark, sf_dir).select(
+        "doc_id", "contaminated_tokens", "longest_frac"
+    )
+    tr = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _EVAL_MOD != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.expr(SPARK_TOKENS)).cast("long").alias("n_tokens"),
+        )
+    )
+    return (
+        tr.join(rep, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count("longest_frac").cast("long").alias("n_contaminated"),
+            F.round(
+                F.count("longest_frac")
+                / F.count("*").cast("double"),
+                6,
+            ).alias("contamination_rate"),
+            F.round(
+                F.sum(
+                    F.coalesce("contaminated_tokens", F.lit(0))
+                ).cast("double")
+                / F.sum("n_tokens"),
+                6,
+            ).alias("contaminated_token_share"),
+            F.round(
+                F.expr(
+                    "cast(sum(cast(longest_frac as decimal(10,6))) "
+                    "as double)"
+                )
+                / F.count("longest_frac"),
+                6,
+            ).alias("mean_longest_frac"),
+            F.max("longest_frac").alias("max_longest_frac"),
+        )
+    )
+
+
 QUERIES = {
     "decontam_token_report": decontam_token_report,
+    "decontam_source_rollup": decontam_source_rollup,
     "corpus_dedup_savings": corpus_dedup_savings,
     "decontam_embedding": decontam_embedding,
     "docs_length_percentiles_by_source": docs_length_percentiles_by_source,
@@ -774,6 +837,29 @@ from aichemy_data_pipelines_spark.operators import textops as _textops  # noqa: 
 # derived tables (DuckDB allows WITH/WITH RECURSIVE inside them), so
 # the end-to-end numbers are checked against the same per-stage
 # definitions the individual queries verify.
+# composes the token report's oracle verbatim (the screens/funnel
+# pattern): if the per-doc extent drifts, the rollup drifts with it
+ORACLE["decontam_source_rollup"] = f"""
+    WITH rep AS ({ORACLE["decontam_token_report"]}), tr AS (
+        SELECT doc_id, source, CAST(len({_T}) AS BIGINT) AS n_tokens
+        FROM documents WHERE doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT tr.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(rep.longest_frac) AS BIGINT) AS n_contaminated,
+           round(CAST(COUNT(rep.longest_frac) AS DOUBLE) / COUNT(*), 6)
+             AS contamination_rate,
+           round(CAST(SUM(COALESCE(rep.contaminated_tokens, 0))
+                      AS DOUBLE) / SUM(tr.n_tokens), 6)
+             AS contaminated_token_share,
+           round(CAST(SUM(CAST(rep.longest_frac AS DECIMAL(10,6)))
+                      AS DOUBLE) / COUNT(rep.longest_frac), 6)
+             AS mean_longest_frac,
+           MAX(rep.longest_frac) AS max_longest_frac
+    FROM tr LEFT JOIN rep ON rep.doc_id = tr.doc_id
+    GROUP BY tr.source
+"""
+
 ORACLE["corpus_curation_funnel"] = f"""
         WITH flags AS (
             SELECT d.source, d.doc_id, len({_T}) AS ws,

@@ -137,3 +137,53 @@ def test_token_report_spans_verified_in_python(spark):
         assert r.contaminated_frac == round(sum(runs) / len(toks), 6)
         assert r.longest_frac == round(max(runs) / len(toks), 6)
         assert 0 < r.longest_frac <= r.contaminated_frac <= 1.0
+
+
+def test_source_rollup_consistent_with_token_report(spark):
+    """decontam_source_rollup re-derived from the per-doc report plus
+    the raw documents table: counts, rates, token shares and
+    mean/max fractions must agree exactly (decimal-sum mean), and
+    clean sources must report NULL extents, not zeros."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from aichemy_data_pipelines_spark.operators.corpus_ops import (
+        decontam_source_rollup,
+        decontam_token_report,
+    )
+
+    rep = {
+        r.doc_id: r
+        for r in decontam_token_report(spark, SF_SMOKE).collect()
+    }
+    docs = [
+        (d.doc_id, d.source, len(d.text.strip().lower().split()))
+        for d in spark.read.parquet(
+            f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+        if d.doc_id % _EVAL_MOD != 0
+    ]
+    rows = decontam_source_rollup(spark, SF_SMOKE).collect()
+    assert {r.source for r in rows} == {s for _, s, _ in docs}
+    for r in rows:
+        mine = [(i, n) for i, s, n in docs if s == r.source]
+        hits = [rep[i] for i, _ in mine if i in rep]
+        assert r.n_docs == len(mine)
+        assert r.n_contaminated == len(hits)
+        assert r.contamination_rate == round(len(hits) / len(mine), 6)
+        assert r.contaminated_token_share == round(
+            sum(h.contaminated_tokens for h in hits)
+            / sum(n for _, n in mine),
+            6,
+        )
+        if not hits:
+            assert r.mean_longest_frac is None
+            assert r.max_longest_frac is None
+            continue
+        assert r.max_longest_frac == max(h.longest_frac for h in hits)
+        mean = sum(
+            Decimal(repr(h.longest_frac)).quantize(Decimal("0.000001"))
+            for h in hits
+        ) / len(hits)
+        assert Decimal(repr(r.mean_longest_frac)) == Decimal(
+            repr(float(mean))
+        ).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)

@@ -650,6 +650,8 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # derivation; incremental screen = corpus lists + batch probes +
     # verdict spine (training is sample-sized and checkpointed away)
     "decontam_token_report": {"documents": 2},
+    # token-report branches + the training-split tokenize pass
+    "decontam_source_rollup": {"documents": 3},
     "ann_incremental_screen": {"embeddings": 4},  # r14: +assign join-back
 }
 
