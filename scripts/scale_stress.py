@@ -52,6 +52,9 @@ PANEL = [
     "text_langid_classifier",
     "decontam_bloom",
     "decontam_ngram_overlap",
+    "decontam_token_report",
+    "decontam_source_rollup",
+    "dedup_lsh_fast_parity",
     "corpus_curriculum_mix",
     "corpus_perplexity_buckets",
     # the six screens members individually (r11 verdict #7: attribute
