@@ -29,7 +29,8 @@ Output: one row per TRAINING doc — (doc_id, n_shingles,
 n_bloom_hits, contaminated). Zero-hit docs are included (the audit
 view a release gate wants); ``contaminated`` flags ≥ 1 hit. Compare
 with decontam_ngram_overlap to measure the realized false-positive
-rate (tests/test_bloom_decontam.py pins exact-pass recall = 100%).
+rate (tests/test_round11_ops.py::test_bloom_decontam_exact_recall
+pins exact-pass recall = 100%).
 
 Float portability: everything is integer (bit positions, counts) —
 the whole query is hash-exact with no rounding discipline needed.
