@@ -185,11 +185,17 @@ def _dense_features(feat: DataFrame) -> DataFrame:
 #: per-row exact-decimal dot of the dense features against a weight
 #: vector expression ``{ws}`` — same scale-18 sum the scoring join's
 #: Sum aggregate produces, just folded row-local (decimal addition is
-#: exact and order-free, so the values are identical)
+#: exact and order-free, so the values are identical). The
+#: accumulator sits at decimal(37,18) — the ELEMENT-PRODUCT type
+#: ((18,9)*(18,9)) — because (37,18)+(37,18) widens to (38,18) with
+#: NO rounding; a (38,18) accumulator instead widens (38,18)+(37,18)
+#: to (38,17), rounding every partial sum at scale 17 and breaking
+#: the bit-parity with Sum(w*x) (the spark_dot_exact pattern, see
+#: functions/vectors.py).
 _Z_DENSE = (
     "aggregate(zip_with(xs, {ws}, (x, w) -> w * x), "
-    "cast(0 as decimal(38,18)), "
-    "(acc, v) -> cast(acc + v as decimal(38,18)))"
+    "cast(0 as decimal(37,18)), "
+    "(acc, v) -> cast(acc + v as decimal(37,18)))"
 )
 _P_DENSE = (
     f"cast(round(1 / (1 + exp(-cast(({_Z_DENSE}) as double))), 9) "

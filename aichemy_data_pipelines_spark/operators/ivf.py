@@ -32,7 +32,11 @@ corpus-scale shuffle is the final equi-join on list id.
 Recall: k-means lists are cosine-cohesive by construction, unlike
 the corpus ``label`` column (not cosine-clustered — recall there ≈
 nprobe/n_lists). tests/test_similarity.py asserts the trained
-quantizer beats the label partition at equal nprobe.
+quantizer beats the label partition at equal nprobe — a pin that
+holds at the r15 _TRAIN_PER_LIST=16 sample (16 training vectors per
+centroid; FAISS's own guidance trains IVF on a corpus sample, and
+the sampled quantizer's recall is indistinguishable here while
+cutting the dominant Lloyd-assign fold work ~2x at any N).
 """
 
 from __future__ import annotations
@@ -58,10 +62,13 @@ _TOP_K = 3
 # K = clamp(ceil(N / _TARGET_LIST), 8, 1024) holds lists at
 # ~_TARGET_LIST vectors at any scale, so SemDeDup's within-cluster
 # pair stage and IVF's probed-candidate volume stay ~linear in N.
-# The floor keeps the tiny test corpora (≤512 vectors) on the
-# historical K=8 behavior; past the 1024-list cap (>65k vectors)
+# The floor keeps the tiny test corpora (≤128 vectors) on the
+# historical K=8 behavior; past _TRAIN_PER_LIST·K vectors (r15: 16·K
+# = N/4 once K tracks N, so effectively always beyond the floor)
 # Lloyd training runs on the md5-leading _TRAIN_PER_LIST·K sample
-# (bounded O(K²) training) while the final assignment still covers
+# (bounded O(K²) training — the FAISS train-on-a-sample discipline;
+# r14 verdict #2: full-corpus training cost 4x the quantizer wall
+# for zero recall gain) while the final assignment still covers
 # the full corpus. The knob is ``spark.aichemy.ivf.targetList``; the
 # DuckDB oracles compute the SAME formula in-plan from COUNT(*) at
 # the default target, so a non-default conf warns (corpus_list_count)
@@ -69,7 +76,7 @@ _TOP_K = 3
 _MIN_LISTS = 8
 _MAX_LISTS = 1024
 _TARGET_LIST = 64
-_TRAIN_PER_LIST = 64
+_TRAIN_PER_LIST = 16
 _LIST_CONF = "spark.aichemy.ivf.targetList"
 _LLOYD_ITERS = 2
 
@@ -167,11 +174,24 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
             "vec_id",
             "list_id",
             F.expr(
-                f"{spark_dot('embedding', 'centroid')} / (en * cn)"
+                f"try_divide({spark_dot('embedding', 'centroid')}, "
+                "en * cn)"
             ).alias("dcos"),
         )
         .withColumn("dmax", dmax)
-        .where(F.col("dcos") >= F.col("dmax") - 1e-6)
+        # dmax IS NULL ⟺ every double cosine is NULL ⟺ en = 0 (a
+        # zero-norm vector; try_divide yields NULL instead of the
+        # ANSI DIVIDE_BY_ZERO crash a bare '/' raises under the
+        # session default). Keep those vectors: all K centroids
+        # survive, the exact scorer's a_cos is NULL too, and
+        # desc-NULLS-LAST ordering assigns rk=1 to the lowest
+        # list_id — so a zero embedding in a user batch never
+        # crashes the job nor silently vanishes from the index
+        # (accept_batch/build_ivf_index inherit this).
+        .where(
+            F.col("dmax").isNull()
+            | (F.col("dcos") >= F.col("dmax") - 1e-6)
+        )
         .select("vec_id", "list_id")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), "list_id")
@@ -179,7 +199,8 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
         surv.join(en, "vec_id")
         .join(F.broadcast(cn), "list_id")
         .withColumn(
-            "a_cos", F.round(F.expr(f"{cdot} / ((en) * (cn))"), 8)
+            "a_cos",
+            F.round(F.expr(f"try_divide({cdot}, (en) * (cn))"), 8),
         )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
@@ -234,12 +255,57 @@ def _train_quantizer(
     """The _kmeans body over an arbitrary (vec_id, embedding) corpus
     frame — shared with ``ann_incremental_screen``, whose quantizer
     trains on the CORPUS SPLIT only (the persisted-snapshot shape,
-    where the index predates the incoming batch)."""
-    # Lloyd iterations run on the md5-leading training sample when the
-    # corpus outgrows _TRAIN_PER_LIST·K (only possible past the
-    # _MAX_LISTS cap, >65k vectors at the default target): bounded
-    # O(K²) training, full-corpus final assignment. Below the cap the
-    # sample IS the corpus and the plan is untouched.
+    where the index predates the incoming batch).
+
+    r15: Lloyd runs IN THE DRIVER over the collected md5-leading
+    _TRAIN_PER_LIST·K sample (bounded: ≤16·1024 vectors ≈ 4 MB at
+    any corpus size — the MLlib/FAISS shape, where the quantizer
+    trains on a sample and ships as a broadcast artifact). The r14
+    in-cluster Lloyd spent ~4 s of fixed stage-scheduling overhead
+    per training at ANY scale (3 chained materialize-jobs of tiny
+    shuffles — measured vs 0.3 s of driver arithmetic for identical
+    results); only the full-corpus final assignment is cluster work.
+    The driver arithmetic replicates the engines' decimal chains
+    bit-for-bit (scale-12 HALF_UP quantization as exact ints, exact
+    int dot products, correctly-rounded decimal→double, JVM
+    shortest-repr HALF_UP rounding) — pinned against the retained
+    Spark path by tests/test_similarity.py::
+    test_driver_lloyd_matches_spark_lloyd."""
+    spark = e.sparkSession
+    cap = _TRAIN_PER_LIST * k
+    rows = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(min(cap, n))
+        .select("h", "embedding")
+        .collect()
+    )
+    cents_rows = _lloyd_py([(r.h, list(r.embedding)) for r in rows], k)
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("list_id", IntegerType(), False),
+            StructField("centroid", ArrayType(DoubleType()), False),
+        ]
+    )
+    cents = spark.createDataFrame(cents_rows, schema)
+    return cents, _assign(e, cents)
+
+
+def _train_quantizer_spark(
+    e: DataFrame, k: int, n: int
+) -> tuple[DataFrame, DataFrame]:
+    """The pre-r15 all-in-cluster Lloyd — retained as the reference
+    implementation for the driver-parity pin (the two paths must
+    produce IDENTICAL centroids and assignments; see
+    _train_quantizer). Not on any query path."""
     cap = _TRAIN_PER_LIST * k
     train = e
     if n > cap:
@@ -268,6 +334,96 @@ def _train_quantizer(
     for _ in range(_LLOYD_ITERS):
         cents = freeze_small(_mean_centroids(_assign(train, cents)))
     return cents, _assign(e, cents)
+
+
+def _q12(x: float) -> int:
+    """HALF_UP scale-12 quantization of an exact double as an
+    integer — the driver twin of ``cast(cast(x as double) as
+    decimal(18,12))`` (both engines round HALF_UP on the exact
+    binary value; x.as_integer_ratio() is that exact value)."""
+    m, d = x.as_integer_ratio()
+    if m >= 0:
+        return (2 * m * 10**12 + d) // (2 * d)
+    return -((-2 * m * 10**12 + d) // (2 * d))
+
+
+def _jvm_round(x: float, digits: int):
+    """JVM F.round(double, d) twin: Decimal(repr(x)) is the
+    shortest round-trip repr — BigDecimal.valueOf's Double.toString
+    — then HALF_UP at ``digits`` (the repo-wide convention for
+    Python-side state that must match a JVM decimal chain)."""
+    import decimal
+
+    return decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+    )
+
+
+def _lloyd_py(sample: list, k: int) -> list:
+    """Driver Lloyd over [(md5_hex, embedding_floats)] — returns
+    [(list_id, [centroid_double, ...])] identical to the Spark/
+    DuckDB training CTE chain (seeds by md5 order → _LLOYD_ITERS ×
+    (exact-cosine argmax assign, ties to lower list; exact-decimal
+    6dp-rounded per-dim means)). Exactness: scale-12 decimals are
+    ints (no float error), dots are exact int sums, decimal→double
+    is int/int true division (correctly rounded, same as
+    BigDecimal.doubleValue / DuckDB), cosine rounding is the JVM
+    shortest-repr HALF_UP. Zero-norm vectors take the lowest
+    list_id (NULL cosines sort last), mirroring _assign."""
+    import math
+
+    ordered = sorted(sample, key=lambda t: t[0])
+    vecs = [[float(x) for x in emb] for _, emb in ordered]
+    q = [[_q12(x) for x in v] for v in vecs]
+    # exact norm: sqrt of the correctly-rounded double of the exact
+    # scale-24 self-dot (the spark_dot_exact chain)
+    norms = [
+        math.sqrt(sum(a * a for a in qi) / 10**24) for qi in q
+    ]
+
+    cents = [
+        (
+            j + 1,
+            [float(_jvm_round(x, 6)) for x in vecs[j]],
+        )
+        for j in range(min(k, len(vecs)))
+    ]
+
+    for _ in range(_LLOYD_ITERS):
+        cq = [(lid, [_q12(x) for x in c]) for lid, c in cents]
+        cn = [
+            (lid, math.sqrt(sum(a * a for a in ci) / 10**24))
+            for (lid, ci) in cq
+        ]
+        members: dict = {}
+        for i, qi in enumerate(q):
+            best = None  # (cos8_decimal, list_id)
+            if norms[i] != 0.0:
+                for (lid, ci), (_, cni) in zip(cq, cn):
+                    if cni == 0.0:
+                        continue  # NULL cosine sorts last under desc
+                    dot = sum(a * b for a, b in zip(qi, ci)) / 10**24
+                    c8 = _jvm_round(dot / (norms[i] * cni), 8)
+                    if best is None or (c8, -lid) > (best[0], -best[1]):
+                        best = (c8, lid)
+            lid = (
+                best[1]
+                if best is not None
+                else min(l for l, _ in cents)  # all-NULL → lowest id
+            )
+            members.setdefault(lid, []).append(i)
+        new_cents = []
+        for lid in sorted(members):
+            idxs = members[lid]
+            dims = len(q[idxs[0]])
+            c = []
+            for d in range(dims):
+                s = sum(q[i][d] for i in idxs)  # exact scale-12 sum
+                m = (s / 10**12) / len(idxs)  # double-cast, then /n
+                c.append(float(_jvm_round(m, 6)))
+            new_cents.append((lid, c))
+        cents = new_cents
+    return cents
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,8 +209,8 @@ def _z_cols(weights):
         F.expr(
             "aggregate(zip_with(xs, "
             + _w_literal(weights[(c, j)] for j in range(_K + 2))
-            + ", (x, w) -> w * x), cast(0 as decimal(38,18)), "
-            "(acc, v) -> cast(acc + v as decimal(38,18)))"
+            + ", (x, w) -> w * x), cast(0 as decimal(37,18)), "
+            "(acc, v) -> cast(acc + v as decimal(37,18)))"
         ).alias(f"z{c}")
         for c in range(_N_CLASSES)
     ]

@@ -67,3 +67,101 @@ def test_feature_space_is_bounded(spark):
     js = {r.j for r in _features(spark, SF_SMOKE).select("j").distinct().collect()}
     assert js <= set(range(_K + 2))
     assert _K in js and _K + 1 in js  # dense features always present
+
+
+def test_dense_fold_accumulator_matches_sum_bitwise(spark):
+    """_Z_DENSE's row-local fold must reproduce Sum(w*x) BIT-FOR-BIT
+    (its docstring's claim, and the oracle's arithmetic). The
+    accumulator must sit at decimal(37,18) — the element-product
+    type: a decimal(38,18) accumulator widens (38,18)+(37,18) to
+    (38,17) under allowPrecisionLoss, rounding every partial sum at
+    scale 17 (45/50 rows on this data diverge from Sum by 1e-18 —
+    the r14 advisor's repro). A scale-17 z feeds the 9dp sigmoid, so
+    any doc whose p flips at the boundary diverges the whole trained
+    model from the DuckDB oracle at scale."""
+    import decimal
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.operators.classifier_ops import (
+        _Z_DENSE,
+        _w_literal,
+    )
+
+    rng = random.Random(7)
+    k = _K + 2
+
+    def dec9():
+        return decimal.Decimal(rng.randrange(-(10**9), 10**9)).scaleb(-9)
+
+    ws = [dec9() for _ in range(k)]
+    rows = [
+        (i, [dec9() for _ in range(k)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        rows, f"doc_id int, xs array<decimal(18,9)>"
+    )
+    wlit = _w_literal(ws)
+    ref = (
+        df.select("doc_id", F.posexplode("xs").alias("j", "x"))
+        .withColumn("w", F.expr(wlit)[F.col("j")])
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("w * x")).alias("z_ref"))
+    )
+    got = df.select(
+        "doc_id", F.expr(_Z_DENSE.format(ws=wlit)).alias("z_fold")
+    )
+    bad = (
+        ref.join(got, "doc_id")
+        .where("cast(z_ref as string) <> cast(z_fold as string)")
+        .count()
+    )
+    assert bad == 0, f"{bad}/50 rows diverge from the Sum aggregate"
+
+
+def test_langid_logit_fold_matches_sum_bitwise(spark):
+    """langid_ops._z_cols carries the same fold; pin its accumulator
+    type the same way (one class is enough — the expression template
+    is shared across classes)."""
+    import decimal
+    import random
+
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.operators import langid_ops
+
+    rng = random.Random(11)
+    k = langid_ops._K + 2
+
+    def dec9():
+        return decimal.Decimal(rng.randrange(-(10**9), 10**9)).scaleb(-9)
+
+    weights = {
+        (c, j): dec9()
+        for c in range(langid_ops._N_CLASSES)
+        for j in range(k)
+    }
+    rows = [(i, 0, [dec9() for _ in range(k)]) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "doc_id int, y int, xs array<decimal(18,9)>"
+    )
+    zc = df.select("doc_id", *langid_ops._z_cols(weights))
+    from aichemy_data_pipelines_spark.operators.classifier_ops import (
+        _w_literal,
+    )
+
+    for c in (0, langid_ops._N_CLASSES - 1):
+        wlit = _w_literal(weights[(c, j)] for j in range(k))
+        ref = (
+            df.select("doc_id", F.posexplode("xs").alias("j", "x"))
+            .withColumn("w", F.expr(wlit)[F.col("j")])
+            .groupBy("doc_id")
+            .agg(F.sum(F.expr("w * x")).alias("z_ref"))
+        )
+        bad = (
+            ref.join(zc.select("doc_id", f"z{c}"), "doc_id")
+            .where(f"cast(z_ref as string) <> cast(z{c} as string)")
+            .count()
+        )
+        assert bad == 0, f"class {c}: {bad}/50 logits diverge from Sum"

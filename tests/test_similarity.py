@@ -532,3 +532,78 @@ def test_ivf_assign_prefilter_is_lossless(spark):
     )
     got = sorted((r.vec_id, r.list_id) for r in lists.collect())
     assert got == reference
+
+
+def test_ivf_assign_keeps_zero_norm_vectors(spark):
+    """A zero embedding must neither crash _assign nor vanish from
+    it: under the session's ANSI default a bare '/' raises
+    DIVIDE_BY_ZERO at en = 0, and with NULL-producing division the
+    r14 prefilter's dmax is NULL so a bare ``dcos >= dmax - eps``
+    WHERE silently drops the vector. Pins the try_divide +
+    dmax-IS-NULL escape: the zero vector stays, lands in the lowest
+    list_id (NULL cosines sort last under desc), and every nonzero
+    vector is unaffected (r14 advisor, ivf.py _assign)."""
+    from aichemy_data_pipelines_spark.operators.ivf import _assign
+
+    dim = 4
+    e = spark.createDataFrame(
+        [
+            (0, [0.0] * dim),
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [
+            (3, [0.9, 0.1, 0.0, 0.0]),
+            (7, [0.1, 0.9, 0.0, 0.0]),
+        ],
+        "list_id int, centroid array<float>",
+    )
+    got = {
+        r.vec_id: r.list_id for r in _assign(e, cents).collect()
+    }
+    assert set(got) == {0, 1, 2}, f"vector dropped: {got}"
+    assert got[0] == 3, "zero vector must take the lowest list_id"
+    assert got[1] == 3 and got[2] == 7
+
+
+def test_driver_lloyd_matches_spark_lloyd(spark):
+    """The r15 driver-side Lloyd (ivf._train_quantizer: collected
+    md5-leading sample, exact int-decimal arithmetic in Python) must
+    produce BIT-IDENTICAL centroids and final assignments to the
+    retained all-in-cluster path (_train_quantizer_spark) — the
+    strongest possible guard on the driver replication of the
+    engines' decimal chains (scale-12 HALF_UP quantization,
+    correctly-rounded decimal→double, JVM shortest-repr HALF_UP
+    rounding). Runs at sf0.01 so the training sample cap is
+    ACTIVE (N=500 > 16·8=128) and at sf0.001."""
+    from aichemy_data_pipelines_spark.catalog import load_table
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _corpus_k_n,
+        _train_quantizer,
+        _train_quantizer_spark,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = load_table(spark, sf, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        k, n = _corpus_k_n(spark, sf)
+        c_py, l_py = _train_quantizer(e, k, n)
+        c_sp, l_sp = _train_quantizer_spark(e, k, n)
+        got_c = sorted(
+            (r.list_id, tuple(r.centroid)) for r in c_py.collect()
+        )
+        ref_c = sorted(
+            (r.list_id, tuple(r.centroid)) for r in c_sp.collect()
+        )
+        assert got_c == ref_c, f"{sf}: centroids diverge"
+        got_l = sorted(
+            (r.vec_id, r.list_id) for r in l_py.collect()
+        )
+        ref_l = sorted(
+            (r.vec_id, r.list_id) for r in l_sp.collect()
+        )
+        assert got_l == ref_l, f"{sf}: assignments diverge"
