@@ -17,10 +17,11 @@ so ``decode_features`` uses a deterministic byte-level fake
 (documented below) and ``resize_image`` raises
 ``NotImplementedError`` unless PIL is importable — EXCEPT for the
 formats the standard library can parse outright: ``decode_wav_meta``
-(RIFF/PCM16) and ``decode_bmp_meta`` (uncompressed 24-bit BMP) at
-the bottom of this module are REAL decoders over real container
-bytes, tested against stdlib-generated files
-(tests/test_real_codecs.py). The Spark-side plumbing — schema, Arrow
+(RIFF/PCM16), ``decode_bmp_meta`` (uncompressed 24-bit BMP) and
+``decode_png_meta`` (8-bit grey/truecolor/RGBA PNG — zlib IDAT
+inflate + full five-filter unfiltering) at the bottom of this
+module are REAL decoders over real container bytes, tested against
+stdlib-generated files (tests/test_real_codecs.py). The Spark-side plumbing — schema, Arrow
 batch shape, UDF signatures, partition behavior — is real and tested
 everywhere (tests/test_multimodal.py).
 """
@@ -384,3 +385,126 @@ def decode_bmp_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(parse, BMP_META_SCHEMA)
+
+
+PNG_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("mean_lum", StringType()),  # 6dp string
+    ]
+)
+
+
+def decode_png_meta(media: DataFrame) -> DataFrame:
+    """REAL PNG decode via mapInPandas — stdlib only (struct +
+    zlib): IHDR fields, IDAT inflate, per-scanline unfilter (all
+    five PNG filter types: None/Sub/Up/Average/Paeth), and the same
+    ITU-R 601 integer mean luminance the BMP decoder reports
+    (greyscale maps R=G=B). Narrows the sanctioned PIL seam: 8-bit
+    greyscale (color type 0), truecolor (2) and truecolor+alpha (6,
+    alpha ignored for luma) are fully decoded; palette/16-bit/
+    interlaced payloads quarantine as ok=0 like every malformed
+    input (a crawl-scale decode stage must never abort the batch).
+    Tested against stdlib-GENERATED files covering every filter
+    type in tests/test_real_codecs.py."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        SIG = b"\x89PNG\r\n\x1a\n"
+
+        def one(doc_id: int, b: bytes) -> dict:
+            bad = {
+                "doc_id": doc_id, "ok": 0, "width": None,
+                "height": None, "bit_depth": None,
+                "color_type": None, "mean_lum": None,
+            }
+            try:
+                if b[:8] != SIG:
+                    return bad
+                pos, ihdr, idat = 8, None, b""
+                while pos + 8 <= len(b):
+                    size = struct.unpack(">I", b[pos:pos + 4])[0]
+                    cid = b[pos + 4:pos + 8]
+                    body = b[pos + 8:pos + 8 + size]
+                    if cid == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", body[:13])
+                    elif cid == b"IDAT":
+                        idat += body
+                    elif cid == b"IEND":
+                        break
+                    pos += 12 + size  # len + type + crc
+                if ihdr is None or not idat:
+                    return bad
+                w, h, depth, ctype, comp, filt, inter = ihdr
+                channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+                if (
+                    channels is None or depth != 8 or comp != 0
+                    or filt != 0 or inter != 0 or w <= 0 or h <= 0
+                ):
+                    return bad
+                raw = zlib.decompress(idat)
+                bpp = channels  # bytes per pixel at depth 8
+                stride = w * bpp
+                if len(raw) < h * (stride + 1):
+                    return bad
+                prior = bytearray(stride)
+                total, npx = 0, 0
+                for r in range(h):
+                    base = r * (stride + 1)
+                    ftype = raw[base]
+                    line = bytearray(raw[base + 1:base + 1 + stride])
+                    if ftype == 1:  # Sub
+                        for i in range(bpp, stride):
+                            line[i] = (line[i] + line[i - bpp]) & 0xFF
+                    elif ftype == 2:  # Up
+                        for i in range(stride):
+                            line[i] = (line[i] + prior[i]) & 0xFF
+                    elif ftype == 3:  # Average
+                        for i in range(stride):
+                            a = line[i - bpp] if i >= bpp else 0
+                            line[i] = (line[i] + ((a + prior[i]) >> 1)) & 0xFF
+                    elif ftype == 4:  # Paeth
+                        for i in range(stride):
+                            a = line[i - bpp] if i >= bpp else 0
+                            c = prior[i - bpp] if i >= bpp else 0
+                            p = a + prior[i] - c
+                            pa, pb, pc = (
+                                abs(p - a), abs(p - prior[i]), abs(p - c)
+                            )
+                            pr = (
+                                a if pa <= pb and pa <= pc
+                                else prior[i] if pb <= pc else c
+                            )
+                            line[i] = (line[i] + pr) & 0xFF
+                    elif ftype != 0:
+                        return bad
+                    for i in range(0, stride, bpp):
+                        if channels == 1:
+                            rd = g = bl = line[i]
+                        else:
+                            rd, g, bl = line[i], line[i + 1], line[i + 2]
+                        total += 299 * rd + 587 * g + 114 * bl
+                        npx += 1
+                    prior = line
+                return {
+                    "doc_id": doc_id, "ok": 1, "width": w,
+                    "height": h, "bit_depth": depth,
+                    "color_type": ctype,
+                    "mean_lum": f"{total / (npx * 1000):.6f}",
+                }
+            except Exception:
+                return bad
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(d, bytes(p)) for d, p in zip(pdf["doc_id"], pdf["payload"])]
+            )
+
+    return media.mapInPandas(parse, PNG_META_SCHEMA)

@@ -169,3 +169,47 @@ ORACLE = {
         FROM hits GROUP BY doc_id
     """,
 }
+
+
+def bloom_bits_from_docs(docs: DataFrame) -> DataFrame:
+    """Build the eval-side Bloom bit set from an arbitrary benchmark
+    frame (doc_id, text): one distinct ``pos`` row per set bit —
+    ≤ ``_M`` rows BY CONSTRUCTION, broadcastable at any eval-suite
+    size. This is the artifact the streaming ingest gate
+    (streaming/corpus_ingest.ingest_batch) holds frozen across
+    micro-batches: build once when the stream starts, reject
+    bloom-positive docs at ingest ever after."""
+    d = exploded_shingles(
+        docs.select("doc_id", F.expr(SPARK_TOKENS).alias("tokens")).where(
+            F.size("tokens") >= _N
+        ),
+        _N,
+        "sh",
+    ).distinct()
+    return _spark_positions(d).select("pos").distinct()
+
+
+def bloom_contaminated_ids(batch: DataFrame, bits: DataFrame) -> DataFrame:
+    """(doc_id) rows of ``batch`` docs that are bloom-positive
+    against the eval bit set ``bits`` — some shingle hits all
+    ``_KH`` positions (one-sided: every truly-shared shingle hits;
+    clean docs can false-positive at p ≈ (set_bits/_M)^_KH, the
+    documented Bloom trade a release gate accepts)."""
+    d = exploded_shingles(
+        batch.select("doc_id", F.expr(SPARK_TOKENS).alias("tokens")).where(
+            F.size("tokens") >= _N
+        ),
+        _N,
+        "sh",
+    ).distinct()
+    return (
+        _spark_positions(d)
+        .join(
+            F.broadcast(bits.withColumn("set_", F.lit(1))), "pos", "left"
+        )
+        .groupBy("doc_id", "h")
+        .agg((F.sum(F.coalesce("set_", F.lit(0))) == _KH).alias("hit"))
+        .where("hit")
+        .select("doc_id")
+        .distinct()
+    )

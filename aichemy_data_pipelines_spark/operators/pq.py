@@ -85,7 +85,10 @@ def _assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
         .withColumn("d2", F.expr(f"round(aa - 2 * ({ab}) + bb, 8)"))
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
-        .select("vec_id", "label", "s", "sub", F.col("cid").alias("code"))
+        # pass the input columns through unchanged (label-carrying
+        # for the raw-vector chain, label-less for the r15 residual
+        # chain in ivfpq.py) + the winning code
+        .select(*subs.columns, F.col("cid").alias("code"))
     )
 
 
@@ -274,14 +277,10 @@ _SQL_MEAN_CTES = """m_p AS (
         )"""
 
 
-# shared training chain: subs → seeds → cent0 → a1 (Lloyd) → cent1
-_PQ_TRAIN_CTES = f"""subs AS (
-            SELECT vec_id, label, s,
-                   embedding[s * {_SUBDIM} + 1 : s * {_SUBDIM} + {_SUBDIM}]
-                     AS sub
-            FROM embeddings,
-                 unnest([{", ".join(str(s) for s in range(_M))}]) AS t(s)
-        ), seeds AS (
+# training tail (seeds → cent0 → a1 Lloyd → cent1) over whatever
+# frame the WITH clause names ``subs`` — raw-vector slices here,
+# coarse-residual slices in ivfpq's r15 residual index
+_SQL_TRAIN_TAIL = f"""seeds AS (
             SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
             FROM embeddings ORDER BY h LIMIT {_K}
         ), seedids AS (
@@ -294,6 +293,15 @@ _PQ_TRAIN_CTES = f"""subs AS (
             FROM seedids sd JOIN subs sb ON sb.vec_id = sd.vec_id
         ), {_sql_assign_ctes("cent0", "a1")},
         {_SQL_MEAN_CTES}"""
+
+# shared training chain: subs → seeds → cent0 → a1 (Lloyd) → cent1
+_PQ_TRAIN_CTES = f"""subs AS (
+            SELECT vec_id, label, s,
+                   embedding[s * {_SUBDIM} + 1 : s * {_SUBDIM} + {_SUBDIM}]
+                     AS sub
+            FROM embeddings,
+                 unnest([{", ".join(str(s) for s in range(_M))}]) AS t(s)
+        ), {_SQL_TRAIN_TAIL}"""
 
 
 ORACLE = {

@@ -23,8 +23,10 @@ Two paths, as a real vector pipeline has:
   sf0.1 corpus, going 4→6 planes halved near-dup recall). B
   independent bands restore it: P(detect) = 1 − (1−q)^B. At p = 0.63
   (this corpus's cosine ≈ 0.4 neighbors) and R = 6, q ≈ 0.28 alone
-  but P ≈ 0.74 with B = 4; tighter real-world neighbors
-  (cosine ≥ 0.9 ⇒ p ≥ 0.9) hold P ≈ 1 well past R = 10.
+  but P ≈ 0.74 with B = 4 and ≈ 0.93 with B = 8 (the r15
+  configuration — see the measured frontier at the _N_BANDS
+  constant); tighter real-world neighbors (cosine ≥ 0.9 ⇒ p ≥ 0.9)
+  hold P ≈ 1 well past R = 10.
 
 Hyperplane weights are derived from md5 in PYTHON (hashlib) and
 inlined as literals into both engines' queries, so even the
@@ -76,11 +78,21 @@ _TOP_K = 5
 # _N_BANDS is the OR-width (round-13 verdict #2): fixed, because the
 # adaptive plane count already holds per-band bucket density constant
 # — bands buy back the recall that the growing AND-width costs (see
-# module docstring math). B = 4 restores sf0.1 recall above the old
-# fixed-4-bit level at ~1.4x its candidate cost.
+# module docstring math). B = 8 is the r15 frontier point (r14
+# verdict #1: the B=4 recall 0.639 pair / 0.733 edge was the repo's
+# weakest number; the measured sf0.1 frontier, candidate rows
+# normalized to B=4,r=1 — full table in BASELINE.md:
+#   B=4 r=1: 1.00x  pair 0.639  edge 0.733
+#   B=6 r=1: 1.50x  pair 0.786  edge 0.862
+#   B=8 r=1: 1.99x  pair 0.869  edge 0.931   <- shipped
+#   B=4 r=2: 3.03x  pair 0.950  edge 0.965
+# Hamming-2 probing buys more recall but blows the ~2x candidate
+# budget; B=8 meets the >=0.80 pair-recall target exactly at 2x.
+# Precision stays 1.000 in every configuration — the exact-decimal
+# threshold re-check guarantees it).
 _MIN_PLANES = 4
 _MAX_PLANES = 16
-_N_BANDS = 4
+_N_BANDS = 8
 # composite bucket key = band * stride + band-signature; in-band
 # Hamming-1 flips touch only bits < _MAX_PLANES, so XOR on the
 # composite key stays inside the band's key space

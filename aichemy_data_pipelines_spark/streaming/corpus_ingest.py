@@ -14,6 +14,10 @@ exactly-once):
 
 1. quality gate — the Gopher repetition metrics
    (operators/textops.repetition_metrics), pure map;
+1b. decontamination gate (optional, r15) — docs bloom-positive
+   against a FROZEN eval-suite bit set (operators/bloom_ops, ≤ 2^16
+   rows by construction, built once at stream start) are rejected
+   before they can enter the corpus or the signature index;
 2. within-batch dedup — band self-join, keep lowest doc_id
    (first-arrival policy at batch granularity);
 3. corpus dedup — the batch's band keys (small side, broadcast)
@@ -76,10 +80,21 @@ def ingest_batch(
     curated: AtomicParquetTable,
     sig_index: AtomicParquetTable,
     run_id: str | None = None,
+    bloom_bits: DataFrame | None = None,
 ) -> None:
     """One micro-batch of the curation stream (module-level so the
     replay-idempotence contract is directly testable — see
-    tests/test_corpus_ingest.py crash-replay cases)."""
+    tests/test_corpus_ingest.py crash-replay cases).
+
+    ``bloom_bits`` (r15, the streaming-decontamination gate): an
+    eval-suite Bloom bit set (operators/bloom_ops.
+    bloom_bits_from_docs — ≤ 2^16 rows by construction, built ONCE
+    at stream start and frozen across batches). When present, docs
+    whose shingles are bloom-positive against the eval suite are
+    rejected between the quality gate and the dedup screen — the
+    contamination never reaches the curated table OR the signature
+    index, and the gate is deterministic given (bits, batch), so
+    the crash-replay recomputation contract below is unchanged."""
     sess = batch_df.sparkSession
     # high-watermark replay guard, scoped to the checkpoint lifetime
     # via run_id: foreachBatch ids are monotonic PER CHECKPOINT, so
@@ -97,6 +112,16 @@ def ingest_batch(
     passed = batch.join(
         flags.where("keep").select("doc_id"), "doc_id"
     )
+    if bloom_bits is not None:
+        from aichemy_data_pipelines_spark.operators.bloom_ops import (
+            bloom_contaminated_ids,
+        )
+
+        passed = passed.join(
+            bloom_contaminated_ids(passed, bloom_bits),
+            "doc_id",
+            "left_anti",
+        )
     shingled = passed.withColumn(
         "tokens", F.expr(SPARK_TOKENS)
     ).where(F.size("tokens") >= _SHINGLE_N)
@@ -143,6 +168,7 @@ def stream_corpus_ingest(
     checkpoint_dir: str,
     glob: str = "*.parquet",
     max_files_per_trigger: int | None = None,
+    eval_docs: DataFrame | None = None,
 ) -> None:
     curated = AtomicParquetTable(
         os.path.join(output_dir, "curated.parquet")
@@ -150,6 +176,20 @@ def stream_corpus_ingest(
     sig_index = AtomicParquetTable(
         os.path.join(output_dir, "sig_index.parquet")
     )
+    # decontamination gate: the eval suite's Bloom bit set builds
+    # ONCE (≤ 2^16 rows by construction), freezes via an eager
+    # localCheckpoint, and every micro-batch screens against the
+    # same frozen artifact — the 100 TB shape, where the benchmark
+    # filter is a versioned release artifact, not per-batch work
+    bloom_bits = None
+    if eval_docs is not None:
+        from aichemy_data_pipelines_spark.operators.bloom_ops import (
+            bloom_bits_from_docs,
+        )
+
+        bloom_bits = bloom_bits_from_docs(eval_docs).localCheckpoint(
+            eager=True
+        )
 
     probed = (
         spark.read.option("pathGlobFilter", glob)
@@ -176,6 +216,7 @@ def stream_corpus_ingest(
             curated,
             sig_index,
             run_id=checkpoint_identity(checkpoint_dir),
+            bloom_bits=bloom_bits,
         )
 
     q = (

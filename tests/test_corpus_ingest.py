@@ -266,3 +266,121 @@ def test_stream_embedding_ingest_screens_and_grows(spark, tmp_path):
     assert AtomicParquetTable(
         str(out / "screen_verdicts.parquet")
     ).read(spark).count() == len(rows)
+
+
+_EVAL_DOC = (
+    "benchmark question about photosynthesis requires plants convert "
+    "sunlight carbon dioxide and water into glucose and oxygen daily"
+)
+# shares an 8-gram window with _EVAL_DOC -> bloom-positive
+_LEAKED = (
+    "students recall that plants convert sunlight carbon dioxide and "
+    "water into glucose during the photosynthesis study session"
+)
+
+
+def test_bloom_gate_rejects_contaminated_at_ingest(spark, tmp_path):
+    """Streaming decontamination (r15): with an eval-suite Bloom bit
+    set installed, a doc sharing an 8-gram with the benchmark is
+    rejected at ingest — it reaches neither the curated table nor
+    the signature index — while clean docs flow through, and a full
+    checkpoint re-drain stays a no-op (exactly-once with the gate
+    active)."""
+    from aichemy_data_pipelines_spark.streaming.corpus_ingest import (
+        stream_corpus_ingest,
+    )
+
+    src = tmp_path / "feed"
+    src.mkdir()
+    _write(
+        [
+            (1, _GOOD_A, "en", "web", len(_GOOD_A)),
+            (2, _LEAKED, "en", "scrape", len(_LEAKED)),
+        ],
+        spark,
+        src / "f0.parquet",
+    )
+    _write(
+        [(3, _GOOD_B, "en", "web", len(_GOOD_B))],
+        spark,
+        src / "f1.parquet",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, _EVAL_DOC)], "doc_id long, text string"
+    )
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    stream_corpus_ingest(
+        spark,
+        str(src),
+        str(out),
+        ckpt,
+        max_files_per_trigger=1,
+        eval_docs=eval_docs,
+    )
+    curated = AtomicParquetTable(str(out / "curated.parquet")).read(spark)
+    ids = sorted(r.doc_id for r in curated.collect())
+    assert ids == [1, 3], f"leaked doc must be rejected: {ids}"
+    idx = AtomicParquetTable(str(out / "sig_index.parquet")).read(spark)
+    assert sorted(
+        r.doc_id for r in idx.select("doc_id").distinct().collect()
+    ) == [1, 3], "contaminated doc's bands must not enter the index"
+    # exactly-once: a full re-drain with the gate is a no-op
+    stream_corpus_ingest(
+        spark,
+        str(src),
+        str(out),
+        ckpt,
+        max_files_per_trigger=1,
+        eval_docs=eval_docs,
+    )
+    curated2 = AtomicParquetTable(str(out / "curated.parquet")).read(spark)
+    assert sorted(r.doc_id for r in curated2.collect()) == [1, 3]
+
+
+def test_bloom_gate_replay_after_crash_is_idempotent(spark, tmp_path):
+    """Crash between the curated and sig_index appends, WITH the
+    bloom gate active: the replay recomputes the same accepted set
+    (the gate is deterministic given the frozen bits), skips the
+    curated append, and appends only the band keys — no duplicate
+    rows, contaminated doc still out."""
+    from aichemy_data_pipelines_spark.operators.bloom_ops import (
+        bloom_bits_from_docs,
+    )
+    from aichemy_data_pipelines_spark.streaming.corpus_ingest import (
+        ingest_batch,
+    )
+
+    curated = AtomicParquetTable(str(tmp_path / "curated.parquet"))
+    sig_index = AtomicParquetTable(str(tmp_path / "sig.parquet"))
+    bits = bloom_bits_from_docs(
+        spark.createDataFrame(
+            [(100, _EVAL_DOC)], "doc_id long, text string"
+        )
+    ).localCheckpoint(eager=True)
+    batch = spark.createDataFrame(
+        [
+            (1, _GOOD_A, "en", "web", len(_GOOD_A)),
+            (2, _LEAKED, "en", "scrape", len(_LEAKED)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ingest_batch(batch, 0, curated, sig_index, run_id="r", bloom_bits=bits)
+    assert sorted(
+        r.doc_id for r in curated.read(spark).collect()
+    ) == [1]
+    # simulate the crash window: curated stamped for batch 1, index
+    # not — then replay batch 1
+    batch1 = spark.createDataFrame(
+        [(4, _GOOD_C, "en", "web", len(_GOOD_C))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ingest_batch(batch1, 1, curated, sig_index, run_id="r", bloom_bits=bits)
+    n_cur = curated.read(spark).count()
+    n_idx = sig_index.read(spark).count()
+    ingest_batch(batch1, 1, curated, sig_index, run_id="r", bloom_bits=bits)
+    assert curated.read(spark).count() == n_cur
+    assert sig_index.read(spark).count() == n_idx
+    assert sorted(
+        r.doc_id for r in curated.read(spark).collect()
+    ) == [1, 4]

@@ -584,6 +584,14 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # trade that stops the per-vector window from shuffling K x corpus
     # bytes of arrays (at K=1024 that shuffle is ~1000x the corpus)
     "ann_ivf_pq_topk": {"embeddings": 5},
+    # r15 residual variant: the residual frame (lists ⋈ centroids →
+    # rvec) is re-derived for the code side and the candidate side
+    # instead of checkpointed — a corpus-sized residual
+    # materialization would cost N×dim doubles of storage at 100 TB,
+    # while the re-derive is two more column-pruned scans + a
+    # broadcast join (the ann_ivf_pq_topk r14 note's trade, one
+    # level up)
+    "ann_ivf_pq_residual_topk": {"embeddings": 7},
     "ann_recall_eval": {"embeddings": 4},
     "corpus_perplexity_buckets": {"documents": 4},
     "customer_set_ops": {"customer": 2, "orders": 2},
