@@ -23,10 +23,12 @@ inside the probed lists, top-3.
 
 Scale: K ∝ N holds list sizes at ~_TARGET_LIST vectors, so probed
 candidates per query stay N·nprobe/K ≈ nprobe·_TARGET_LIST — constant
-per probe. Lloyd training runs on the md5-leading _TRAIN_PER_LIST·K
-sample once the corpus outgrows it (past the _MAX_LISTS cap), keeping
-training O(K²·iters); below the cap the sample is the whole corpus
-and the plan is unchanged. Centroids are a tiny broadcast; the only
+per probe. Lloyd training (r15) runs IN THE DRIVER over the collected
+md5-leading _TRAIN_PER_LIST·K sample (bounded ≤ 16·1024 vectors at
+any corpus size — the MLlib/FAISS trained-artifact shape), with
+arithmetic replicating both engines' decimal chains bit-for-bit (see
+_train_quantizer / _lloyd_py); only the full-corpus final assignment
+is cluster work. Centroids are a tiny broadcast; the only
 corpus-scale shuffle is the final equi-join on list id.
 
 Recall: k-means lists are cosine-cohesive by construction, unlike
@@ -369,8 +371,18 @@ def _lloyd_py(sample: list, k: int) -> list:
     is int/int true division (correctly rounded, same as
     BigDecimal.doubleValue / DuckDB), cosine rounding is the JVM
     shortest-repr HALF_UP. Zero-norm vectors take the lowest
-    list_id (NULL cosines sort last), mirroring _assign."""
+    list_id (NULL cosines sort last), mirroring _assign.
+
+    Cost: a numpy DOUBLE-cosine prefilter scores all sample×K pairs
+    (vectorized; |numpy − exact| ≲ 1e-13 at dim 64) and only
+    centroids within the same lossless 1e-6 margin _assign uses pay
+    the exact big-int scoring — without it the pure-Python exact
+    math is O(sample·K) big-int folds and the r15 10x stress
+    measured ann_ivf_topk at 9.2x (sample 5008 × K=313 × 2 iters ≈
+    3M exact dots ≈ 30 s of driver time)."""
     import math
+
+    import numpy as np
 
     ordered = sorted(sample, key=lambda t: t[0])
     vecs = [[float(x) for x in emb] for _, emb in ordered]
@@ -380,6 +392,8 @@ def _lloyd_py(sample: list, k: int) -> list:
     norms = [
         math.sqrt(sum(a * a for a in qi) / 10**24) for qi in q
     ]
+    va = np.array(vecs, dtype=np.float64)
+    na = np.array(norms, dtype=np.float64)
 
     cents = [
         (
@@ -395,13 +409,27 @@ def _lloyd_py(sample: list, k: int) -> list:
             (lid, math.sqrt(sum(a * a for a in ci) / 10**24))
             for (lid, ci) in cq
         ]
+        vc = np.array([c for _, c in cents], dtype=np.float64)
+        nc = np.array([n for _, n in cn], dtype=np.float64)
+        # double prefilter: dcos[i, j] ≈ exact cosine within ~1e-13;
+        # NULL (zero-norm) columns/rows handled below exactly like
+        # _assign's dmax-IS-NULL escape
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dcos = (va @ vc.T) / np.outer(na, nc)
         members: dict = {}
         for i, qi in enumerate(q):
             best = None  # (cos8_decimal, list_id)
             if norms[i] != 0.0:
-                for (lid, ci), (_, cni) in zip(cq, cn):
+                row = dcos[i]
+                finite = row[np.isfinite(row)]
+                dmax = finite.max() if finite.size else None
+                for jj, ((lid, ci), (_, cni)) in enumerate(
+                    zip(cq, cn)
+                ):
                     if cni == 0.0:
                         continue  # NULL cosine sorts last under desc
+                    if dmax is not None and row[jj] < dmax - 1e-6:
+                        continue  # provably outranked (margin note)
                     dot = sum(a * b for a, b in zip(qi, ci)) / 10**24
                     c8 = _jvm_round(dot / (norms[i] * cni), 8)
                     if best is None or (c8, -lid) > (best[0], -best[1]):
@@ -898,3 +926,81 @@ ORACLE = {
         FROM z
     """,
 }
+
+
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the trained IVF index against the exact baseline,
+    per query — the IVF twin of similarity.ann_recall_eval (r15),
+    closing the eval harness over the second index family: a real
+    deployment A/Bs its coarse-quantizer recall against brute force
+    before raising nprobe or K, and this query IS that measurement.
+
+    Composed VERBATIM from similarity.ann_cosine_topk (ground
+    truth) and ann_ivf_topk (the index under test); the oracle nests
+    both committed oracle texts as CTEs so the eval can never drift
+    from the operators it evaluates.
+
+    Output: (query_id, n_exact, n_hits, recall) — recall@3, both
+    sides truncated to top-3; IVF may return < 3 rows for a query
+    whose probed lists are thin, which recall penalizes correctly.
+
+    Scale: both inputs are query-bounded (constant _N_QUERIES); the
+    comparison join and agg run on ≤ 3·|Q| rows.
+    """
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        ann_cosine_topk,
+    )
+
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .where(F.col("rk") <= 3)
+        .select("query_id", "cand_id")
+    )
+    approx = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", F.col("cand_id").alias("hit_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.cand_id == approx.hit_id),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("hit_id").cast("long").alias("n_hits"),
+            F.round(
+                F.count("hit_id") / F.count("*"), 6
+            ).alias("recall"),
+        )
+    )
+
+
+QUERIES["ann_ivf_recall_eval"] = ann_ivf_recall_eval
+
+
+def _register_ivf_recall_oracle() -> None:
+    """Deferred: nests similarity's committed ann_cosine_topk oracle
+    text (imported at call time to keep module import order free of
+    operator-package cycles)."""
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        ORACLE as _SIM_ORACLE,
+    )
+
+    ORACLE["ann_ivf_recall_eval"] = f"""
+        WITH exact_all AS ({_SIM_ORACLE["ann_cosine_topk"]}),
+        exact AS (SELECT * FROM exact_all WHERE rk <= 3),
+        approx AS ({ORACLE["ann_ivf_topk"]})
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(a.cand_id) AS BIGINT) AS n_hits,
+               round(COUNT(a.cand_id) / COUNT(*), 6) AS recall
+        FROM exact e
+        LEFT JOIN approx a
+          ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+        GROUP BY e.query_id
+    """
+
+
+_register_ivf_recall_oracle()

@@ -23,7 +23,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from aichemy_data_pipelines_spark.functions.layout import (
-    freeze_small,
     spread_small_input,
 )
 from aichemy_data_pipelines_spark.functions.vectors import spark_dot_exact
@@ -73,25 +72,8 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- PQ side: trained codebooks, corpus codes, query tables ----
     subs = _pq._subs(spark, sf_dir).transform(spread_small_input)
-    seeds = (
-        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h")
-        .limit(_pq._K)
-        .select(
-            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
-            "vec_id",
-        )
-    )
-    cent0 = subs.join(seeds, "vec_id").select(
-        "s",
-        "cid",
-        F.expr("transform(sub, x -> round(cast(x as double), 6))").alias(
-            "cent"
-        ),
-    )
-    # frozen 16-row codebook (functions/layout.freeze_small): codes
-    # AND dtab reference it — unfrozen, each re-ran PQ training
-    pq_cents = freeze_small(_pq._mean_cents(_pq._assign(subs, cent0)))
+    # r15: driver-trained literal codebook over the bounded sample
+    pq_cents = _pq.train_codebook(spark, sf_dir)
     codes = _pq._assign(subs, pq_cents).select(
         F.col("vec_id").alias("cand_id"), "s", "code"
     )
@@ -183,25 +165,28 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.expr(_residual_subs("rvec"))).alias("s", "sub"),
     )
 
-    # PQ training on the residual subs (seeds = the same md5-leading
-    # vec_ids as the raw-vector chain; their RESIDUAL slices seed)
-    seeds = (
-        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+    # PQ training on the residual sample (r15, driver Lloyd): the
+    # md5-leading _TRAIN_PER_CODE·_K vectors' RESIDUALS collect
+    # (bounded at any corpus size) and train in the driver via the
+    # same engine-bit-identical arithmetic as the raw chain
+    sample = (
+        lists.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h")
-        .limit(_pq._K)
+        .limit(_pq._TRAIN_PER_CODE * _pq._K)
+        .join(F.broadcast(cents), "list_id")
         .select(
-            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
-            "vec_id",
+            "h",
+            F.expr(
+                "zip_with(embedding, centroid, (x, c) -> "
+                "cast(x as double) - c)"
+            ).alias("rvec"),
         )
+        .collect()
     )
-    cent0 = rsubs.join(seeds, "vec_id").select(
-        "s",
-        "cid",
-        F.expr("transform(sub, x -> round(cast(x as double), 6))").alias(
-            "cent"
-        ),
+    pq_cents = _pq._cents_frame(
+        spark,
+        _pq._pq_lloyd_py([(r.h, list(r.rvec)) for r in sample]),
     )
-    pq_cents = freeze_small(_pq._mean_cents(_pq._assign(rsubs, cent0)))
     codes = _pq._assign(rsubs, pq_cents).select(
         F.col("vec_id").alias("cand_id"), "s", "code"
     )

@@ -17,12 +17,16 @@ assignment minimizes the exact-decimal L2² (computed as
 8dp, ties to the lower code); one unrolled Lloyd step recomputes
 centroids as exact-decimal 6dp means.
 
-Scale: training is sample-sized (seeds + one groupBy per Lloyd step);
-codebooks are M×K rows — a broadcast literal. Encoding is the only
-corpus-scale stage: per (vector, subspace) a K-way broadcast scoring
-+ one bounded groupBy(vec_id) to reassemble codes (M values per key).
-At 100 TB the codebooks ship as literals and encoding is a pure map
-over the corpus.
+Scale: training (r15) is genuinely sample-bounded — the md5-leading
+_TRAIN_PER_CODE·_K vectors collect to the driver and Lloyd runs
+there with engine-bit-identical arithmetic (train_codebook /
+_pq_lloyd_py; the ivf.py r15 recipe), where the pre-r15 chain's
+training MEAN folded every corpus subvector per step; codebooks are
+M×K rows — a literal. Encoding is the only corpus-scale stage: per
+(vector, subspace) a K-way broadcast scoring + one bounded
+groupBy(vec_id) to reassemble codes (M values per key). At 100 TB
+the codebooks ship as literals and encoding is a pure map over the
+corpus.
 """
 
 from __future__ import annotations
@@ -43,6 +47,15 @@ from aichemy_data_pipelines_spark.functions.vectors import (
 _M = 4  # subspaces
 _SUBDIM = 16  # dims per subspace (64-dim embeddings)
 _K = 4  # centroids per sub-codebook
+# r15: codebooks train on the md5-leading _TRAIN_PER_CODE·_K vector
+# sample (the FAISS per-subquantizer training discipline; the ivf.py
+# r15 recipe one tier down) — the training mean previously folded
+# EVERY corpus subvector, a full-corpus decimal aggregate per Lloyd
+# step at any scale. The sample is collected and Lloyd runs in the
+# driver with engine-bit-identical arithmetic (ivf._q12/_jvm_round);
+# encoding still covers the full corpus. Oracles compute the same
+# sample in-plan (pranked/tsubs CTEs).
+_TRAIN_PER_CODE = 64  # 64·4 = 256 training vectors
 
 
 def _subs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,29 +135,9 @@ def embeddings_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer cannot sort/hash array columns — r04 red row).
     """
     subs = _subs(spark, sf_dir).transform(spread_small_input)
-    e = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h")
-        .limit(_K)
-        .select(
-            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
-            "vec_id",
-        )
-    )
-    cent0 = (
-        subs.join(seeds, "vec_id")
-        .select(
-            "s",
-            "cid",
-            F.expr("transform(sub, x -> round(cast(x as double), 6))").alias(
-                "cent"
-            ),
-        )
-    )
-    # frozen: 16-row codebook, else every downstream reference
-    # re-runs the whole training chain (functions/layout.freeze_small)
-    cents = freeze_small(_mean_cents(_assign(subs, cent0)))
+    # r15: driver-trained literal codebook over the bounded sample
+    # (see the _TRAIN_PER_CODE constants note)
+    cents = train_codebook(spark, sf_dir)
     coded = _assign(subs, cents)
     return coded.groupBy("vec_id", "label").agg(
         F.expr(
@@ -174,26 +167,8 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, ties to lower cand_id.
     """
     subs = _subs(spark, sf_dir).transform(spread_small_input)
-    e = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h")
-        .limit(_K)
-        .select(
-            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
-            "vec_id",
-        )
-    )
-    cent0 = subs.join(seeds, "vec_id").select(
-        "s",
-        "cid",
-        F.expr("transform(sub, x -> round(cast(x as double), 6))").alias(
-            "cent"
-        ),
-    )
-    # frozen: 16-row codebook, else every downstream reference
-    # re-runs the whole training chain (functions/layout.freeze_small)
-    cents = freeze_small(_mean_cents(_assign(subs, cent0)))
+    # r15: driver-trained literal codebook over the bounded sample
+    cents = train_codebook(spark, sf_dir)
     codes = _assign(subs, cents).select("vec_id", "s", "code")
 
     # per-query M×K distance table (broadcast)
@@ -240,13 +215,13 @@ def _sql_d2() -> str:
     )
 
 
-def _sql_assign_ctes(cent: str, out: str) -> str:
-    """Emit ``{out}(vec_id, s, code)`` assigning each subvector to its
-    min-L2 centroid in ``{cent}(s, cid, cent)``."""
+def _sql_assign_ctes(cent: str, out: str, src: str = "subs") -> str:
+    """Emit ``{out}(vec_id, s, code)`` assigning each subvector of
+    ``{src}`` to its min-L2 centroid in ``{cent}(s, cid, cent)``."""
     return f"""{out}_x AS (
             SELECT sb.vec_id, sb.s, c.cid,
                    unnest(sb.sub) AS xa, unnest(c.cent) AS xb
-            FROM subs sb JOIN {cent} c ON sb.s = c.s
+            FROM {src} sb JOIN {cent} c ON sb.s = c.s
         ), {out}_d AS (
             SELECT vec_id, s, cid, {_sql_d2()} AS d2
             FROM {out}_x GROUP BY vec_id, s, cid
@@ -269,7 +244,7 @@ _SQL_MEAN_CTES = """m_p AS (
                 SELECT vec_id, s,
                        unnest(list_transform(sub,
                               (v, i) -> {'pos': i - 1, 'val': v})) AS x
-                FROM subs) sb ON sb.vec_id = a.vec_id AND sb.s = a.s
+                FROM tsubs) sb ON sb.vec_id = a.vec_id AND sb.s = a.s
             GROUP BY a.s, a.code, x.pos
         ), cent1 AS (
             SELECT s, cid, list(c ORDER BY pos) AS cent FROM m_p
@@ -277,10 +252,22 @@ _SQL_MEAN_CTES = """m_p AS (
         )"""
 
 
-# training tail (seeds → cent0 → a1 Lloyd → cent1) over whatever
-# frame the WITH clause names ``subs`` — raw-vector slices here,
-# coarse-residual slices in ivfpq's r15 residual index
-_SQL_TRAIN_TAIL = f"""seeds AS (
+# training tail (sample → seeds → cent0 → a1 Lloyd → cent1) over
+# whatever frame the WITH clause names ``subs`` — raw-vector slices
+# here, coarse-residual slices in ivfpq's r15 residual index. The
+# r15 training sample (pranked/tsubs: the md5-leading
+# _TRAIN_PER_CODE·_K vectors) is computed in-plan, in lockstep with
+# the Spark side's driver-collected sample.
+_SQL_TRAIN_TAIL = f"""pranked AS (
+            SELECT vec_id,
+                   row_number() OVER (
+                       ORDER BY md5(CAST(vec_id AS VARCHAR))) AS rn
+            FROM embeddings
+        ), tsubs AS (
+            SELECT sb.* FROM subs sb
+            JOIN pranked p ON p.vec_id = sb.vec_id
+            WHERE p.rn <= {_TRAIN_PER_CODE * _K}
+        ), seeds AS (
             SELECT md5(CAST(vec_id AS VARCHAR)) AS h, vec_id
             FROM embeddings ORDER BY h LIMIT {_K}
         ), seedids AS (
@@ -291,7 +278,7 @@ _SQL_TRAIN_TAIL = f"""seeds AS (
                    list_transform(sb.sub,
                                   x -> round(CAST(x AS DOUBLE), 6)) AS cent
             FROM seedids sd JOIN subs sb ON sb.vec_id = sd.vec_id
-        ), {_sql_assign_ctes("cent0", "a1")},
+        ), {_sql_assign_ctes("cent0", "a1", src="tsubs")},
         {_SQL_MEAN_CTES}"""
 
 # shared training chain: subs → seeds → cent0 → a1 (Lloyd) → cent1
@@ -341,3 +328,133 @@ ORACLE = {
         GROUP BY e.vec_id, e.label
     """,
 }
+
+
+def _pq_lloyd_py(sample: list) -> list:
+    """Driver Lloyd for the PQ codebooks over the md5-ordered sample
+    [(h, [vector floats])] — returns [(s, cid, [cent doubles])]
+    identical to the in-cluster chain (seeds → one Lloyd step →
+    6dp means), by the ivf._lloyd_py exactness recipe: scale-12
+    decimals as ints, exact int dots, correctly-rounded
+    decimal→double (int/int true division), JVM shortest-repr
+    HALF_UP rounding. d2 replicates _d2: the three exact dots cast
+    to double FIRST, then IEEE double (aa − 2·ab + bb), then
+    round(·, 8); ties to the lower cid. A cid whose cluster empties
+    drops from the codebook (the groupBy semantics)."""
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _jvm_round,
+        _q12,
+    )
+
+    ordered = sorted(sample, key=lambda t: t[0])
+    vecs = [[float(x) for x in emb] for _, emb in ordered]
+    subs = [
+        [v[s * _SUBDIM : (s + 1) * _SUBDIM] for s in range(_M)]
+        for v in vecs
+    ]
+    q = [[[_q12(x) for x in sub] for sub in v] for v in subs]
+
+    out = []
+    for s in range(_M):
+        cents = [
+            (cid, [float(_jvm_round(x, 6)) for x in subs[cid][s]])
+            for cid in range(min(_K, len(vecs)))
+        ]
+        cq = [
+            (cid, [_q12(x) for x in c], None) for cid, c in cents
+        ]
+        cq = [
+            (cid, ci, sum(a * a for a in ci)) for cid, ci, _ in cq
+        ]
+        members: dict = {}
+        for i in range(len(q)):
+            qi = q[i][s]
+            aa = sum(a * a for a in qi) / 10**24
+            best = None  # (d2_decimal, cid)
+            for cid, ci, bb_int in cq:
+                ab = sum(a * b for a, b in zip(qi, ci)) / 10**24
+                bb = bb_int / 10**24
+                d2 = _jvm_round(aa - 2 * ab + bb, 8)
+                if best is None or (d2, cid) < best:
+                    best = (d2, cid)
+            members.setdefault(best[1], []).append(i)
+        for cid in sorted(members):
+            idxs = members[cid]
+            c = []
+            for pos in range(_SUBDIM):
+                ssum = sum(q[i][s][pos] for i in idxs)
+                m = (ssum / 10**12) / len(idxs)
+                c.append(float(_jvm_round(m, 6)))
+            out.append((s, cid, c))
+    return out
+
+
+def train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained PQ codebook as a literal (s, cid, cent) frame —
+    driver Lloyd over the collected md5-leading _TRAIN_PER_CODE·_K
+    sample (bounded at any corpus size)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_TRAIN_PER_CODE * _K)
+        .select("h", "embedding")
+        .collect()
+    )
+    return _cents_frame(
+        spark, _pq_lloyd_py([(r.h, list(r.embedding)) for r in rows])
+    )
+
+
+def _cents_frame(spark: SparkSession, rows: list) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("s", IntegerType(), False),
+                StructField("cid", IntegerType(), False),
+                StructField("cent", ArrayType(DoubleType()), False),
+            ]
+        ),
+    )
+
+
+def _train_codebook_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The in-cluster reference chain over the SAME training sample —
+    retained only for the driver-parity pin
+    (tests/test_similarity.py::test_pq_driver_lloyd_matches_spark);
+    not on any query path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    tids = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_TRAIN_PER_CODE * _K)
+        .select("vec_id")
+    )
+    subs = _subs(spark, sf_dir).transform(spread_small_input)
+    tsubs = subs.join(tids, "vec_id")
+    seeds = (
+        e.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h")
+        .limit(_K)
+        .select(
+            (F.row_number().over(Window.orderBy("h")) - 1).alias("cid"),
+            "vec_id",
+        )
+    )
+    cent0 = tsubs.join(seeds, "vec_id").select(
+        "s",
+        "cid",
+        F.expr("transform(sub, x -> round(cast(x as double), 6))").alias(
+            "cent"
+        ),
+    )
+    return freeze_small(_mean_cents(_assign(tsubs, cent0)))

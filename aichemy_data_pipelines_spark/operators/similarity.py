@@ -312,10 +312,24 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature. Recall vs the exact graph is the LSH trade, asserted in
     tests/test_similarity.py.
     """
+    from pyspark import StorageLevel
+
     planes = corpus_plane_count(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "sigs", F.expr(_spark_sig_keys("embedding", planes))
     )
+    # The sig frame is evaluated TWICE (probe side a, member side b)
+    # and each evaluation pays B·planes interpreted decimal folds
+    # per row — at the r15 B=8 that is the dominant per-row cost, so
+    # cache it once (eager fill, else the join's two subtrees race
+    # and both recompute). Same-session A/B at sf0.1: candidate
+    # stage 11.5/10.9 s plain vs 8.1/6.9 s shared, identical
+    # outputs (BASELINE.md r15). Unconditional — the catalog's
+    # share gate is an I/O-size heuristic and this win is compute-
+    # bound; MEMORY_AND_DISK spills rather than OOMs at corpus
+    # scale, and the cache is evictable (unlike a localCheckpoint).
+    e = e.persist(StorageLevel.MEMORY_AND_DISK)
+    e.count()
     # Candidate pass scores with a plain DOUBLE cosine: the exact-
     # decimal fold is interpreted BigDecimal work ~an order of
     # magnitude costlier per pair, and the candidate volume is

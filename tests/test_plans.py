@@ -593,6 +593,9 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # level up)
     "ann_ivf_pq_residual_topk": {"embeddings": 7},
     "ann_recall_eval": {"embeddings": 4},
+    # r15 IVF twin: exact-baseline side (2 scans) + ann_ivf_topk's
+    # budget-3 index side — composition of the two members' budgets
+    "ann_ivf_recall_eval": {"embeddings": 5},
     "corpus_perplexity_buckets": {"documents": 4},
     "customer_set_ops": {"customer": 2, "orders": 2},
     "dedup_cross_modal": {"documents": 4},
@@ -624,7 +627,11 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "decontam_embedding": {"embeddings": 2},
     "decontam_ngram_overlap": {"documents": 2},
     "dedup_clusters_star": {"documents": 2},
-    "dedup_embedding_cosine": {"embeddings": 2},
+    # r15: the persisted sig frame's InMemoryRelation prints its
+    # parquet-scan CHILD once per reference (probe + member side) —
+    # the regex counts those prints, but physically the cache fills
+    # from ONE scan and both sides read blocks (the adopted A/B win)
+    "dedup_embedding_cosine": {"embeddings": 4},
     "dedup_minhash_lsh": {"documents": 2},
     "dedup_minhash_lsh_fast": {"documents": 2},
     "docs_distinct_terms": {"documents": 2},

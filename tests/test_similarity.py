@@ -712,3 +712,27 @@ def test_ivfpq_residual_routing_and_distinct_codes(spark):
         1 for key in rcodes if raw_codes.get(key) != rcodes[key]
     )
     assert diff > 0, "residual codes identical to raw codes"
+
+
+def test_pq_driver_lloyd_matches_spark(spark):
+    """The r15 driver-side PQ Lloyd (pq.train_codebook: collected
+    md5-leading sample, exact int-decimal arithmetic) must produce
+    BIT-IDENTICAL codebooks to the retained in-cluster chain over
+    the same sample (pq._train_codebook_spark) — the PQ twin of
+    test_driver_lloyd_matches_spark_lloyd. sf0.01 keeps the sample
+    cap ACTIVE (N=500 > 256)."""
+    from aichemy_data_pipelines_spark.operators.pq import (
+        _train_codebook_spark,
+        train_codebook,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = sorted(
+            (r.s, r.cid, tuple(r.cent))
+            for r in train_codebook(spark, sf).collect()
+        )
+        ref = sorted(
+            (r.s, r.cid, tuple(r.cent))
+            for r in _train_codebook_spark(spark, sf).collect()
+        )
+        assert got == ref, f"{sf}: PQ codebooks diverge"
