@@ -449,10 +449,21 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
                     or filt != 0 or inter != 0 or w <= 0 or h <= 0
                 ):
                     return bad
-                raw = zlib.decompress(idat)
                 bpp = channels  # bytes per pixel at depth 8
                 stride = w * bpp
-                if len(raw) < h * (stride + 1):
+                need = h * (stride + 1)
+                # BOUNDED inflate: a decompression-bomb IDAT (zlib
+                # ratios reach ~1000:1) must not OOM-kill the Python
+                # worker — that aborts the batch instead of
+                # quarantining the row. The header-promised raster
+                # size is ITSELF payload-controlled (IHDR w/h), so
+                # cap it absolutely (64 MB ≈ a 4.6k² RGBA frame —
+                # beyond any metadata-decode need) before bounding
+                # the inflate to it.
+                if need > 64 << 20:
+                    return bad
+                raw = zlib.decompressobj().decompress(idat, need)
+                if len(raw) < need:
                     return bad
                 prior = bytearray(stride)
                 total, npx = 0, 0

@@ -173,7 +173,16 @@ ORACLE = {
 
 def bloom_bits_from_docs(docs: DataFrame) -> DataFrame:
     """Build the eval-side Bloom bit set from an arbitrary benchmark
-    frame (doc_id, text): one distinct ``pos`` row per set bit —
+    frame (doc_id, text). NOTE: the bits-construction and the
+    hits-test below intentionally mirror decontam_bloom's inline
+    CTE-shaped plan rather than factoring it out — decontam_bloom
+    derives its eval AND train sides from ONE shared shingle frame
+    (a shared-scan plan these standalone entry points cannot have),
+    so a shared helper would force the worse plan on it. Any change
+    to the membership semantics (_KH, the coalesce default, the
+    distinct placement) must land in BOTH places.
+
+    One distinct ``pos`` row per set bit —
     ≤ ``_M`` rows BY CONSTRUCTION, broadcastable at any eval-suite
     size. This is the artifact the streaming ingest gate
     (streaming/corpus_ingest.ingest_batch) holds frozen across

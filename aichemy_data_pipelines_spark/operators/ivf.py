@@ -339,14 +339,19 @@ def _train_quantizer_spark(
 
 
 def _q12(x: float) -> int:
-    """HALF_UP scale-12 quantization of an exact double as an
-    integer — the driver twin of ``cast(cast(x as double) as
-    decimal(18,12))`` (both engines round HALF_UP on the exact
-    binary value; x.as_integer_ratio() is that exact value)."""
-    m, d = x.as_integer_ratio()
-    if m >= 0:
-        return (2 * m * 10**12 + d) // (2 * d)
-    return -((-2 * m * 10**12 + d) // (2 * d))
+    """HALF_UP scale-12 quantization of a double as an integer —
+    the driver twin of ``cast(x as decimal(18,12))``. Spark's
+    double→decimal cast goes through BigDecimal.valueOf, i.e. the
+    SHORTEST ROUND-TRIP REPR (Double.toString), NOT the exact
+    binary value — e.g. double 5e-13 (binary ≈ 4.9999999999999996e-13)
+    casts to 1E-12 in BOTH engines because its shortest repr
+    "5e-13" sits exactly on the HALF_UP boundary, while exact-value
+    rounding gives 0. An earlier r15 draft quantized on
+    x.as_integer_ratio() (the exact value) and would have diverged
+    the driver-trained quantizers from the engines on any such
+    boundary element (r15 self-review finding #1; pinned in
+    tests/test_similarity.py::test_q12_matches_spark_decimal_cast)."""
+    return int(_jvm_round(x, 12).scaleb(12))
 
 
 def _jvm_round(x: float, digits: int):
@@ -981,9 +986,11 @@ QUERIES["ann_ivf_recall_eval"] = ann_ivf_recall_eval
 
 
 def _register_ivf_recall_oracle() -> None:
-    """Deferred: nests similarity's committed ann_cosine_topk oracle
-    text (imported at call time to keep module import order free of
-    operator-package cycles)."""
+    """Nests similarity's committed ann_cosine_topk oracle text.
+    Runs at import time (the wrapper exists only to scope the
+    similarity import below the module body; similarity does not
+    import ivf, so there is no cycle today — if one ever appears
+    this import is the line that will raise, loudly, at import)."""
     from aichemy_data_pipelines_spark.operators.similarity import (
         ORACLE as _SIM_ORACLE,
     )

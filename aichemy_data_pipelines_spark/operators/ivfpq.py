@@ -120,6 +120,15 @@ def _residual_subs(vec_col: str) -> str:
     )
 
 
+#: vector − assigned coarse centroid, per dim (deterministic IEEE
+#: double subtraction in both engines) — ONE definition for the
+#: corpus, training-sample and query sides, so the three residual
+#: derivations cannot drift apart
+_RESIDUAL_EXPR = (
+    "zip_with({vec}, centroid, (x, c) -> cast(x as double) - c)"
+)
+
+
 def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with RESIDUAL encoding — the actual FAISS IVFPQ
     layout: each vector is PQ-coded as (vector − its coarse
@@ -153,10 +162,7 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lists.join(F.broadcast(cents), "list_id")
         .select(
             "vec_id",
-            F.expr(
-                "zip_with(embedding, centroid, (x, c) -> "
-                "cast(x as double) - c)"
-            ).alias("rvec"),
+            F.expr(_RESIDUAL_EXPR.format(vec="embedding")).alias("rvec"),
         )
         .transform(spread_small_input)
     )
@@ -176,10 +182,7 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cents), "list_id")
         .select(
             "h",
-            F.expr(
-                "zip_with(embedding, centroid, (x, c) -> "
-                "cast(x as double) - c)"
-            ).alias("rvec"),
+            F.expr(_RESIDUAL_EXPR.format(vec="embedding")).alias("rvec"),
         )
         .collect()
     )
@@ -204,9 +207,7 @@ def ann_ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "list_id",
-            F.expr(
-                "zip_with(qv, centroid, (x, c) -> cast(x as double) - c)"
-            ).alias("rvec"),
+            F.expr(_RESIDUAL_EXPR.format(vec="qv")).alias("rvec"),
         )
     )
     qsubs = qres.select(

@@ -141,6 +141,31 @@ def probe_xors(planes: int) -> list[int]:
     return [0] + [1 << p for p in range(planes)]
 
 
+#: one persisted sig frame per query key — repeated invocations
+#: (bench min-of-3, the driver's multi-pass contract, recall sweeps)
+#: swap the cache instead of leaking one MEMORY_AND_DISK copy per
+#: call (r15 self-review finding #3). Unpersisting the previous
+#: frame is safe: a still-held reference just recomputes lazily.
+_SIG_CACHE: dict = {}
+
+
+def persist_sig_frame(key: str, df):
+    """Persist + eagerly fill ``df`` (MEMORY_AND_DISK), releasing
+    the cache a previous invocation under the same ``key`` left."""
+    from pyspark import StorageLevel
+
+    old = _SIG_CACHE.pop(key, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session may already be gone
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+    _SIG_CACHE[key] = df
+    return df
+
+
 def _plane_weights() -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign of md5("p:d") parity, one
     family of _MAX_PLANES planes per band (band b owns global rows
@@ -312,8 +337,6 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature. Recall vs the exact graph is the LSH trade, asserted in
     tests/test_similarity.py.
     """
-    from pyspark import StorageLevel
-
     planes = corpus_plane_count(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "sigs", F.expr(_spark_sig_keys("embedding", planes))
@@ -327,9 +350,9 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outputs (BASELINE.md r15). Unconditional — the catalog's
     # share gate is an I/O-size heuristic and this win is compute-
     # bound; MEMORY_AND_DISK spills rather than OOMs at corpus
-    # scale, and the cache is evictable (unlike a localCheckpoint).
-    e = e.persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    # scale, and the keyed swap releases the previous invocation's
+    # cache (no per-call leak).
+    e = persist_sig_frame(f"ann_knn_graph:{sf_dir}", e)
     # Candidate pass scores with a plain DOUBLE cosine: the exact-
     # decimal fold is interpreted BigDecimal work ~an order of
     # magnitude costlier per pair, and the candidate volume is

@@ -35,7 +35,6 @@ def _patched(mod, bands: int, radius: int):
     # regenerate the plane table for the widened band count: the
     # generator appends families, so bands [0, 4) stay byte-identical
     # to the shipped configuration at any B >= 4
-    saved_bands = bands
     planes = []
     import hashlib
 
@@ -58,7 +57,6 @@ def _patched(mod, bands: int, radius: int):
         return out
 
     mod.probe_xors = xors
-    assert mod._N_BANDS == saved_bands
     return orig
 
 

@@ -240,3 +240,44 @@ def test_png_meta_quarantines_unsupported(spark):
     got = {r.doc_id: r for r in decode_png_meta(_media_df(spark, rows)).collect()}
     assert [got[i].ok for i in range(7)] == [0, 0, 0, 0, 0, 0, 1]
     assert got[6].mean_lum == _lum6([[(9, 9, 9), (1, 2, 3)]], 3)
+
+
+def test_png_meta_quarantines_decompression_bomb(spark):
+    """A PNG whose IDAT inflates far beyond the header raster (or
+    whose header promises a multi-GB raster) must quarantine as
+    ok=0 without inflating unboundedly — the inflate is capped at
+    the header-promised size, which is itself capped at 64 MB (r15
+    self-review finding #2)."""
+    import zlib
+
+    from aichemy_data_pipelines_spark.multimodal.codecs import (
+        decode_png_meta,
+    )
+
+    # tiny declared raster, 10 MB of inflate behind it
+    bomb_idat = zlib.compress(b"\x00" * (10 << 20), 9)
+    small_hdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", small_hdr)
+        + _png_chunk(b"IDAT", bomb_idat)
+        + _png_chunk(b"IEND", b"")
+    )
+    # header promises a ~17 GB raster (75000 x 75000 RGB)
+    huge_hdr = struct.pack(">IIBBBBB", 75000, 75000, 8, 2, 0, 0, 0)
+    huge = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", huge_hdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _png_chunk(b"IEND", b"")
+    )
+    good = _png_bytes([[(9, 9, 9), (1, 2, 3)]], channels=3)
+    got = {
+        r.doc_id: r
+        for r in decode_png_meta(
+            _media_df(spark, [bomb, huge, good])
+        ).collect()
+    }
+    assert got[0].ok == 1, "bounded inflate still decodes the raster"
+    assert got[1].ok == 0
+    assert got[2].ok == 1

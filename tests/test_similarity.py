@@ -736,3 +736,36 @@ def test_pq_driver_lloyd_matches_spark(spark):
             for r in _train_codebook_spark(spark, sf).collect()
         )
         assert got == ref, f"{sf}: PQ codebooks diverge"
+
+
+def test_q12_matches_spark_decimal_cast(spark):
+    """ivf._q12 must reproduce Spark's cast(double as decimal(18,12))
+    EXACTLY — including shortest-repr boundary doubles like 5e-13
+    (binary ≈ 4.9999999999999996e-13, which exact-value rounding
+    sends to 0 but BigDecimal.valueOf's Double.toString path sends
+    to 1e-12 in both engines). r15 self-review finding #1."""
+    import random
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.operators.ivf import _q12
+
+    rng = random.Random(3)
+    vals = [
+        5e-13, -5e-13, 1.5e-12, -1.5e-12, 2.5e-12, 0.0, 1.0,
+        -1.0, 0.1234567890005, 4.9999999999999996e-13,
+    ] + [rng.uniform(-10, 10) for _ in range(200)] + [
+        rng.uniform(-1e-11, 1e-11) for _ in range(200)
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {
+        r.i: int((Decimal(str(r.q)) * 10**12).to_integral_value())
+        for r in df.select(
+            "i", F.col("x").cast("decimal(18,12)").alias("q")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert _q12(v) == got[i], (
+            f"_q12({v!r}) = {_q12(v)} but Spark casts to {got[i]}"
+        )
