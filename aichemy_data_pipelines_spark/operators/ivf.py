@@ -350,7 +350,19 @@ def _q12(x: float) -> int:
     x.as_integer_ratio() (the exact value) and would have diverged
     the driver-trained quantizers from the engines on any such
     boundary element (r15 self-review finding #1; pinned in
-    tests/test_similarity.py::test_q12_matches_spark_decimal_cast)."""
+    tests/test_similarity.py::test_q12_matches_spark_decimal_cast).
+
+    JVM-version assumption (r15 ADVICE #2): this equivalence relies
+    on Python repr(x) matching Java Double.toString digit-for-digit.
+    JDK 19's JDK-4511638 fix made Double.toString emit the true
+    shortest round-trip repr (same algorithm family as CPython's);
+    PRE-19 FloatingDecimal occasionally emitted EXCESS digits, which
+    flips HALF_UP exactly on boundary doubles like the 5e-13 family
+    above. The repo targets the baked-in Java 17+... in practice the
+    sandbox/driver JVMs have matched repr on every pinned value;
+    test_q12_matches_spark_decimal_cast carries a dense half-way
+    boundary sweep so ANY JVM whose formatter disagrees fails that
+    test loudly instead of silently diverging trained centroids."""
     return int(_jvm_round(x, 12).scaleb(12))
 
 
@@ -697,10 +709,144 @@ def screen_verdicts(
     )
 
 
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs ROUTED THROUGH THE TRAINED IVF INDEX
+    — the FAISS production recipe for near-dup candidate generation,
+    and the documented 100 TB path past the banded tier's B clamp
+    (r15 verdict #2): every vector probes its n_probe(K) nearest
+    trained-quantizer lists and candidates are pairs sharing a probed
+    list, so recall is governed by nprobe/K ROUTING — which does not
+    decay as the corpus grows — instead of signature agreement, which
+    does (similarity._BANDS_BY_PLANES: per-band detection falls like
+    p^planes with planes ∝ log N). Same verdict shape, label block
+    and 0.25 cosine bar as dedup_embedding_cosine, so the two
+    generators A/B directly (scripts/ivf_route_ab.py; measured table
+    in BASELINE.md r16).
+
+    Plan: the probe ranking reuses _assign's lossless double-cosine
+    prefilter generalized to rank-nprobe (only centroids within 1e-6
+    of a vector's nprobe-th double cosine pay the exact-decimal
+    fold); the candidate join is ONE equi-join on list_id with
+    expected fanout N·nprobe·_TARGET_LIST; each raw candidate pays a
+    plain double cosine and only pairs within 1e-6 of the threshold
+    pay the exact fold (the ann_incremental_screen margin recipe —
+    |double − exact| ≲ 3e-12 against 5e-9 rounding granularity, so
+    the prefilter is lossless). A pair can meet through both sides'
+    probes and in shared lists, so the surviving rows de-duplicate
+    with a (label, id_a, id_b) max-aggregate (the oracle's DISTINCT
+    twin).
+
+    Scale: training is driver-bounded (module docstring); probe
+    scoring is N·K double folds against a broadcast K-row centroid
+    table; candidates stay ~N·nprobe·_TARGET_LIST with nprobe ∝
+    √K — no term quadratic in N, no term growing with the banded
+    tier's plane count.
+
+    Output: (label, id_a, id_b, cosine) — id_a < id_b.
+    """
+    from aichemy_data_pipelines_spark.functions.vectors import spark_dot
+
+    k = corpus_list_count(spark, sf_dir)
+    nprobe = n_probe(k)
+    cents, lists = _kmeans(spark, sf_dir, k=k)
+    e = load_table(spark, sf_dir, "embeddings").transform(
+        spread_small_input
+    )
+    en = e.select("vec_id", "label", "embedding").withColumn(
+        "en", F.expr(_NORM)
+    )
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    cn = cents.withColumn("cn", F.expr(cnorm))
+    # rank-nprobe probe selection with the _assign margin prefilter:
+    # keep centroids within 1e-6 of the vector's nprobe-th DOUBLE
+    # cosine (NULL kth ⇔ zero-norm vector or K < nprobe — keep all),
+    # exact-score the survivors, take the top nprobe at 8dp
+    wd = Window.partitionBy("vec_id").orderBy(F.desc("dcos"), "list_id")
+    kth = F.max(F.when(F.col("drk") == nprobe, F.col("dcos"))).over(
+        Window.partitionBy("vec_id")
+    )
+    surv = (
+        en.crossJoin(F.broadcast(cn))
+        .select(
+            "vec_id",
+            "list_id",
+            F.expr(
+                f"try_divide({spark_dot('embedding', 'centroid')}, "
+                "en * cn)"
+            ).alias("dcos"),
+        )
+        .withColumn("drk", F.row_number().over(wd))
+        .withColumn("kth", kth)
+        .where(
+            F.col("kth").isNull()
+            | (F.col("dcos") >= F.col("kth") - 1e-6)
+        )
+        .select("vec_id", "list_id")
+    )
+    cdot = spark_dot_exact("embedding", "centroid")
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "list_id")
+    probes = (
+        surv.join(en, "vec_id")
+        .join(F.broadcast(cn), "list_id")
+        .withColumn(
+            "c_cos", F.round(F.expr(f"try_divide({cdot}, en * cn)"), 8)
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .where(F.col("prk") <= nprobe)
+        .select(
+            "vec_id",
+            "label",
+            F.col("embedding").alias("va"),
+            F.col("en").alias("na"),
+            "list_id",
+        )
+    )
+    m = (
+        lists.join(
+            load_table(spark, sf_dir, "embeddings").select(
+                "vec_id", "label"
+            ),
+            "vec_id",
+        )
+        .select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("label").alias("nbr_label"),
+            F.col("embedding").alias("vb"),
+            "list_id",
+        )
+        .withColumn("nb", F.expr(f"sqrt({spark_dot_exact('vb', 'vb')})"))
+    )
+    dot = spark_dot_exact("va", "vb")
+    return (
+        probes.join(m, "list_id")
+        .where(
+            (F.col("vec_id") != F.col("nbr_id"))
+            & (F.col("label") == F.col("nbr_label"))
+        )
+        # threshold prefilter in DOUBLE, reusing the hoisted exact
+        # norms — only near-threshold candidates pay the exact fold
+        .where(
+            F.expr(f"{spark_dot('va', 'vb')} / (na * nb)")
+            >= 0.25 - 1e-6
+        )
+        .select(
+            "label",
+            F.least("vec_id", "nbr_id").alias("id_a"),
+            F.greatest("vec_id", "nbr_id").alias("id_b"),
+            F.round(F.expr(f"{dot} / (na * nb)"), 8).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.25)
+        .groupBy("label", "id_a", "id_b")
+        .agg(F.max("cosine").alias("cosine"))
+        .select("label", "id_a", "id_b", "cosine")
+    )
+
+
 QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_incremental_screen": ann_incremental_screen,
     "embeddings_cluster_outliers": embeddings_cluster_outliers,
+    "dedup_embedding_ivf": dedup_embedding_ivf,
 }
 
 _DECD = "CAST(CAST({v} AS DOUBLE) AS DECIMAL(18,12))"
@@ -897,6 +1043,46 @@ ORACLE = {
                a.best_cand, a.best_cosine,
                COALESCE(a.n_corpus_matches, 0) = 0 AS is_new
         FROM batch b LEFT JOIN agg a ON a.query_id = b.vec_id
+    """,
+    "dedup_embedding_ivf": f"""
+        WITH {_KMEANS_CTES}, qc AS (
+            SELECT q.vec_id AS query_id, cv.list_id,
+                   unnest(q.embedding) AS xa, unnest(cv.centroid) AS xb
+            FROM embeddings q, cent2 cv
+        ), qscore AS (
+            SELECT query_id, list_id, {_sql_pair_cos('xa', 'xb')} AS c_cos
+            FROM qc GROUP BY query_id, list_id
+        ), probes AS (
+            SELECT query_id, list_id FROM (
+                SELECT query_id, list_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c_cos DESC, list_id) AS prk
+                FROM qscore) t, nk
+            WHERE prk <= {_SQL_NPROBE}
+        ), cand AS (
+            -- DISTINCT: a pair can meet through both sides' probes
+            -- and in several shared lists (the Spark side's
+            -- max-aggregate twin)
+            SELECT DISTINCT a.label AS label,
+                   LEAST(p.query_id, l.vec_id) AS id_a,
+                   GREATEST(p.query_id, l.vec_id) AS id_b
+            FROM probes p
+            JOIN lists l ON l.list_id = p.list_id
+                        AND l.vec_id <> p.query_id
+            JOIN embeddings a ON a.vec_id = p.query_id
+            JOIN embeddings b ON b.vec_id = l.vec_id
+                             AND b.label = a.label
+        ), expl AS (
+            SELECT c.label, c.id_a, c.id_b,
+                   unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.id_a
+            JOIN embeddings b ON b.vec_id = c.id_b
+        ), cos AS (
+            SELECT label, id_a, id_b, {_sql_pair_cos('xa', 'xb')} AS cosine
+            FROM expl GROUP BY label, id_a, id_b
+        )
+        SELECT label, id_a, id_b, cosine FROM cos WHERE cosine >= 0.25
     """,
     "embeddings_cluster_outliers": f"""
         WITH {_KMEANS_CTES}, vc AS (

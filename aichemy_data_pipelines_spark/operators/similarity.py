@@ -6,13 +6,17 @@ Two paths, as a real vector pipeline has:
   query set: broadcast the queries, scan the corpus once, rank per
   query. The correctness baseline.
 * ``ann_lsh_topk`` — BANDED random-hyperplane LSH with in-band
-  multiprobe: ``_N_BANDS`` independent plane families each produce a
+  multiprobe: B independent plane families each produce a
   ``planes``-bit signature (AND within a band); a query probes, in
   EVERY band, its own bucket plus each Hamming-1 neighbor; the
   candidate set is the UNION over bands (OR across bands) — the same
   B×R OR-construction the MinHash dedup uses (dedup.py, 16 bands of
   4), re-expressed for hyperplanes. Candidates = one equi-join on a
   composite (band, signature) int key; exact cosine re-rank after.
+  BOTH parameters are corpus-size-derived: the per-band bit width
+  ``n_planes(N)`` holds bucket density constant, and the OR-width
+  ``bands_for_planes(planes)`` buys back the recall the growing
+  AND-width costs (r16 — see the constants block).
 
   Why bands: the bit width is DERIVED from the corpus size
   (``n_planes``: ceil(log2(n / target_block)), clamped to [4, 16])
@@ -23,10 +27,11 @@ Two paths, as a real vector pipeline has:
   sf0.1 corpus, going 4→6 planes halved near-dup recall). B
   independent bands restore it: P(detect) = 1 − (1−q)^B. At p = 0.63
   (this corpus's cosine ≈ 0.4 neighbors) and R = 6, q ≈ 0.28 alone
-  but P ≈ 0.74 with B = 4 and ≈ 0.93 with B = 8 (the r15
-  configuration — see the measured frontier at the _N_BANDS
-  constant); tighter real-world neighbors (cosine ≥ 0.9 ⇒ p ≥ 0.9)
-  hold P ≈ 1 well past R = 10.
+  but P ≈ 0.74 with B = 4 and ≈ 0.93 with B = 8 (the r15 frontier
+  point, kept for planes ≤ 6; r16 grows B with the plane count — see
+  the measured frontier at the _BANDS_BY_PLANES constant); tighter
+  real-world neighbors (cosine ≥ 0.9 ⇒ p ≥ 0.9) hold P ≈ 1 well
+  past R = 10.
 
 Hyperplane weights are derived from md5 in PYTHON (hashlib) and
 inlined as literals into both engines' queries, so even the
@@ -75,24 +80,53 @@ _TOP_K = 5
 # and oracle stay in lockstep; a non-default conf raises a warning
 # (corpus_plane_count) because the committed oracle SQL cannot see it.
 #
-# _N_BANDS is the OR-width (round-13 verdict #2): fixed, because the
-# adaptive plane count already holds per-band bucket density constant
-# — bands buy back the recall that the growing AND-width costs (see
-# module docstring math). B = 8 is the r15 frontier point (r14
-# verdict #1: the B=4 recall 0.639 pair / 0.733 edge was the repo's
-# weakest number; the measured sf0.1 frontier, candidate rows
-# normalized to B=4,r=1 — full table in BASELINE.md:
-#   B=4 r=1: 1.00x  pair 0.639  edge 0.733
-#   B=6 r=1: 1.50x  pair 0.786  edge 0.862
-#   B=8 r=1: 1.99x  pair 0.869  edge 0.931   <- shipped
-#   B=4 r=2: 3.03x  pair 0.950  edge 0.965
-# Hamming-2 probing buys more recall but blows the ~2x candidate
-# budget; B=8 meets the >=0.80 pair-recall target exactly at 2x.
-# Precision stays 1.000 in every configuration — the exact-decimal
-# threshold re-check guarantees it).
+# The OR-width B is SCALE-ADAPTIVE too (round-15 verdict #1 — the
+# last documented-but-unbuilt scale knob): per-band detection decays
+# like p^planes while planes grows with log2(N), so a FIXED B loses
+# recall as the corpus grows (the r15 frontier measured pair recall
+# 0.869 at sf0.1/planes=6 falling to 0.301 on the 10x corpus/
+# planes=10 at fixed B=8). The measured per-extra-plane detection
+# decay on this corpus is δ ≈ 2/3 (per-band q 0.224 at planes=6 →
+# 0.0438 at planes=10, BASELINE.md frontier), so holding the overall
+# OR-detection P = 1-(1-q)^B needs B growing by ~3/2 per extra plane:
+#
+#     B(planes) = clamp(ceil(8 · 1.5^(planes-6)), 8, 48)
+#
+# frozen below as the _BANDS_BY_PLANES literal (13 rows) so BOTH
+# engines share exact integers instead of trusting POWER()'s float
+# rounding at a ceil boundary. Anchors: planes<=6 (<= sf0.1 scale)
+# stays on the r15 frontier point B=8; planes=10 (the 10x stress
+# corpus) gets B=41, which restores the measured pair recall to
+# ~0.84 at ~5x the fixed-B=8 candidate budget (see BASELINE.md's r16
+# frontier extension). The clamp at 48 (planes>=11, N >= 64k/block
+# 32) is where the construction's honest cost curve — B grows
+# geometrically in planes, i.e. ~N^0.59 at δ=2/3 — stops being the
+# right trade and a deployment routes near-dup candidates through
+# the trained IVF index instead (ivf.dedup_embedding_ivf: recall
+# governed by nprobe/K routing, not signature agreement); the r15
+# frontier already documents that this corpus's threshold (cosine
+# 0.25 ⇒ p ≈ 0.58) is adversarially loose, while real near-dup bars
+# (cosine >= 0.9 ⇒ p >= 0.9) hold recall ≈ 1 at B=8 far past
+# planes=16.
 _MIN_PLANES = 4
 _MAX_PLANES = 16
-_N_BANDS = 8
+_MIN_BANDS = 8
+_MAX_BANDS = 48
+_BANDS_BY_PLANES = {
+    4: 8,
+    5: 8,
+    6: 8,
+    7: 12,
+    8: 18,
+    9: 27,
+    10: 41,
+    11: 48,
+    12: 48,
+    13: 48,
+    14: 48,
+    15: 48,
+    16: 48,
+}
 # composite bucket key = band * stride + band-signature; in-band
 # Hamming-1 flips touch only bits < _MAX_PLANES, so XOR on the
 # composite key stays inside the band's key space
@@ -108,6 +142,14 @@ def n_planes(n_rows: int, target_block: int = _TARGET_BLOCK) -> int:
 
     raw = math.ceil(math.log2(max(n_rows / float(target_block), 1.0)))
     return min(_MAX_PLANES, max(_MIN_PLANES, raw))
+
+
+def bands_for_planes(planes: int) -> int:
+    """Corpus-size-derived OR-width: the frozen _BANDS_BY_PLANES row
+    for this plane count (= clamp(ceil(8 · 1.5^(planes-6)), 8, 48);
+    the formula/table equivalence is pinned in
+    tests/test_similarity.py::test_bands_formula_pins)."""
+    return _BANDS_BY_PLANES[planes]
 
 
 def _conf_target_block(spark: SparkSession) -> int:
@@ -136,33 +178,102 @@ def corpus_plane_count(spark: SparkSession, sf_dir: str) -> int:
     return n_planes(n, target)
 
 
+def corpus_lsh_params(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(planes, bands) for the embeddings corpus at ``sf_dir`` — ONE
+    corpus count feeding both deterministic formulas; the DuckDB
+    oracles recompute the same pair in-plan (``_sql_nparam``)."""
+    planes = corpus_plane_count(spark, sf_dir)
+    return planes, bands_for_planes(planes)
+
+
 def probe_xors(planes: int) -> list[int]:
     """In-band probe offsets: own bucket + all Hamming-1 neighbors."""
     return [0] + [1 << p for p in range(planes)]
 
 
-#: one persisted sig frame per query key — repeated invocations
-#: (bench min-of-3, the driver's multi-pass contract, recall sweeps)
-#: swap the cache instead of leaking one MEMORY_AND_DISK copy per
-#: call (r15 self-review finding #3). Unpersisting the previous
-#: frame is safe: a still-held reference just recomputes lazily.
-_SIG_CACHE: dict = {}
+#: one persisted sig frame per (query, sf_dir) key — repeated
+#: invocations (bench min-of-3, the driver's multi-pass contract,
+#: recall sweeps) swap the cache instead of leaking one
+#: MEMORY_AND_DISK copy per call (r15 self-review finding #3).
+#: Entries carry the DATA FINGERPRINT (size+mtime of the embeddings
+#: parquet) they were built against: Spark's CacheManager substitutes
+#: any canonically-equal subplan with a persisted InMemoryRelation,
+#: so a still-persisted frame built on a since-rewritten table would
+#: silently serve STALE signatures to the NEXT query over the same
+#: path (r15 verdict #4). Any entry whose fingerprint no longer
+#: matches its table is evicted before a new frame persists, and the
+#: cache is bounded (oldest-out) so long daemon/CLI sessions over
+#: many sf_dirs cannot accumulate unbounded persisted copies (r15
+#: ADVICE #1). Unpersisting is always safe: a still-held reference
+#: just recomputes lazily.
+_SIG_CACHE: dict = {}  # (name, sf_dir) -> (fingerprint, DataFrame)
+_SIG_CACHE_MAX = 4
 
 
-def persist_sig_frame(key: str, df):
-    """Persist + eagerly fill ``df`` (MEMORY_AND_DISK), releasing
-    the cache a previous invocation under the same ``key`` left."""
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """size:mtime_ns fingerprint of the embeddings parquet under
+    ``sf_dir`` (single file or directory tree) — cheap os.stat walk,
+    no Spark job."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+    except OSError:
+        return "absent"
+    if not os.path.isdir(path):
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    total, newest = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                s = os.stat(os.path.join(root, f))
+            except OSError:
+                continue
+            total += s.st_size
+            newest = max(newest, s.st_mtime_ns)
+    return f"{total}:{newest}"
+
+
+def release_sig_frames() -> None:
+    """Drain every cached signature frame (unpersist + drop) — the
+    explicit release hook for daemon/CLI lifecycles that rewrite
+    tables between operations (r15 ADVICE #1)."""
+    for _fp, df in _SIG_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be gone
+    _SIG_CACHE.clear()
+
+
+def persist_sig_frame(name: str, sf_dir: str, df):
+    """Persist + eagerly fill ``df`` (MEMORY_AND_DISK), releasing (a)
+    the frame a previous invocation under the same key left, (b) any
+    frame over the same ``sf_dir`` whose data fingerprint went stale
+    (rewritten table — see _SIG_CACHE), and (c) the oldest entry when
+    the cache is full."""
     from pyspark import StorageLevel
 
-    old = _SIG_CACHE.pop(key, None)
-    if old is not None:
+    fp = _embeddings_fingerprint(sf_dir)
+    for k in list(_SIG_CACHE):
+        if k == (name, sf_dir) or (
+            k[1] == sf_dir and _SIG_CACHE[k][0] != fp
+        ):
+            _, old = _SIG_CACHE.pop(k)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # session may already be gone
+    while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
+        _, old = _SIG_CACHE.pop(next(iter(_SIG_CACHE)))
         try:
             old.unpersist()
         except Exception:
-            pass  # session may already be gone
+            pass
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
-    _SIG_CACHE[key] = df
+    _SIG_CACHE[(name, sf_dir)] = (fp, df)
     return df
 
 
@@ -171,10 +282,13 @@ def _plane_weights() -> list[list[int]]:
     family of _MAX_PLANES planes per band (band b owns global rows
     [b·_MAX_PLANES, (b+1)·_MAX_PLANES)). A band uses the first
     ``planes`` rows of its family, so growing the corpus only APPENDS
-    planes — the shared prefix keeps signatures comparable across
-    scales. Band 0 is byte-identical to the pre-banding plane set."""
+    planes — and growing the BAND COUNT only appends families — the
+    shared prefix keeps signatures comparable across scales. Band 0
+    is byte-identical to the pre-banding plane set. The table covers
+    the _MAX_BANDS clamp; the DuckDB oracles compute the same parity
+    in-plan from md5 instead of inlining it (``_sql_signature``)."""
     planes = []
-    for p in range(_N_BANDS * _MAX_PLANES):
+    for p in range(_MAX_BANDS * _MAX_PLANES):
         row = []
         for d in range(_DIM):
             h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
@@ -204,29 +318,29 @@ def _spark_signature(vec: str, planes: int = _MIN_PLANES, band: int = 0) -> str:
     return " + ".join(terms)
 
 
-def _spark_sig_keys(vec: str, planes: int) -> str:
-    """Array of the _N_BANDS composite (band·stride + signature)
+def _spark_sig_keys(vec: str, planes: int, bands: int) -> str:
+    """Array of the ``bands`` composite (band·stride + signature)
     bucket keys — ONE pure-map column per vector."""
     elems = ", ".join(
         f"({b * _BAND_STRIDE} + ({_spark_signature(vec, planes, b)}))"
-        for b in range(_N_BANDS)
+        for b in range(bands)
     )
     return f"array({elems})"
 
 
-def _spark_probe_keys(planes: int) -> str:
+def _spark_probe_keys(planes: int, bands: int) -> str:
     """Probe-key array over a ``sigs`` column: every band's own
     bucket + Hamming-1 flips — B·(planes+1) keys."""
     return ", ".join(
         f"int(sigs[{b}] ^ {x})"
-        for b in range(_N_BANDS)
+        for b in range(bands)
         for x in probe_xors(planes)
     )
 
 
-def _spark_member_keys() -> str:
+def _spark_member_keys(bands: int) -> str:
     """Corpus-side key array: each band's own bucket — B keys."""
-    return ", ".join(f"int(sigs[{b}])" for b in range(_N_BANDS))
+    return ", ".join(f"int(sigs[{b}])" for b in range(bands))
 
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,22 +394,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_knn_graph and dedup_embedding_cosine
     (test_banded_recall_floor_at_elevated_plane_count).
     """
-    planes = corpus_plane_count(spark, sf_dir)
+    planes, bands = corpus_lsh_params(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "sigs", F.expr(_spark_sig_keys("embedding", planes))
+        "sigs", F.expr(_spark_sig_keys("embedding", planes, bands))
     )
     norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
     q = e.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.expr(norm).alias("qn"),
-        F.explode(F.expr(f"array({_spark_probe_keys(planes)})")).alias("sig"),
+        F.explode(
+            F.expr(f"array({_spark_probe_keys(planes, bands)})")
+        ).alias("sig"),
     )
     c = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("cv"),
         F.expr(norm).alias("cn"),
-        F.explode(F.expr(f"array({_spark_member_keys()})")).alias("sig"),
+        F.explode(F.expr(f"array({_spark_member_keys(bands)})")).alias("sig"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "cand_id")
     dot = spark_dot_exact("qv", "cv")
@@ -337,9 +453,9 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     nature. Recall vs the exact graph is the LSH trade, asserted in
     tests/test_similarity.py.
     """
-    planes = corpus_plane_count(spark, sf_dir)
+    planes, bands = corpus_lsh_params(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "sigs", F.expr(_spark_sig_keys("embedding", planes))
+        "sigs", F.expr(_spark_sig_keys("embedding", planes, bands))
     )
     # The sig frame is evaluated TWICE (probe side a, member side b)
     # and each evaluation pays B·planes interpreted decimal folds
@@ -352,7 +468,7 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bound; MEMORY_AND_DISK spills rather than OOMs at corpus
     # scale, and the keyed swap releases the previous invocation's
     # cache (no per-call leak).
-    e = persist_sig_frame(f"ann_knn_graph:{sf_dir}", e)
+    e = persist_sig_frame("ann_knn_graph", sf_dir, e)
     # Candidate pass scores with a plain DOUBLE cosine: the exact-
     # decimal fold is interpreted BigDecimal work ~an order of
     # magnitude costlier per pair, and the candidate volume is
@@ -375,13 +491,15 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("embedding").alias("va"),
         F.expr(norm).alias("na"),
-        F.explode(F.expr(f"array({_spark_probe_keys(planes)})")).alias("sig"),
+        F.explode(
+            F.expr(f"array({_spark_probe_keys(planes, bands)})")
+        ).alias("sig"),
     )
     b = e.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").alias("vb"),
         F.expr(norm).alias("nb"),
-        F.explode(F.expr(f"array({_spark_member_keys()})")).alias("sig"),
+        F.explode(F.expr(f"array({_spark_member_keys(bands)})")).alias("sig"),
     )
     # exact norms (already doubles) hoist once per side — each
     # candidate pays ONE double fold, not a three-fold double cosine
@@ -449,15 +567,23 @@ def _sql_cosine(alias_a: str, alias_b: str) -> str:
     )
 
 
-def _sql_nplanes() -> str:
-    """DuckDB twin of ``n_planes(count(embeddings))`` — the adaptive
-    per-band bit width computed IN-PLAN, so the oracle follows the
-    corpus size exactly as the Spark side's driver-side count does.
-    Emits a one-row CTE body ``(np)``."""
+def _sql_nparam() -> str:
+    """DuckDB twin of ``corpus_lsh_params`` — the adaptive per-band
+    bit width ``np`` AND the adaptive OR-width ``nb`` computed
+    IN-PLAN, so the oracle follows the corpus size exactly as the
+    Spark side's driver-side count does. ``nb`` reads the frozen
+    _BANDS_BY_PLANES table as a CASE ladder (exact integers; no
+    POWER() float at a ceil boundary). Emits a one-row CTE body
+    ``(np, nb)``."""
+    case_nb = " ".join(
+        f"WHEN {p} THEN {_BANDS_BY_PLANES[p]}"
+        for p in range(_MIN_PLANES, _MAX_PLANES + 1)
+    )
     return (
+        f"SELECT np, CASE np {case_nb} END AS nb FROM ("
         f"SELECT LEAST({_MAX_PLANES}, GREATEST({_MIN_PLANES}, "
         f"CAST(CEIL(LOG2(GREATEST(COUNT(*) / {_TARGET_BLOCK}.0, 1.0))) "
-        f"AS INT))) AS np FROM embeddings"
+        f"AS INT))) AS np FROM embeddings)"
     )
 
 
@@ -472,42 +598,57 @@ _SQL_PROBES = (
 
 
 def _sql_signature() -> str:
-    """DuckDB signatures: zipped unnest of vector + all
-    _N_BANDS·_MAX_PLANES weight lists, each band's sums bit-masked
-    down to the adaptive plane count ``np`` (planes at index >= np
-    contribute 0, exactly like the Spark side never emitting them).
-    ``sigs`` holds one row per (vector, band) carrying the composite
-    band·stride + signature key — the exploded twin of the Spark
-    side's sig-key array."""
-    unnests = ", ".join(
-        f"unnest({list(w)}) AS w{g}" for g, w in enumerate(_PLANES)
-    )
-    sums = ", ".join(
-        f"SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12)) "
-        f"* CAST(w{g} AS DECIMAL(2,0))) AS s{g}"
-        for g in range(len(_PLANES))
-    )
-    band_rows = "\n            UNION ALL ".join(
-        "SELECT vec_id, {base} + ({bits}) AS sig FROM sigparts, nparam".format(
-            base=b * _BAND_STRIDE,
-            bits=" + ".join(
-                f"(CASE WHEN {p} < np AND "
-                f"CAST(s{b * _MAX_PLANES + p} AS DOUBLE) >= 0 "
-                f"THEN {1 << p} ELSE 0 END)"
-                for p in range(_MAX_PLANES)
-            ),
-        )
-        for b in range(_N_BANDS)
-    )
+    """DuckDB signatures with BOTH adaptive parameters in-plan: the
+    ±1 plane weights are recomputed from the same md5 parity the
+    Python table inlines (``_plane_weights``: sign of
+    int(md5("p:d"),16) % 2 ⇔ parity of the LAST hex digit), the
+    active planes are gated by ``np`` and the active bands by ``nb``
+    — planes/bands beyond the adaptive counts never exist, exactly
+    like the Spark side never emitting them. (The pre-r16 form
+    inlined all weight lists as literals and unrolled one UNION ALL
+    arm per band; with the OR-width now scale-adaptive up to
+    _MAX_BANDS=48 that text would be ~50x larger, while this form is
+    constant-size and equal by the md5-parity pin in
+    tests/test_oracle_parity.py.) ``sigs`` holds one row per
+    (vector, active band) carrying the composite band·stride +
+    signature key — the exploded twin of the Spark side's sig-key
+    array."""
     return f"""
-        nparam AS ({_sql_nplanes()}),
-        sigparts AS (
-            SELECT vec_id, {sums}
-            FROM (SELECT vec_id, unnest(embedding) AS x, {unnests}
-                  FROM embeddings)
-            GROUP BY vec_id
-        ), sigs AS (
-            {band_rows}
+        nparam AS ({_sql_nparam()}),
+        edim AS (
+            SELECT vec_id, u.d AS d, u.val AS val FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                              (v, i) -> {{'d': i - 1, 'val': v}})) AS u
+                FROM embeddings)
+        ),
+        planes AS (
+            SELECT g.g, d.d,
+                   CASE WHEN instr('02468ace',
+                        substr(md5(g.g::VARCHAR || ':' || d.d::VARCHAR),
+                               32, 1)) > 0
+                        THEN 1 ELSE -1 END AS w
+            FROM range({_MAX_BANDS * _MAX_PLANES}) g(g),
+                 range({_DIM}) d(d), nparam
+            WHERE g.g < nparam.nb * {_MAX_PLANES}
+              AND g.g % {_MAX_PLANES} < nparam.np
+        ),
+        projs AS (
+            SELECT e.vec_id,
+                   CAST(p.g // {_MAX_PLANES} AS INT) AS band,
+                   CAST(p.g % {_MAX_PLANES} AS INT) AS bit,
+                   SUM(CAST(CAST(e.val AS DOUBLE) AS DECIMAL(18,12))
+                       * CAST(p.w AS DECIMAL(2,0))) AS s
+            FROM edim e JOIN planes p ON p.d = e.d
+            GROUP BY e.vec_id, band, bit
+        ),
+        sigs AS (
+            SELECT vec_id,
+                   CAST(band * {_BAND_STRIDE}
+                        + SUM(CASE WHEN CAST(s AS DOUBLE) >= 0
+                                   THEN 1 << bit ELSE 0 END)
+                        AS BIGINT) AS sig
+            FROM projs GROUP BY vec_id, band
         )
     """
 

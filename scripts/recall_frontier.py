@@ -9,11 +9,13 @@ scale), and wall time. The frontier table this prints is recorded in
 BASELINE.md; the shipped config is the best point with candidate
 cost <= ~2x the r14 baseline (B=4, radius 1).
 
-Sweep mechanics: ``similarity._N_BANDS`` / ``_PLANES`` /
+Sweep mechanics: ``similarity._BANDS_BY_PLANES`` / ``_PLANES`` /
 ``probe_xors`` are module globals read at CALL time by the
 signature/probe builders, so patching them re-parameterizes the
-operators without touching committed code. Truth is computed once
-per SF with the operators' own exact-decimal dots and 8dp rounding.
+operators without touching committed code (r16: the OR-width is
+corpus-size-adaptive via bands_for_planes — a sweep point pins the
+whole table to its B). Truth is computed once per SF with the
+operators' own exact-decimal dots and 8dp rounding.
 
 Usage: python scripts/recall_frontier.py [sf_dir] [--configs B:R,...]
 """
@@ -30,15 +32,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _patched(mod, bands: int, radius: int):
     """Set the module globals for one sweep point; returns the
     originals for restore."""
-    orig = (mod._N_BANDS, mod._PLANES, mod.probe_xors)
-    mod._N_BANDS = bands
+    orig = (dict(mod._BANDS_BY_PLANES), mod._PLANES, mod.probe_xors)
+    # pin the adaptive table to this sweep point's B at EVERY plane
+    # count, so the operators run exactly (B, radius)
+    for p in list(mod._BANDS_BY_PLANES):
+        mod._BANDS_BY_PLANES[p] = bands
     # regenerate the plane table for the widened band count: the
     # generator appends families, so bands [0, 4) stay byte-identical
     # to the shipped configuration at any B >= 4
     planes = []
     import hashlib
 
-    for p in range(bands * mod._MAX_PLANES):
+    for p in range(max(bands, mod._MAX_BANDS) * mod._MAX_PLANES):
         row = []
         for d in range(mod._DIM):
             h = hashlib.md5(f"{p}:{d}".encode()).hexdigest()
@@ -61,7 +66,9 @@ def _patched(mod, bands: int, radius: int):
 
 
 def _restore(mod, orig):
-    mod._N_BANDS, mod._PLANES, mod.probe_xors = orig
+    table, mod._PLANES, mod.probe_xors = orig
+    mod._BANDS_BY_PLANES.clear()
+    mod._BANDS_BY_PLANES.update(table)
 
 
 def main() -> None:
@@ -169,14 +176,16 @@ def main() -> None:
             # number that prices the config
             ec = e.withColumn(
                 "sigs",
-                F.expr(similarity._spark_sig_keys("embedding", planes)),
+                F.expr(
+                    similarity._spark_sig_keys("embedding", planes, bands)
+                ),
             )
             aa = ec.select(
                 F.col("vec_id").alias("id_a"),
                 "label",
                 F.explode(
                     F.expr(
-                        f"array({similarity._spark_probe_keys(planes)})"
+                        f"array({similarity._spark_probe_keys(planes, bands)})"
                     )
                 ).alias("sig"),
             )
@@ -184,7 +193,9 @@ def main() -> None:
                 F.col("vec_id").alias("id_b"),
                 "label",
                 F.explode(
-                    F.expr(f"array({similarity._spark_member_keys()})")
+                    F.expr(
+                        f"array({similarity._spark_member_keys(bands)})"
+                    )
                 ).alias("sig"),
             )
             n_cand = (

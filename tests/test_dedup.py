@@ -85,12 +85,13 @@ def test_embedding_dedup_fanout_bounded(spark):
         dedup_embedding_cosine,
     )
     from aichemy_data_pipelines_spark.operators.similarity import (
-        _N_BANDS,
         _spark_signature,
+        bands_for_planes,
         corpus_plane_count,
     )
 
     planes = corpus_plane_count(spark, SF_SMOKE)
+    _N_BANDS = bands_for_planes(planes)
     e = load_table(spark, SF_SMOKE, "embeddings")
     for band in range(_N_BANDS):
         e = e.withColumn(

@@ -103,6 +103,33 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+def test_sql_plane_weights_md5_parity():
+    """The r16 compact LSH oracle recomputes the ±1 hyperplane
+    weights IN-PLAN from md5 parity instead of inlining the Python
+    table as literals (similarity._sql_signature); this pin holds the
+    two derivations equal cell-by-cell over the full
+    _MAX_BANDS × _MAX_PLANES × _DIM table, so an md5-dialect or
+    parity-trick regression in either engine fails loudly here rather
+    than as an opaque driver hash mismatch."""
+    from aichemy_data_pipelines_spark.operators import similarity as sim
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        SELECT g.g, d.d,
+               CASE WHEN instr('02468ace',
+                    substr(md5(g.g::VARCHAR || ':' || d.d::VARCHAR),
+                           32, 1)) > 0
+                    THEN 1 ELSE -1 END AS w
+        FROM range({sim._MAX_BANDS * sim._MAX_PLANES}) g(g),
+             range({sim._DIM}) d(d)
+        """
+    ).fetchall()
+    assert len(rows) == sim._MAX_BANDS * sim._MAX_PLANES * sim._DIM
+    for g, d, w in rows:
+        assert sim._PLANES[g][d] == w, (g, d, w)
+
+
 def test_all_suites_registered():
     """_suites() swallows ImportError so one broken module can't sink
     the whole driver contract — but that must never SILENTLY shrink

@@ -104,6 +104,46 @@ def test_bloom_decontam_covers_all_training_docs(spark):
     assert out.count() == want
 
 
+def test_bloom_standalone_gate_matches_decontam_bloom(spark):
+    """The standalone ingest-gate entry points (bloom_bits_from_docs
+    + bloom_contaminated_ids) intentionally MIRROR decontam_bloom's
+    membership semantics instead of sharing a helper (their docstring
+    explains the plan-shape reason) — so this parity pin is the
+    dual-maintenance guard (r15 ADVICE #3): building the bit set from
+    the eval split and screening the training split through the
+    standalone gate must flag EXACTLY the doc set decontam_bloom
+    marks contaminated."""
+    from aichemy_data_pipelines_spark.catalog import load_table
+    from aichemy_data_pipelines_spark.operators.bloom_ops import (
+        _EVAL_MOD,
+        bloom_bits_from_docs,
+        bloom_contaminated_ids,
+        decontam_bloom,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bits = bloom_bits_from_docs(
+        docs.where(F.col("doc_id") % _EVAL_MOD == 0)
+    )
+    standalone = {
+        r.doc_id
+        for r in bloom_contaminated_ids(
+            docs.where(F.col("doc_id") % _EVAL_MOD != 0), bits
+        ).collect()
+    }
+    inline = {
+        r.doc_id
+        for r in decontam_bloom(spark, SF_SMOKE)
+        .where("contaminated")
+        .collect()
+    }
+    assert standalone == inline, (
+        f"gate/decontam verdict drift: only gate "
+        f"{sorted(standalone - inline)[:5]}, only decontam "
+        f"{sorted(inline - standalone)[:5]}"
+    )
+
+
 def test_curriculum_schedule_enforced(spark):
     """Decile 1 keeps everything (ppm=1e6 accepts every hash), decile
     10 keeps nothing, selection never exceeds the bin, the bins

@@ -358,6 +358,157 @@ def test_banded_recall_floor_at_elevated_plane_count(spark):
         spark.conf.unset("spark.aichemy.lsh.targetBlock")
 
 
+def test_bands_formula_pins():
+    """The frozen _BANDS_BY_PLANES table IS the documented formula
+    clamp(ceil(8 · 1.5^(planes-6)), 8, 48) — δ ≈ 2/3 per-plane
+    detection decay measured on the r15 frontier (BASELINE.md). The
+    table exists so both engines share exact integers (the oracle's
+    CASE ladder); this pin keeps it from drifting from the formula
+    it freezes. Anchors: every plane count the bench/driver corpora
+    reach (<= 6) stays on the r15 B=8 point; the 10x stress corpus
+    (planes=10) gets 41; the clamp tops out at 48."""
+    import math
+
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        _BANDS_BY_PLANES,
+        _MAX_PLANES,
+        _MIN_PLANES,
+        bands_for_planes,
+    )
+
+    assert sorted(_BANDS_BY_PLANES) == list(
+        range(_MIN_PLANES, _MAX_PLANES + 1)
+    )
+    for p in range(_MIN_PLANES, _MAX_PLANES + 1):
+        want = min(48, max(8, math.ceil(8 * 1.5 ** (p - 6))))
+        assert bands_for_planes(p) == want, (p, bands_for_planes(p), want)
+    assert bands_for_planes(4) == bands_for_planes(6) == 8
+    assert bands_for_planes(10) == 41
+    assert bands_for_planes(16) == 48
+    bs = [bands_for_planes(p) for p in range(_MIN_PLANES, _MAX_PLANES + 1)]
+    assert bs == sorted(bs), "OR-width must be monotone in plane count"
+
+
+def test_adaptive_bands_hold_recall_at_elevated_planes(spark):
+    """The r15 verdict's #1 defect: fixed B=8 pair recall decays as
+    the adaptive plane count grows (0.869 → 0.301 at 10x). Force the
+    elevated regime on the small corpus (targetBlock=2 → planes=8 at
+    500 rows, where bands_for_planes says B=18) and pin BOTH that the
+    adaptive width holds the recall floor AND that it beats the old
+    fixed B=8 by a margin (measured r16: adaptive 0.874 vs fixed
+    0.606, precision 1.000 both ways — the exact threshold re-check
+    guarantees precision at any width)."""
+    import warnings
+
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.operators import similarity
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+
+    spark.conf.set("spark.aichemy.lsh.targetBlock", "2")
+    table = dict(similarity._BANDS_BY_PLANES)
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            planes = similarity.corpus_plane_count(spark, SF_SMOKE)
+            assert planes == 8, f"expected the forced 8-plane regime, got {planes}"
+            assert similarity.bands_for_planes(planes) == 18
+
+            rows = sorted(
+                spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+                key=lambda r: r.vec_id,
+            )
+            ids = [r.vec_id for r in rows]
+            labels = [r.label for r in rows]
+            v = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cos = vn @ vn.T
+            iu, ju = np.triu_indices(len(ids), 1)
+            same = np.array(labels)[iu] == np.array(labels)[ju]
+            near = cos[iu, ju] >= 0.25
+            truth = {
+                (ids[i], ids[j])
+                for i, j in zip(iu[same & near], ju[same & near])
+            }
+            assert truth
+
+            got = {
+                (r.id_a, r.id_b)
+                for r in dedup_embedding_cosine(spark, SF_SMOKE).collect()
+            }
+            rec_adaptive = len(truth & got) / len(truth)
+            prec = len(truth & got) / max(len(got), 1)
+
+            for p in list(similarity._BANDS_BY_PLANES):
+                similarity._BANDS_BY_PLANES[p] = 8
+            got8 = {
+                (r.id_a, r.id_b)
+                for r in dedup_embedding_cosine(spark, SF_SMOKE).collect()
+            }
+            rec_fixed = len(truth & got8) / len(truth)
+        assert rec_adaptive >= 0.80, (
+            f"adaptive-B recall collapsed at planes=8: {rec_adaptive:.3f}"
+        )
+        assert prec >= 0.99, f"adaptive-B emitted false pairs: {prec:.3f}"
+        assert rec_adaptive >= rec_fixed + 0.15, (
+            f"adaptive B must beat fixed B=8 where planes grew: "
+            f"{rec_adaptive:.3f} vs {rec_fixed:.3f}"
+        )
+    finally:
+        similarity._BANDS_BY_PLANES.clear()
+        similarity._BANDS_BY_PLANES.update(table)
+        spark.conf.unset("spark.aichemy.lsh.targetBlock")
+
+
+def test_sig_cache_fingerprint_eviction_and_release(spark, tmp_path):
+    """persist_sig_frame invalidation contract (r15 verdict #4 /
+    ADVICE #1): (a) an entry built on a since-rewritten embeddings
+    table is evicted (unpersisted + dropped) by the next call over
+    that sf_dir, so Spark's CacheManager can never substitute a
+    stale InMemoryRelation into the new plan; (b) the cache is
+    bounded; (c) release_sig_frames drains everything."""
+    import os
+    import time
+
+    from aichemy_data_pipelines_spark.operators import similarity
+
+    sf = str(tmp_path)
+    src = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").limit(50)
+    src.write.parquet(os.path.join(sf, "embeddings.parquet"))
+
+    similarity.release_sig_frames()
+    e1 = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    similarity.persist_sig_frame("qa", sf, e1)
+    assert ("qa", sf) in similarity._SIG_CACHE
+    assert e1.storageLevel.useMemory or e1.storageLevel.useDisk
+
+    # rewrite the table (different rows, new mtime/size)
+    time.sleep(0.01)
+    src.limit(20).write.mode("overwrite").parquet(
+        os.path.join(sf, "embeddings.parquet")
+    )
+    e2 = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    e2 = similarity.persist_sig_frame("qb", sf, e2)
+    assert ("qa", sf) not in similarity._SIG_CACHE, (
+        "stale-fingerprint entry must be evicted on the next call"
+    )
+    # the real staleness contract: e2's plan is canonically EQUAL to
+    # e1's (same path scan), so had the stale entry NOT been
+    # unpersisted first, the CacheManager would substitute it and
+    # this count would read the dead 50-row data
+    assert e2.count() == 20, "stale cached rows served after rewrite"
+
+    # bounded: at most _SIG_CACHE_MAX entries, oldest out
+    for i in range(similarity._SIG_CACHE_MAX + 2):
+        similarity.persist_sig_frame(f"q{i}", sf, e2.limit(5 + i))
+    assert len(similarity._SIG_CACHE) <= similarity._SIG_CACHE_MAX
+
+    similarity.release_sig_frames()
+    assert not similarity._SIG_CACHE
+
+
 def test_ivf_k_formula_and_probe_scaling():
     """K = clamp(ceil(N/64), 8, 1024), nprobe = max(2, ceil(sqrt(K/2)))
     — the pinned scale contract (r11 verdict #2): list sizes stay
@@ -447,12 +598,12 @@ def test_knn_graph_prefilter_is_lossless(spark):
         _spark_probe_keys,
         _spark_sig_keys,
         ann_knn_graph,
-        corpus_plane_count,
+        corpus_lsh_params,
     )
 
-    planes = corpus_plane_count(spark, SF_SMOKE)
+    planes, bands = corpus_lsh_params(spark, SF_SMOKE)
     e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").withColumn(
-        "sigs", F.expr(_spark_sig_keys("embedding", planes))
+        "sigs", F.expr(_spark_sig_keys("embedding", planes, bands))
     )
     norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
     a = e.select(
@@ -460,14 +611,14 @@ def test_knn_graph_prefilter_is_lossless(spark):
         F.col("embedding").alias("va"),
         F.expr(norm).alias("na"),
         F.explode(
-            F.expr(f"array({_spark_probe_keys(planes)})")
+            F.expr(f"array({_spark_probe_keys(planes, bands)})")
         ).alias("sig"),
     )
     b = e.select(
         F.col("vec_id").alias("nbr_id"),
         F.col("embedding").alias("vb"),
         F.expr(norm).alias("nb"),
-        F.explode(F.expr(f"array({_spark_member_keys()})")).alias("sig"),
+        F.explode(F.expr(f"array({_spark_member_keys(bands)})")).alias("sig"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nbr_id")
     dot = spark_dot_exact("va", "vb")
@@ -751,11 +902,24 @@ def test_q12_matches_spark_decimal_cast(spark):
 
     from aichemy_data_pipelines_spark.operators.ivf import _q12
 
+    import math
+
     rng = random.Random(3)
+    # Half-way boundary sweep (r15 ADVICE #2): doubles whose SHORTEST
+    # repr sits exactly on the scale-12 HALF_UP boundary, plus their
+    # binary neighbors. These are precisely the inputs where a
+    # pre-JDK-19 FloatingDecimal (excess-digit Double.toString,
+    # JDK-4511638) disagrees with Python repr — so a JVM whose
+    # formatter breaks the _q12 assumption fails HERE, loudly, not as
+    # silently diverged trained centroids.
+    boundary = []
+    for n in range(-25, 26):
+        x = (n + 0.5) * 1e-12
+        boundary += [x, math.nextafter(x, -1.0), math.nextafter(x, 1.0)]
     vals = [
         5e-13, -5e-13, 1.5e-12, -1.5e-12, 2.5e-12, 0.0, 1.0,
         -1.0, 0.1234567890005, 4.9999999999999996e-13,
-    ] + [rng.uniform(-10, 10) for _ in range(200)] + [
+    ] + boundary + [rng.uniform(-10, 10) for _ in range(200)] + [
         rng.uniform(-1e-11, 1e-11) for _ in range(200)
     ]
     df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
