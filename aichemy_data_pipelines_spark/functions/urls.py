@@ -69,6 +69,78 @@ def url_host(url: Column | str) -> Column:
     )
 
 
+#: tracking parameters dropped by canonicalization — checked with
+#: plain substr/equality (portable to the DuckDB oracle verbatim;
+#: LIKE would need '_'-escaping in both dialects)
+_TRACKING_PREFIXES = ("utm_", "gclid", "fbclid")
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+_PORT_RE = (
+    r"^(?:[A-Za-z][A-Za-z0-9+.-]*://|//)?(?:[^/@?#]*@)?[^:/?#]+:([0-9]+)"
+)
+# path group is OPTIONAL ((...)? not (...)): with a mandatory group,
+# a path-less authority ("https://example.com?x") makes the engine
+# BACKTRACK out of the optional scheme match and capture
+# "//example.com" as the path — the optional group removes the
+# backtracking incentive in both engines (Java regex and RE2 return
+# '' / non-participating for the absent group)
+_PATH_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://|//)?[^/?#]*(/[^?#]*)?"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonical_url(url: Column | str) -> Column:
+    """Crawl-grade URL canonicalization as a pure column expression —
+    the keep-one key for URL-level dedup, the cheapest
+    highest-frequency cut real crawl pipelines (C4/RefinedWeb/Dolma
+    variants) run before any content pass:
+
+    - scheme lower-cased ('' → http);
+    - host lower-cased via :func:`url_host` (userinfo/trailing-dot
+      handled there), leading ``www.`` stripped;
+    - default ports dropped (80 for http, 443 for https; others
+      kept);
+    - path: trailing slashes stripped (``/`` → '');
+    - query: tracking params dropped (utm_*, gclid, fbclid),
+      remainder SORTED and re-joined (param order is not identity);
+    - fragment dropped.
+
+    All regex/HOF, no UDF, inside whole-stage codegen; the DuckDB
+    twin is operators/urls_ops.sql_canonical_url — parity pinned over
+    literal URLs in tests/test_urls.py and by the driver oracle for
+    ``urls_canonical_dedup``.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
+    scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
+    host = F.regexp_replace(url_host(c), r"^www\.", "")
+    port = F.regexp_extract(c, _PORT_RE, 1)
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(
+        F.regexp_extract(c, _PATH_RE, 1), r"/+$", ""
+    )
+    rawq = F.regexp_extract(c, _QUERY_RE, 1)
+    params = F.split(rawq, "&")
+    kept = F.filter(
+        params,
+        lambda p: (p != "")
+        & (F.substring(p, 1, 4) != "utm_")
+        & (F.substring(p, 1, 6) != "gclid=")
+        & (p != "gclid")
+        & (F.substring(p, 1, 7) != "fbclid=")
+        & (p != "fbclid"),
+    )
+    query = F.concat_ws("&", F.array_sort(kept))
+    query = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), query)
+    )
+    return F.concat(scheme, F.lit("://"), host, port, path, query)
+
+
 def registered_domain(url: Column | str) -> Column:
     """eTLD+1 of a URL or bare hostname, as a pure column expression.
 

@@ -60,3 +60,70 @@ def test_registered_domain_is_codegen_expression(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+CANON_CASES = [
+    # (raw, canonical) — the r16 canonicalizer's contract
+    ("HTTPS://WWW.Example.COM:443/docs/3/?utm_source=x&ref=2#top",
+     "https://example.com/docs/3?ref=2"),
+    ("http://example.com:80/", "http://example.com"),
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    ("https://example.com:80/a", "https://example.com:80/a"),
+    ("example.com/a/b/", "http://example.com/a/b"),
+    ("https://user:pw@sub.example.org./x?b=2&a=1",
+     "https://sub.example.org/x?a=1&b=2"),
+    ("https://example.com?utm_source=f&utm_campaign=x&gclid=1&fbclid=2",
+     "https://example.com"),
+    ("https://example.com/x?gclid", "https://example.com/x"),
+    ("https://example.com/x?ref=&a=1", "https://example.com/x?a=1&ref="),
+    ("//cdn.example.net/lib.js", "http://cdn.example.net/lib.js"),
+    # bracketed IPv6: host de-bracketed by url_host; the port is NOT
+    # re-attached (the plain port grab cannot see past the address's
+    # own colons) — crawl canonicalization keys on host, and IPv6
+    # literals are not registrable hosts anyway
+    ("https://[2001:db8::1]:8080/x", "https://2001:db8::1/x"),
+    ("https://www.example.com///", "https://example.com"),
+    ("http://example.com#frag-only", "http://example.com"),
+]
+
+
+def test_canonical_url_on_literals(spark):
+    from aichemy_data_pipelines_spark.functions.urls import canonical_url
+
+    df = spark.createDataFrame(
+        [(u,) for u, _ in CANON_CASES], "url string"
+    ).select("url", canonical_url("url").alias("canon"))
+    got = {r.url: r.canon for r in df.collect()}
+    for url, want in CANON_CASES:
+        assert got[url] == want, (url, got[url], want)
+
+
+def test_sql_canonical_url_matches_spark(spark):
+    """The DuckDB twin (operators/urls_ops.sql_canonical_url) must
+    canonicalize every literal case to the same string — the parity
+    that lets urls_canonical_dedup be driver-oracle-checked."""
+    import duckdb
+
+    from aichemy_data_pipelines_spark.operators.urls_ops import (
+        sql_canonical_url,
+    )
+
+    con = duckdb.connect()
+    for url, want in CANON_CASES:
+        got = con.sql(
+            f"SELECT {sql_canonical_url('u')} AS c FROM "
+            f"(SELECT ? AS u)", params=[url]
+        ).fetchone()[0]
+        assert got == want, (url, got, want)
+
+
+def test_canonical_url_is_codegen_expression(spark):
+    from aichemy_data_pipelines_spark.functions.urls import canonical_url
+
+    df = spark.range(1).select(
+        canonical_url(
+            F.lit("https://WWW.Example.com/a/?utm_source=x&b=1")
+        ).alias("c")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
