@@ -335,7 +335,21 @@ def main(argv: list[str] | None = None) -> int:
                 file=sys.stderr,
             )
             return 2
-        qs[args.name](spark, args.sf_dir).show(args.limit, truncate=False)
+        try:
+            qs[args.name](spark, args.sf_dir).show(
+                args.limit, truncate=False
+            )
+        finally:
+            # one-shot lifecycle: a query that cached a signature
+            # frame (ann_knn_graph / dedup_embedding_cosine) must not
+            # leave it persisted into whatever this process does next
+            # — the CLI, unlike bench/driver, may rewrite tables
+            # between operations (r15 ADVICE #1 drain hook)
+            from aichemy_data_pipelines_spark.operators.similarity import (
+                release_sig_frames,
+            )
+
+            release_sig_frames()
         return 0
 
     if args.cmd == "audit":

@@ -391,6 +391,7 @@ PNG_META_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("ok", IntegerType()),
+        StructField("status", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("bit_depth", IntegerType()),
@@ -407,9 +408,23 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
     ITU-R 601 integer mean luminance the BMP decoder reports
     (greyscale maps R=G=B). Narrows the sanctioned PIL seam: 8-bit
     greyscale (color type 0), truecolor (2) and truecolor+alpha (6,
-    alpha ignored for luma) are fully decoded; palette/16-bit/
-    interlaced payloads quarantine as ok=0 like every malformed
-    input (a crawl-scale decode stage must never abort the batch).
+    alpha ignored for luma) are fully decoded.
+
+    Every non-decoding payload quarantines as ok=0 (a crawl-scale
+    decode stage must never abort the batch), and ``status`` says
+    WHY (r15 ADVICE #5 — downstream must distinguish policy
+    quarantine from corruption):
+
+    * ``malformed`` — bad signature/chunks, truncated or corrupt
+      IDAT, unknown filter byte, zero/negative dimensions;
+    * ``unsupported`` — valid PNG outside the decoded subset
+      (palette/16-bit/interlaced/non-zero compression or filter
+      method) — re-decodable once a fuller codec lands;
+    * ``too_large`` — a VALID header whose raster exceeds the 64 MB
+      inflate cap: a policy bound, not corruption — a pipeline can
+      re-route these to a bigger-budget decoder instead of
+      discarding them as junk.
+
     Tested against stdlib-GENERATED files covering every filter
     type in tests/test_real_codecs.py."""
 
@@ -420,14 +435,15 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
         SIG = b"\x89PNG\r\n\x1a\n"
 
         def one(doc_id: int, b: bytes) -> dict:
-            bad = {
-                "doc_id": doc_id, "ok": 0, "width": None,
-                "height": None, "bit_depth": None,
-                "color_type": None, "mean_lum": None,
-            }
+            def bad(status: str = "malformed") -> dict:
+                return {
+                    "doc_id": doc_id, "ok": 0, "status": status,
+                    "width": None, "height": None, "bit_depth": None,
+                    "color_type": None, "mean_lum": None,
+                }
             try:
                 if b[:8] != SIG:
-                    return bad
+                    return bad()
                 pos, ihdr, idat = 8, None, b""
                 while pos + 8 <= len(b):
                     size = struct.unpack(">I", b[pos:pos + 4])[0]
@@ -441,14 +457,16 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
                         break
                     pos += 12 + size  # len + type + crc
                 if ihdr is None or not idat:
-                    return bad
+                    return bad()
                 w, h, depth, ctype, comp, filt, inter = ihdr
                 channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+                if w <= 0 or h <= 0:
+                    return bad()
                 if (
                     channels is None or depth != 8 or comp != 0
-                    or filt != 0 or inter != 0 or w <= 0 or h <= 0
+                    or filt != 0 or inter != 0
                 ):
-                    return bad
+                    return bad("unsupported")
                 bpp = channels  # bytes per pixel at depth 8
                 stride = w * bpp
                 need = h * (stride + 1)
@@ -459,12 +477,14 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
                 # size is ITSELF payload-controlled (IHDR w/h), so
                 # cap it absolutely (64 MB ≈ a 4.6k² RGBA frame —
                 # beyond any metadata-decode need) before bounding
-                # the inflate to it.
+                # the inflate to it. Distinct status: this is a
+                # POLICY bound on a possibly-valid image, not
+                # corruption.
                 if need > 64 << 20:
-                    return bad
+                    return bad("too_large")
                 raw = zlib.decompressobj().decompress(idat, need)
                 if len(raw) < need:
-                    return bad
+                    return bad()
                 prior = bytearray(stride)
                 total, npx = 0, 0
                 for r in range(h):
@@ -495,7 +515,7 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
                             )
                             line[i] = (line[i] + pr) & 0xFF
                     elif ftype != 0:
-                        return bad
+                        return bad()
                     for i in range(0, stride, bpp):
                         if channels == 1:
                             rd = g = bl = line[i]
@@ -505,13 +525,13 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
                         npx += 1
                     prior = line
                 return {
-                    "doc_id": doc_id, "ok": 1, "width": w,
-                    "height": h, "bit_depth": depth,
+                    "doc_id": doc_id, "ok": 1, "status": "ok",
+                    "width": w, "height": h, "bit_depth": depth,
                     "color_type": ctype,
                     "mean_lum": f"{total / (npx * 1000):.6f}",
                 }
             except Exception:
-                return bad
+                return bad()
 
         for pdf in batches:
             yield pd.DataFrame(

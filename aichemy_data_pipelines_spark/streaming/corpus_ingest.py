@@ -81,6 +81,7 @@ def ingest_batch(
     sig_index: AtomicParquetTable,
     run_id: str | None = None,
     bloom_bits: DataFrame | None = None,
+    audit: AtomicParquetTable | None = None,
 ) -> None:
     """One micro-batch of the curation stream (module-level so the
     replay-idempotence contract is directly testable — see
@@ -94,7 +95,19 @@ def ingest_batch(
     rejected between the quality gate and the dedup screen — the
     contamination never reaches the curated table OR the signature
     index, and the gate is deterministic given (bits, batch), so
-    the crash-replay recomputation contract below is unchanged."""
+    the crash-replay recomputation contract below is unchanged.
+
+    ``audit`` (r16, r15 ADVICE #4): an optional rejection-audit
+    table. Without it, a rejected doc simply never appears in the
+    curated table — operationally invisible, and contamination
+    rejections especially need a paper trail for release review.
+    With it, every rejected doc_id lands as (doc_id, reason,
+    batch_id) with reason ∈ {quality, contaminated, duplicate}.
+    The audit append sits BETWEEN the curated and sig_index appends
+    and carries its own replay stamp, so the crash-replay matrix
+    stays exactly-once: sig_index's stamp remains the full-commit
+    marker, and a replay recomputes the (deterministic) verdicts and
+    re-appends only the tables not yet stamped."""
     sess = batch_df.sparkSession
     # high-watermark replay guard, scoped to the checkpoint lifetime
     # via run_id: foreachBatch ids are monotonic PER CHECKPOINT, so
@@ -112,16 +125,17 @@ def ingest_batch(
     passed = batch.join(
         flags.where("keep").select("doc_id"), "doc_id"
     )
+    contaminated = None
     if bloom_bits is not None:
         from aichemy_data_pipelines_spark.operators.bloom_ops import (
             bloom_contaminated_ids,
         )
 
-        passed = passed.join(
-            bloom_contaminated_ids(passed, bloom_bits),
-            "doc_id",
-            "left_anti",
-        )
+        # materialized once: consumed by the anti-join AND the audit
+        contaminated = bloom_contaminated_ids(
+            passed, bloom_bits
+        ).localCheckpoint(eager=True)
+        passed = passed.join(contaminated, "doc_id", "left_anti")
     shingled = passed.withColumn(
         "tokens", F.expr(SPARK_TOKENS)
     ).where(F.size("tokens") >= _SHINGLE_N)
@@ -153,6 +167,20 @@ def ingest_batch(
         curated.append(
             accepted, meta=stamp(curated.meta(), batch_id, run_id)
         )
+    if audit is not None and not is_replay(audit.meta(), batch_id, run_id):
+        rejects = flags.where(~F.col("keep")).select(
+            "doc_id", F.lit("quality").alias("reason")
+        )
+        if contaminated is not None:
+            rejects = rejects.unionByName(
+                contaminated.select(
+                    "doc_id", F.lit("contaminated").alias("reason")
+                )
+            )
+        rejects = rejects.unionByName(
+            dups.select("doc_id", F.lit("duplicate").alias("reason"))
+        ).withColumn("batch_id", F.lit(batch_id))
+        audit.append(rejects, meta=stamp(audit.meta(), batch_id, run_id))
     acc_bands = bands.join(
         accepted.select("doc_id"), "doc_id"
     ).select("doc_id", "band", "key")
@@ -175,6 +203,12 @@ def stream_corpus_ingest(
     )
     sig_index = AtomicParquetTable(
         os.path.join(output_dir, "sig_index.parquet")
+    )
+    # rejection audit (r16): every gated-out doc leaves a (doc_id,
+    # reason, batch_id) row — quality, contaminated (Bloom gate) or
+    # duplicate — so rejections are reviewable, not just absent
+    audit = AtomicParquetTable(
+        os.path.join(output_dir, "reject_audit.parquet")
     )
     # decontamination gate: the eval suite's Bloom bit set builds
     # ONCE (≤ 2^16 rows by construction), freezes via an eager
@@ -217,6 +251,7 @@ def stream_corpus_ingest(
             sig_index,
             run_id=checkpoint_identity(checkpoint_dir),
             bloom_bits=bloom_bits,
+            audit=audit,
         )
 
     q = (

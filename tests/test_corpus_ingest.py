@@ -325,6 +325,18 @@ def test_bloom_gate_rejects_contaminated_at_ingest(spark, tmp_path):
     assert sorted(
         r.doc_id for r in idx.select("doc_id").distinct().collect()
     ) == [1, 3], "contaminated doc's bands must not enter the index"
+    # rejection audit (r16, r15 ADVICE #4): the Bloom rejection is
+    # RECORDED, not silently absent — one (doc_id, reason, batch_id)
+    # row for the contaminated doc
+    audit = AtomicParquetTable(str(out / "reject_audit.parquet")).read(
+        spark
+    )
+    rej = {(r.doc_id, r.reason) for r in audit.collect()}
+    assert (2, "contaminated") in rej, f"no audit row for the leak: {rej}"
+    assert not any(d in (1, 3) for d, _ in rej), (
+        f"accepted docs must not appear in the audit: {rej}"
+    )
+    n_audit = audit.count()
     # exactly-once: a full re-drain with the gate is a no-op
     stream_corpus_ingest(
         spark,
@@ -336,6 +348,10 @@ def test_bloom_gate_rejects_contaminated_at_ingest(spark, tmp_path):
     )
     curated2 = AtomicParquetTable(str(out / "curated.parquet")).read(spark)
     assert sorted(r.doc_id for r in curated2.collect()) == [1, 3]
+    audit2 = AtomicParquetTable(str(out / "reject_audit.parquet")).read(
+        spark
+    )
+    assert audit2.count() == n_audit, "audit rows duplicated on replay"
 
 
 def test_bloom_gate_replay_after_crash_is_idempotent(spark, tmp_path):

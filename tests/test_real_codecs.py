@@ -240,6 +240,12 @@ def test_png_meta_quarantines_unsupported(spark):
     got = {r.doc_id: r for r in decode_png_meta(_media_df(spark, rows)).collect()}
     assert [got[i].ok for i in range(7)] == [0, 0, 0, 0, 0, 0, 1]
     assert got[6].mean_lum == _lum6([[(9, 9, 9), (1, 2, 3)]], 3)
+    # status column (r15 ADVICE #5): policy quarantine distinguishable
+    # from corruption — valid-but-outside-subset payloads say so
+    assert [got[i].status for i in range(7)] == [
+        "unsupported", "unsupported", "unsupported",
+        "malformed", "malformed", "malformed", "ok",
+    ]
 
 
 def test_png_meta_quarantines_decompression_bomb(spark):
@@ -280,4 +286,7 @@ def test_png_meta_quarantines_decompression_bomb(spark):
     }
     assert got[0].ok == 1, "bounded inflate still decodes the raster"
     assert got[1].ok == 0
-    assert got[2].ok == 1
+    assert got[1].status == "too_large", (
+        "the 64 MB cap is POLICY, not corruption -- status must say so"
+    )
+    assert got[2].ok == 1 and got[2].status == "ok"

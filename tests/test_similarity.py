@@ -509,6 +509,81 @@ def test_sig_cache_fingerprint_eviction_and_release(spark, tmp_path):
     assert not similarity._SIG_CACHE
 
 
+def test_dedup_embedding_ivf_semantics(spark):
+    """IVF-routed near-dup pairs (r16): every emitted pair is a TRUE
+    same-label pair at the 0.25 bar (precision 1.0 — the exact
+    threshold re-check), every pair shares at least one PROBED list
+    (the routing contract: candidates come only from probe-list
+    co-membership), and recall clears a floor at the sqrt-heuristic
+    nprobe=2/K=8 smoke configuration (measured 0.577; routing recall
+    at this tiny nprobe is the priced trade the A/B table in
+    BASELINE.md documents)."""
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _kmeans,
+        corpus_list_count,
+        dedup_embedding_ivf,
+        n_probe,
+    )
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = [r.vec_id for r in rows]
+    labels = {r.vec_id: r.label for r in rows}
+    v = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = vn @ vn.T
+    idx = {d: i for i, d in enumerate(ids)}
+
+    got = dedup_embedding_ivf(spark, SF_SMOKE).collect()
+    assert got
+    for r in got:
+        assert r.id_a < r.id_b
+        assert labels[r.id_a] == labels[r.id_b] == r.label
+        assert r.cosine >= 0.25
+        # double-check against numpy within float tolerance
+        assert abs(cos[idx[r.id_a], idx[r.id_b]] - r.cosine) < 1e-6
+
+    # routing contract: pairs share a probed list
+    k = corpus_list_count(spark, SF_SMOKE)
+    cents, lists = _kmeans(spark, SF_SMOKE, k=k)
+    assign = {r.vec_id: r.list_id for r in lists.collect()}
+    cmat = np.array(
+        [r.centroid for r in sorted(cents.collect(), key=lambda r: r.list_id)]
+    )
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    sims = vn @ cn.T  # vec x centroid cosine (float approx is fine
+    # for a membership check with nprobe slack below)
+    order = np.argsort(-sims, axis=1)
+    nprobe = n_probe(k)
+    probes = {
+        d: {int(order[idx[d], j]) + 1 for j in range(nprobe + 1)}
+        for d in ids
+    }  # +1 slack absorbs float-vs-exact rank ties at the boundary
+    for r in got:
+        assert (
+            assign[r.id_b] in probes[r.id_a]
+            or assign[r.id_a] in probes[r.id_b]
+        ), (r.id_a, r.id_b, assign[r.id_a], assign[r.id_b])
+
+    # recall floor vs exact same-label truth
+    iu, ju = np.triu_indices(len(ids), 1)
+    same = np.array([labels[d] for d in ids])[iu] == np.array(
+        [labels[d] for d in ids]
+    )[ju]
+    near = cos[iu, ju] >= 0.25
+    truth = {
+        (ids[i], ids[j]) for i, j in zip(iu[same & near], ju[same & near])
+    }
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert pairs <= truth, f"false pairs: {sorted(pairs - truth)[:5]}"
+    recall = len(pairs & truth) / len(truth)
+    assert recall >= 0.45, f"IVF-routed recall collapsed: {recall:.3f}"
+
+
 def test_ivf_k_formula_and_probe_scaling():
     """K = clamp(ceil(N/64), 8, 1024), nprobe = max(2, ceil(sqrt(K/2)))
     — the pinned scale contract (r11 verdict #2): list sizes stay
