@@ -1,0 +1,212 @@
+"""Banded-LSH vs IVF-routed near-dup A/B (r15 verdict #2): run BOTH
+committed candidate generators — dedup_embedding_cosine (banded
+hyperplane LSH, B now scale-adaptive via similarity.bands_for_planes)
+and dedup_embedding_ivf (pairs within trained-IVF probe lists) — at a
+given SF against the same exact truth (same-label cosine >= 0.25),
+and report recall, precision, RAW candidate rows (the number that
+prices each config: every raw row pays a cosine) and wall time.
+
+The table this prints is recorded in BASELINE.md (r16); the decision
+rule it feeds: banded stays the default while its adaptive-B
+candidate budget is competitive, IVF routing is the documented path
+past the B clamp (planes >= 11, i.e. ~64k+ vectors per block target).
+
+Usage: python scripts/ivf_route_ab.py [sf_dir] [--double-truth]
+                                      [--skip-banded] [--skip-ivf]
+                                      [--nprobe=N1,N2,...]
+
+--nprobe sweeps the IVF row over explicit probe counts (patching
+ivf.n_probe for the run, the recall_frontier patching idiom) — the
+committed query's own point is n_probe(K); extra points price the
+recall/candidate frontier the routing knob buys.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf = "/root/testdata/sf0.1"
+    for arg in sys.argv[1:]:
+        if not arg.startswith("--"):
+            sf = arg
+    double_truth = "--double-truth" in sys.argv
+
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot,
+        spark_dot_exact,
+    )
+    from aichemy_data_pipelines_spark.operators import dedup, ivf, similarity
+    from aichemy_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="ivf_route_ab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n_vec = e.count()
+    planes, bands = similarity.corpus_lsh_params(spark, sf)
+    k = ivf.corpus_list_count(spark, sf)
+    nprobe = ivf.n_probe(k)
+    print(
+        f"{sf}: {n_vec} vectors | banded planes={planes} B={bands} "
+        f"| ivf K={k} nprobe={nprobe}"
+    )
+
+    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
+    base = e.select(
+        "vec_id", "label", "embedding", F.expr(norm).alias("nn")
+    ).repartition(64)
+    a = base.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("embedding").alias("va"), F.col("nn").alias("na"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), "label",
+        F.col("embedding").alias("vb"), F.col("nn").alias("nb"),
+    )
+    dot = (
+        spark_dot("va", "vb") if double_truth else spark_dot_exact("va", "vb")
+    )
+    cos = F.round(F.expr(f"{dot} / (na * nb)"), 8)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in (
+            a.join(b, "label")
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cos)
+            .where(F.col("cosine") >= 0.25)
+            .select("id_a", "id_b")
+            .collect()
+        )
+    }
+    print(f"truth: {len(truth)} same-label pairs >= 0.25")
+    print(
+        f"{'path':>8} | {'cand_rows':>10} | {'recall':>7} "
+        f"{'precision':>9} | {'wall_s':>7}"
+    )
+
+    def report(name, cand_rows, pairs_fn):
+        t0 = time.time()
+        got = {(r.id_a, r.id_b) for r in pairs_fn().collect()}
+        wall = time.time() - t0
+        hit = len(truth & got)
+        print(
+            f"{name:>8} | {cand_rows:>10} | "
+            f"{hit / max(1, len(truth)):>7.3f} "
+            f"{hit / max(1, len(got)):>9.3f} | {wall:>7.1f}"
+        )
+
+    if "--skip-banded" not in sys.argv:
+        ec = e.withColumn(
+            "sigs",
+            F.expr(similarity._spark_sig_keys("embedding", planes, bands)),
+        )
+        aa = ec.select(
+            F.col("vec_id").alias("id_a"), "label",
+            F.explode(
+                F.expr(
+                    f"array({similarity._spark_probe_keys(planes, bands)})"
+                )
+            ).alias("sig"),
+        )
+        bb = ec.select(
+            F.col("vec_id").alias("id_b"), "label",
+            F.explode(
+                F.expr(f"array({similarity._spark_member_keys(bands)})")
+            ).alias("sig"),
+        )
+        n_cand = (
+            aa.join(bb, ["label", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .count()
+        )
+        report(
+            "banded", n_cand,
+            lambda: dedup.dedup_embedding_cosine(spark, sf).select(
+                "id_a", "id_b"
+            ),
+        )
+
+    nprobes = [nprobe]
+    for arg in sys.argv[1:]:
+        if arg.startswith("--nprobe="):
+            nprobes = [int(x) for x in arg.split("=", 1)[1].split(",")]
+
+    if "--skip-ivf" not in sys.argv:
+        # raw candidate rows: probes x probed-list members, same-label,
+        # self-pairs out, both orientations counted once (id_a < id_b
+        # after least/greatest) — the rows that pay the double cosine
+        cents, lists = ivf._kmeans(spark, sf, k=k)
+        lab = e.select("vec_id", "label")
+        cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+        from pyspark.sql import Window
+
+        en = e.select("vec_id", "embedding").withColumn(
+            "en", F.expr(ivf._NORM)
+        )
+        cn = cents.withColumn("cn", F.expr(cnorm))
+        wd = Window.partitionBy("vec_id").orderBy(
+            F.desc("dcos"), "list_id"
+        )
+        m = lists.select(
+            F.col("vec_id").alias("nbr_id"), "list_id"
+        ).join(
+            lab.select(
+                F.col("vec_id").alias("nbr_id"),
+                F.col("label").alias("nbr_label"),
+            ),
+            "nbr_id",
+        )
+        orig_n_probe = ivf.n_probe
+        try:
+            for np_ in nprobes:
+                kth = F.max(
+                    F.when(F.col("drk") == np_, F.col("dcos"))
+                ).over(Window.partitionBy("vec_id"))
+                probes = (
+                    en.crossJoin(F.broadcast(cn))
+                    .select(
+                        "vec_id", "list_id",
+                        F.expr(
+                            f"try_divide({spark_dot('embedding', 'centroid')}, "
+                            "en * cn)"
+                        ).alias("dcos"),
+                    )
+                    .withColumn("drk", F.row_number().over(wd))
+                    .withColumn("kth", kth)
+                    .where(
+                        F.col("kth").isNull()
+                        | (F.col("dcos") >= F.col("kth") - 1e-6)
+                    )
+                    .where(F.col("drk") <= np_)
+                    .select("vec_id", "list_id")
+                    .join(lab, "vec_id")
+                )
+                n_cand = (
+                    probes.join(m, "list_id")
+                    .where(
+                        (F.col("vec_id") != F.col("nbr_id"))
+                        & (F.col("label") == F.col("nbr_label"))
+                    )
+                    .count()
+                )
+                ivf.n_probe = lambda kk, _n=np_: _n
+                report(
+                    f"ivf@{np_}", n_cand,
+                    lambda: ivf.dedup_embedding_ivf(spark, sf).select(
+                        "id_a", "id_b"
+                    ),
+                )
+        finally:
+            ivf.n_probe = orig_n_probe
+
+
+if __name__ == "__main__":
+    main()

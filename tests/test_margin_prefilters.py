@@ -161,3 +161,82 @@ def test_assign_prefilter_exact_on_round8_ties(spark):
     # ties resolved to the LOWER list id: the exactly-mid vector's
     # cosines round8-equal, so list 1 (c2!) must win
     assert dict(got)[0] == 1
+
+
+def test_dedup_embedding_cosine_prefilter_exact_at_the_bar(spark, tmp_path):
+    """dedup_embedding_cosine's r16 double-cosine threshold prefilter
+    must emit EXACTLY the pairs the exact-only plan emits on a corpus
+    engineered to straddle the 0.25 bar at every interesting distance
+    (same candidate generation, exact fold on every candidate, no
+    prefilter) — row-for-row, cosines included."""
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+    )
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        _spark_member_keys,
+        _spark_probe_keys,
+        _spark_sig_keys,
+        corpus_lsh_params,
+        release_sig_frames,
+    )
+
+    dim = 64
+    rows = [(0, 0, _unit_at_cosine(1.0, dim))]
+    for i, c in enumerate(_EDGE_COSINES):
+        rows.append((1 + i, 0, _unit_at_cosine(c, dim)))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    got = sorted(
+        (r.label, r.id_a, r.id_b, r.cosine)
+        for r in dedup_embedding_cosine(spark, sf).collect()
+    )
+
+    # reference: the SAME banded candidate join, exact-decimal cosine
+    # on EVERY candidate, no double prefilter
+    planes, bands = corpus_lsh_params(spark, sf)
+    e = spark.read.parquet(f"{sf}/embeddings.parquet").withColumn(
+        "sigs", F.expr(_spark_sig_keys("embedding", planes, bands))
+    )
+    norm = f"sqrt({spark_dot_exact('embedding', 'embedding')})"
+    a = e.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("embedding").alias("va"), F.expr(norm).alias("na"),
+        F.explode(
+            F.expr(f"array({_spark_probe_keys(planes, bands)})")
+        ).alias("sig"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label"),
+        F.col("embedding").alias("vb"), F.expr(norm).alias("nb"),
+        F.explode(F.expr(f"array({_spark_member_keys(bands)})")).alias("sig"),
+    )
+    dot = spark_dot_exact("va", "vb")
+    ref = sorted(
+        (r.label, r.id_a, r.id_b, r.cosine)
+        for r in (
+            a.join(b, ["label", "sig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine", F.round(F.expr(f"{dot} / (na * nb)"), 8)
+            )
+            .where(F.col("cosine") >= 0.25)
+            .groupBy("label", "id_a", "id_b")
+            .agg(F.max("cosine").alias("cosine"))
+            .collect()
+        )
+    )
+    assert got == ref
+    # the construction is meaningful: among the (e1, edge_i) pairs —
+    # whose cosines ARE the boundary ladder — some crossed the bar
+    # and some did not (the edge vectors are mutually near-parallel,
+    # so edge-edge pairs all pass; the e1 leg is the discriminating
+    # one)
+    e1_pairs = {p[2] for p in ref if p[1] == 0}
+    assert 0 < len(e1_pairs) < len(_EDGE_COSINES)
+    release_sig_frames()  # tmp-dir frame must not outlive the test

@@ -668,6 +668,10 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # token-report branches + the training-split tokenize pass
     "decontam_source_rollup": {"documents": 3},
     "ann_incremental_screen": {"embeddings": 4},  # r14: +assign join-back
+    # r16: quantizer assign (2: prefilter + join-back) + probe ranking
+    # (2: prefilter + exact join-back) + the member-label join — all
+    # slim-column scans; candidates remain ONE equi-join on list_id
+    "dedup_embedding_ivf": {"embeddings": 5},
 }
 
 
