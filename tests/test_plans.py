@@ -672,6 +672,9 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # (2: prefilter + exact join-back) + the member-label join — all
     # slim-column scans; candidates remain ONE equi-join on list_id
     "dedup_embedding_ivf": {"embeddings": 5},
+    # the agreement eval composes both generators' plans verbatim:
+    # banded 4 (persisted-sig prints) + ivf 5
+    "dedup_generator_agreement": {"embeddings": 9},
 }
 
 
