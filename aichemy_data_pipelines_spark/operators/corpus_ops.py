@@ -475,7 +475,9 @@ def decontam_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(
             F.expr(spark_cosine("va", "ve")) >= _DECON_COS - 1e-6
         )
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (na * ne)"), 8))
+        .withColumn(
+            "cosine", F.round(F.expr(f"try_divide({dot}, na * ne)"), 8)
+        )
         .where(F.col("cosine") >= _DECON_COS)
         .groupBy("vec_id")
         .agg(

@@ -490,7 +490,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = Window.partitionBy("query_id").orderBy(F.desc("c_cos"), "list_id")
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .withColumn("c_cos", F.round(F.expr(f"{cdot} / (qn * ({cnorm}))"), 8))
+        # try_divide (r16): zero-norm queries score NULL against every
+        # centroid (NULLS LAST, deterministic list_id tie-break) and
+        # their in-list cosines are NULL too — ranked never-top-k
+        # instead of raising ANSI DIVIDE_BY_ZERO
+        .withColumn(
+            "c_cos",
+            F.round(F.expr(f"try_divide({cdot}, qn * ({cnorm}))"), 8),
+        )
         .withColumn("prk", F.row_number().over(wq))
         .where(F.col("prk") <= nprobe)
         .select("query_id", "qv", "qn", "list_id")
@@ -508,7 +515,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probes)
         .join(c, "list_id")
         .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        .withColumn(
+            "cosine", F.round(F.expr(f"try_divide({dot}, qn * cn)"), 8)
+        )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOP_K)
         .select("query_id", "rk", "cand_id", "cosine")
@@ -547,7 +556,9 @@ def embeddings_cluster_outliers(
         lists.join(F.broadcast(cn), "list_id")
         .withColumn(
             "centroid_cos",
-            F.round(F.expr(f"{cdot} / (({_NORM}) * (cn))"), 8),
+            F.round(
+                F.expr(f"try_divide({cdot}, ({_NORM}) * (cn))"), 8
+            ),
         )
         .select("vec_id", "list_id", "centroid_cos")
     )
@@ -642,7 +653,8 @@ def ann_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = (
         batch.crossJoin(F.broadcast(cents))
         .withColumn(
-            "c_cos", F.round(F.expr(f"{cdot} / (qn * ({cnorm}))"), 8)
+            "c_cos",
+            F.round(F.expr(f"try_divide({cdot}, qn * ({cnorm}))"), 8),
         )
         .withColumn("prk", F.row_number().over(wq))
         .where(F.col("prk") <= nprobe)
@@ -664,11 +676,16 @@ def ann_incremental_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         F.broadcast(probes)
         .join(c, "list_id")
+        # try_divide (r16): a zero-norm batch or corpus vector yields
+        # NULL and drops here instead of raising ANSI DIVIDE_BY_ZERO
+        # — the screen's contract is "no hit", not a crashed ingest
         .where(
-            F.expr(f"{spark_dot('qv', 'cv')} / (qn * cn)")
+            F.expr(f"try_divide({spark_dot('qv', 'cv')}, qn * cn)")
             >= _SCREEN_COS - 1e-6
         )
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        .withColumn(
+            "cosine", F.round(F.expr(f"try_divide({dot}, qn * cn)"), 8)
+        )
         .select("query_id", "cand_id", "cosine")
     )
     spine = e.where(F.col("vec_id") % _INCR_MOD == 0).select("vec_id")
@@ -824,16 +841,21 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("label") == F.col("nbr_label"))
         )
         # threshold prefilter in DOUBLE, reusing the hoisted exact
-        # norms — only near-threshold candidates pay the exact fold
+        # norms — only near-threshold candidates pay the exact fold;
+        # try_divide: a zero-norm vector yields NULL, the comparison
+        # drops the row, and the exact stage never divides by zero
+        # (the _assign escape — ANSI DIVIDE_BY_ZERO covers doubles)
         .where(
-            F.expr(f"{spark_dot('va', 'vb')} / (na * nb)")
+            F.expr(f"try_divide({spark_dot('va', 'vb')}, na * nb)")
             >= 0.25 - 1e-6
         )
         .select(
             "label",
             F.least("vec_id", "nbr_id").alias("id_a"),
             F.greatest("vec_id", "nbr_id").alias("id_b"),
-            F.round(F.expr(f"{dot} / (na * nb)"), 8).alias("cosine"),
+            F.round(
+                F.expr(f"try_divide({dot}, na * nb)"), 8
+            ).alias("cosine"),
         )
         .where(F.col("cosine") >= 0.25)
         .groupBy("label", "id_a", "id_b")

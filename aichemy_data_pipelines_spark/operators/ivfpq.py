@@ -50,7 +50,10 @@ def _probe_lists(
     return (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
-            "c_cos", F.round(F.expr(f"{cdot} / (({qnorm}) * ({cnorm}))"), 8)
+            "c_cos",
+            F.round(
+                F.expr(f"try_divide({cdot}, ({qnorm}) * ({cnorm}))"), 8
+            ),
         )
         .withColumn("prk", F.row_number().over(wq))
         .where(F.col("prk") <= nprobe)

@@ -71,7 +71,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = (
         a.join(b, "list_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (na * nb)"), 8))
+        .withColumn(
+            "cosine", F.round(F.expr(f"try_divide({dot}, na * nb)"), 8)
+        )
         .where(F.col("cosine") >= _TAU)
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.count("*").cast("long").alias("n_sem_dups"))

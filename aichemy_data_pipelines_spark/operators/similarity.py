@@ -369,7 +369,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        # try_divide (r16): a zero-norm query or corpus vector gets
+        # NULL cosines (ranked last / never top-k) instead of raising
+        # ANSI DIVIDE_BY_ZERO — doubles included under the session
+        # default
+        .withColumn(
+            "cosine", F.round(F.expr(f"try_divide({dot}, qn * cn)"), 8)
+        )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _TOP_K)
         .select("query_id", "rk", "cand_id", "cosine")
@@ -419,7 +425,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q)
         .join(c, "sig")
         .where(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8))
+        .withColumn(
+            "cosine", F.round(F.expr(f"try_divide({dot}, qn * cn)"), 8)
+        )
         .groupBy("query_id", "cand_id")
         .agg(F.max("cosine").alias("cosine"))
         .withColumn("rk", F.row_number().over(w))
@@ -506,9 +514,17 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         a.join(b, "sig")
         .where(F.col("vec_id") != F.col("nbr_id"))
+        # try_divide + NULL drop (r16): a zero-norm vector's
+        # candidates score NULL and are dropped HERE — the vector
+        # simply emits no edges ("no measurable neighbors") and can
+        # never reach the bare-'/' exact re-rank below — instead of
+        # raising ANSI DIVIDE_BY_ZERO (which covers doubles) on the
+        # first zero embedding a user corpus carries
         .withColumn(
-            "dcos", F.expr(f"{spark_dot('va', 'vb')} / (na * nb)")
+            "dcos",
+            F.expr(f"try_divide({spark_dot('va', 'vb')}, na * nb)"),
         )
+        .where(F.col("dcos").isNotNull())
         .groupBy("vec_id", "nbr_id")
         .agg(F.max("dcos").alias("dcos"))
     )
@@ -542,7 +558,9 @@ def ann_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         surv.join(ea, "vec_id")
         .join(eb, "nbr_id")
-        .withColumn("cosine", F.round(F.expr(f"{dot} / (na * nb)"), 8))
+        .withColumn(
+            "cosine", F.round(F.expr(f"try_divide({dot}, na * nb)"), 8)
+        )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= _KNN_K)
         .select("vec_id", "rk", "nbr_id", "cosine")

@@ -166,7 +166,8 @@ def _scored_candidates(
     probes = (
         q.crossJoin(F.broadcast(cents))
         .withColumn(
-            "c_cos", F.round(F.expr(f"{cdot} / (qn * ({cnorm}))"), 8)
+            "c_cos",
+            F.round(F.expr(f"try_divide({cdot}, qn * ({cnorm}))"), 8),
         )
         .withColumn("prk", F.row_number().over(wq))
         .where(F.col("prk") <= nprobe)
@@ -185,12 +186,12 @@ def _scored_candidates(
         )
 
         joined = joined.where(
-            F.expr(f"{spark_dot('qv', 'cv')} / (qn * cn)")
+            F.expr(f"try_divide({spark_dot('qv', 'cv')}, qn * cn)")
             >= min_cosine - 1e-6
         )
     return (
         joined.withColumn(
-            "cosine", F.round(F.expr(f"{dot} / (qn * cn)"), 8)
+            "cosine", F.round(F.expr(f"try_divide({dot}, qn * cn)"), 8)
         )
         .select("query_id", "cand_id", "cosine")
     )

@@ -1008,3 +1008,50 @@ def test_q12_matches_spark_decimal_cast(spark):
         assert _q12(v) == got[i], (
             f"_q12({v!r}) = {_q12(v)} but Spark casts to {got[i]}"
         )
+
+
+def test_zero_norm_vectors_do_not_crash_near_dup_generators(spark, tmp_path):
+    """The session runs ANSI mode, where even DOUBLE division by zero
+    raises DIVIDE_BY_ZERO — so a single all-zeros embedding in a user
+    corpus must not crash the near-dup/ANN operators (r16: try_divide
+    in every candidate prefilter, NULL-cosine drop in the knn
+    candidate pass, mirroring ivf._assign's zero-norm escape). The
+    zero vector contributes NO pairs/edges and the incremental screen
+    still emits its verdict row."""
+    import math
+
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_embedding_cosine,
+    )
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        ann_incremental_screen,
+        dedup_embedding_ivf,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        ann_knn_graph,
+        release_sig_frames,
+    )
+
+    dim = 64
+    rows = [(0, 0, [0.0] * dim)]  # vec_id 0: zero-norm, batch split
+    for i in range(1, 40):
+        v = [math.sin(0.3 * i + j) for j in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        rows.append((i, i % 3, [x / n for x in v]))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    pairs = dedup_embedding_cosine(spark, sf).collect()
+    assert all(0 not in (r.id_a, r.id_b) for r in pairs)
+    ipairs = dedup_embedding_ivf(spark, sf).collect()
+    assert all(0 not in (r.id_a, r.id_b) for r in ipairs)
+    edges = ann_knn_graph(spark, sf).collect()
+    assert all(r.vec_id != 0 and r.nbr_id != 0 for r in edges)
+    assert edges  # normal vectors still get their edges
+    verdicts = {
+        r.vec_id: r for r in ann_incremental_screen(spark, sf).collect()
+    }
+    assert 0 in verdicts and verdicts[0].n_corpus_matches == 0
+    release_sig_frames()  # tmp-dir frames must not outlive the test
