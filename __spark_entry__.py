@@ -29,7 +29,7 @@ def _suites():
         modules.append(timeseries)
     except ImportError:
         pass
-    for name in ("dedup", "similarity", "textops", "relational_ext", "clustering", "streaming_ops", "analytics_ext", "quality_ops", "sampling_ops", "ivf", "approx_ops", "corpus_ops", "vector_ops", "pii_ops", "pq", "sketch_ops", "substring_dedup", "ivfpq", "insights_ops", "export_ops", "ml_ops", "bpe_ops", "semdedup", "hash_embeddings", "overlap_ops", "tfidf_ops", "screens_ops", "dsir_ops", "chunking_ops", "lm_ops", "rag_ops", "tsstats_ops", "domain_ops", "gopher_ops", "classifier_ops", "crossmodal_ops", "langid_ops", "bloom_ops", "curriculum_ops", "lines_ops", "urls_ops", "agreement_ops"):
+    for name in ("dedup", "similarity", "textops", "relational_ext", "clustering", "streaming_ops", "analytics_ext", "quality_ops", "sampling_ops", "ivf", "approx_ops", "corpus_ops", "vector_ops", "pii_ops", "pq", "sketch_ops", "substring_dedup", "ivfpq", "insights_ops", "export_ops", "ml_ops", "bpe_ops", "semdedup", "hash_embeddings", "overlap_ops", "tfidf_ops", "screens_ops", "dsir_ops", "chunking_ops", "lm_ops", "rag_ops", "tsstats_ops", "domain_ops", "gopher_ops", "classifier_ops", "crossmodal_ops", "langid_ops", "bloom_ops", "curriculum_ops", "lines_ops", "urls_ops", "agreement_ops", "blocklist_ops", "unicode_ops"):
         try:
             mod = __import__(
                 f"aichemy_data_pipelines_spark.operators.{name}", fromlist=[name]

@@ -78,6 +78,14 @@ _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _PORT_RE = (
     r"^(?:[A-Za-z][A-Za-z0-9+.-]*://|//)?(?:[^/@?#]*@)?[^:/?#]+:([0-9]+)"
 )
+#: bracketed-IPv6 port — the plain grab stops at the address's own
+#: colons, so without this branch ':8080' and ':9090' variants of
+#: the same IPv6 authority canonicalized identically (r16 ADVICE #3:
+#: unlike the www/slash rules, that merges genuinely DIFFERENT pages)
+_PORT6_RE = (
+    r"^(?:[A-Za-z][A-Za-z0-9+.-]*://|//)?(?:[^/@?#]*@)?\[[^\]]+\]"
+    r":([0-9]+)"
+)
 # path group is OPTIONAL ((...)? not (...)): with a mandatory group,
 # a path-less authority ("https://example.com?x") makes the engine
 # BACKTRACK out of the optional scheme match and capture
@@ -85,7 +93,13 @@ _PORT_RE = (
 # backtracking incentive in both engines (Java regex and RE2 return
 # '' / non-participating for the absent group)
 _PATH_RE = r"^(?:[A-Za-z][A-Za-z0-9+.-]*://|//)?[^/?#]*(/[^?#]*)?"
-_QUERY_RE = r"\?([^#]*)"
+# anchored prefix scan (r16 ADVICE #1): [^#?]* cannot cross a '#' OR
+# a '?', so the group captures from the FIRST '?' and only when it
+# precedes any '#' — a fragment-only '?' (SPA routes like
+# http://host/#/route?page=2) no longer leaks fragment content into
+# the canonical query. The unanchored predecessor (\?([^#]*)) matched
+# the '?' inside the fragment.
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def canonical_url(url: Column | str) -> Column:
@@ -96,9 +110,12 @@ def canonical_url(url: Column | str) -> Column:
 
     - scheme lower-cased ('' → http);
     - host lower-cased via :func:`url_host` (userinfo/trailing-dot
-      handled there), leading ``www.`` stripped;
+      handled there), leading ``www.`` stripped; bracketed IPv6
+      literals KEEP their brackets (the canonical form must carry a
+      non-default port, and ``[::1]:8080`` is the only unambiguous
+      spelling);
     - default ports dropped (80 for http, 443 for https; others
-      kept);
+      kept — via the IPv6-aware branch for bracketed authorities);
     - path: trailing slashes stripped (``/`` → '');
     - query: tracking params dropped (utm_*, gclid, fbclid),
       remainder SORTED and re-joined (param order is not identity);
@@ -112,8 +129,13 @@ def canonical_url(url: Column | str) -> Column:
     c = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(c, _SCHEME_RE, 1))
     scheme = F.when(scheme == "", F.lit("http")).otherwise(scheme)
-    host = F.regexp_replace(url_host(c), r"^www\.", "")
-    port = F.regexp_extract(c, _PORT_RE, 1)
+    host6 = F.lower(F.regexp_extract(c, _HOST6_RE, 1))
+    host = F.when(
+        host6 != "", F.concat(F.lit("["), host6, F.lit("]"))
+    ).otherwise(F.regexp_replace(url_host(c), r"^www\.", ""))
+    port = F.when(
+        host6 != "", F.regexp_extract(c, _PORT6_RE, 1)
+    ).otherwise(F.regexp_extract(c, _PORT_RE, 1))
     port = F.when(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))

@@ -48,14 +48,24 @@ def dedup_generator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         b.join(i, ["id_a", "id_b"], "full_outer")
         .agg(
-            F.sum(F.coalesce("in_b", F.lit(0))).cast("long").alias(
-                "n_banded"
-            ),
-            F.sum(F.coalesce("in_i", F.lit(0))).cast("long").alias("n_ivf"),
-            F.sum(
-                (
-                    F.col("in_b").isNotNull() & F.col("in_i").isNotNull()
-                ).cast("long")
+            # coalesce OUTSIDE the sums too (r16 ADVICE #2): on an
+            # empty-near-dup corpus the full-outer join is EMPTY and
+            # SUM over zero rows is NULL — the DuckDB twin's scalar
+            # COUNTs return 0 there, so the counts must too
+            F.coalesce(F.sum(F.coalesce("in_b", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_banded"),
+            F.coalesce(F.sum(F.coalesce("in_i", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_ivf"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("in_b").isNotNull()
+                        & F.col("in_i").isNotNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
             )
             .cast("long")
             .alias("n_both"),
@@ -64,30 +74,129 @@ def dedup_generator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_banded",
             "n_ivf",
             "n_both",
-            F.round(
-                F.col("n_both")
-                / (F.col("n_banded") + F.col("n_ivf") - F.col("n_both")),
-                6,
-            ).alias("jaccard"),
+            # jaccard of two empty sets is explicitly NULL (undefined)
+            # in BOTH engines — without the guard the empty-union case
+            # is 0/0: an ANSI DIVIDE_BY_ZERO crash here, an
+            # engine-dependent value in the oracle
+            F.when(
+                F.col("n_banded") + F.col("n_ivf") - F.col("n_both") > 0,
+                F.round(
+                    F.col("n_both")
+                    / (
+                        F.col("n_banded")
+                        + F.col("n_ivf")
+                        - F.col("n_both")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("jaccard"),
         )
     )
 
 
-QUERIES = {"dedup_generator_agreement": dedup_generator_agreement}
+def ann_knn_graph_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge-set agreement between the TWO k-NN graph generators —
+    banded-LSH (similarity.ann_knn_graph) and IVF-routed
+    (ivf.ann_knn_graph_ivf) — the graph twin of
+    ``dedup_generator_agreement`` (r17, closing the r16 verdict's #1:
+    the routed escape existed for near-dup *pairs* but not the top-k
+    *graph*, leaving ann_knn_graph alone on the banded tier's
+    ~N^1.6 wall / post-clamp recall exposure). Both sides re-rank
+    exactly, so disagreement is pure CANDIDATE-ROUTING recall: an
+    edge in one set and not the other was never surfaced by the
+    other's buckets/probes. A deployment switching the graph to the
+    routed generator at scale watches this number first.
+
+    Output: (n_banded, n_ivf, n_both, jaccard) — jaccard over the
+    DIRECTED (vec_id, nbr_id) edge sets (rank/cosine excluded: the
+    same neighbor at a different rank is still agreement), 6dp;
+    NULL on the two-empty-graphs degenerate case.
+
+    Scale: a full-outer equi-join of two OUTPUT-sized (≤ N·k) edge
+    frames + one bounded aggregate on top of the members' own plans.
+    """
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        ann_knn_graph_ivf,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        ann_knn_graph,
+    )
+
+    b = ann_knn_graph(spark, sf_dir).select(
+        "vec_id", "nbr_id", F.lit(1).alias("in_b")
+    )
+    i = ann_knn_graph_ivf(spark, sf_dir).select(
+        "vec_id", "nbr_id", F.lit(1).alias("in_i")
+    )
+    return (
+        b.join(i, ["vec_id", "nbr_id"], "full_outer")
+        .agg(
+            F.coalesce(F.sum(F.coalesce("in_b", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_banded"),
+            F.coalesce(F.sum(F.coalesce("in_i", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_ivf"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("in_b").isNotNull()
+                        & F.col("in_i").isNotNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+        .select(
+            "n_banded",
+            "n_ivf",
+            "n_both",
+            F.when(
+                F.col("n_banded") + F.col("n_ivf") - F.col("n_both") > 0,
+                F.round(
+                    F.col("n_both")
+                    / (
+                        F.col("n_banded")
+                        + F.col("n_ivf")
+                        - F.col("n_both")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("jaccard"),
+        )
+    )
+
+
+QUERIES = {
+    "dedup_generator_agreement": dedup_generator_agreement,
+    "ann_knn_graph_agreement": ann_knn_graph_agreement,
+}
 
 ORACLE: dict = {}
 
 
 def _register_oracles() -> None:
-    """Nests BOTH committed near-dup oracle texts so the agreement
+    """Nests the committed member oracle texts so each agreement
     eval is computed end-to-end in DuckDB from the same definitions
-    the driver checks the members against. Import-time; neither
-    member module imports this one, so no cycle exists."""
+    the driver checks the members against. Import-time; no member
+    module imports this one, so no cycle exists. The jaccard CASE
+    guard (r16 ADVICE #2) makes the two-empty-sets degenerate case
+    an explicit NULL in lockstep with the Spark side instead of an
+    engine-dependent 0/0."""
     from aichemy_data_pipelines_spark.operators.dedup import (
         ORACLE as _DEDUP_ORACLE,
     )
     from aichemy_data_pipelines_spark.operators.ivf import (
         ORACLE as _IVF_ORACLE,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        ORACLE as _SIM_ORACLE,
     )
 
     ORACLE["dedup_generator_agreement"] = f"""
@@ -104,7 +213,29 @@ def _register_oracles() -> None:
         SELECT CAST(n_banded AS BIGINT) AS n_banded,
                CAST(n_ivf AS BIGINT) AS n_ivf,
                CAST(n_both AS BIGINT) AS n_both,
-               ROUND(n_both / (n_banded + n_ivf - n_both), 6) AS jaccard
+               CASE WHEN n_banded + n_ivf - n_both > 0
+                    THEN ROUND(n_both / (n_banded + n_ivf - n_both), 6)
+                    ELSE CAST(NULL AS DOUBLE) END AS jaccard
+        FROM agg
+    """
+
+    ORACLE["ann_knn_graph_agreement"] = f"""
+        WITH banded AS ({_SIM_ORACLE["ann_knn_graph"]}),
+        ivfg AS ({_IVF_ORACLE["ann_knn_graph_ivf"]}),
+        agg AS (
+            SELECT
+                (SELECT COUNT(*) FROM banded) AS n_banded,
+                (SELECT COUNT(*) FROM ivfg) AS n_ivf,
+                (SELECT COUNT(*) FROM banded b
+                 JOIN ivfg i ON b.vec_id = i.vec_id
+                            AND b.nbr_id = i.nbr_id) AS n_both
+        )
+        SELECT CAST(n_banded AS BIGINT) AS n_banded,
+               CAST(n_ivf AS BIGINT) AS n_ivf,
+               CAST(n_both AS BIGINT) AS n_both,
+               CASE WHEN n_banded + n_ivf - n_both > 0
+                    THEN ROUND(n_both / (n_banded + n_ivf - n_both), 6)
+                    ELSE CAST(NULL AS DOUBLE) END AS jaccard
         FROM agg
     """
 

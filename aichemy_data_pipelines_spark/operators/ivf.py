@@ -18,8 +18,8 @@ in BOTH engines so even the training is oracle-checked):
 3. the final assignment is the inverted-list id.
 
 Search: each query scores the K centroids, probes its top-nprobe
-(n_probe(K) = max(2, ceil(sqrt(K/2)))) lists, exact cosine re-rank
-inside the probed lists, top-3.
+(n_probe(K) — the frozen _NPROBE_BY_K measured table, r17) lists,
+exact cosine re-rank inside the probed lists, top-3.
 
 Scale: K ∝ N holds list sizes at ~_TARGET_LIST vectors, so probed
 candidates per query stay N·nprobe/K ≈ nprobe·_TARGET_LIST — constant
@@ -81,6 +81,36 @@ _TARGET_LIST = 64
 _TRAIN_PER_LIST = 16
 _LIST_CONF = "spark.aichemy.ivf.targetList"
 _LLOYD_ITERS = 2
+# nprobe is a FROZEN MEASURED TABLE (r17 — the _BANDS_BY_PLANES
+# recipe applied to the routing knob): the r16 A/B
+# (scripts/ivf_route_ab.py, BASELINE.md) showed recall at the former
+# sqrt(K/2) default DECAYING with the index size (pair recall 0.463
+# at K=32/sf0.1 → 0.319 at K=313/10x on the 0.25-cosine corpus)
+# because the searched fraction nprobe/K shrinks as K grows while
+# matched recall needs nprobe ∝ K^~0.8. The tiers below freeze
+# ceil(0.75·K^0.8) evaluated at each tier's UPPER bound — the 0.75
+# coefficient anchors the measured sf0.1 point (K=32 → nprobe=12 =
+# pair recall 0.867 at precision 1.000) and the exponent is the
+# r16 A/B's fitted decay — as INTEGER LITERALS both engines share
+# (no POWER() float at a ceil boundary: pow(32, 0.8) is exactly
+# 2^4 = 16 in real arithmetic, i.e. 0.75·K^0.8 sits exactly ON an
+# integer at the anchor, where libm rounding could flip a ceil).
+# The K ≤ 8 tier keeps the historical test-scale point (nprobe=2):
+# K is clamped to ≥ 8 there regardless of corpus size, the searched
+# fraction is already 25%, and every committed sf0.001/sf0.01 oracle
+# value was attested at it. Evaluating at the tier's upper bound
+# overshoots the curve by < 2× within a tier — recall-safe by
+# construction, priced in BASELINE.md's r17 frontier rows.
+_NPROBE_BY_K = (
+    (8, 2),
+    (16, 7),
+    (32, 12),
+    (64, 21),
+    (128, 37),
+    (256, 64),
+    (512, 111),
+    (1024, 192),
+)
 
 
 def n_lists(n_rows: int, target_list: int = _TARGET_LIST) -> int:
@@ -92,13 +122,16 @@ def n_lists(n_rows: int, target_list: int = _TARGET_LIST) -> int:
 
 
 def n_probe(k: int) -> int:
-    """Probe count for a K-list index: max(2, ceil(sqrt(K/2))) — the
-    standard sqrt heuristic, so the searched fraction nprobe/K shrinks
-    as the index grows while absolute probe work grows sublinearly.
-    K=8 → 2 (the historical behavior at test scale)."""
-    import math
-
-    return max(_NPROBE, math.ceil(math.sqrt(k / 2.0)))
+    """Probe count for a K-list index: the frozen _NPROBE_BY_K tier
+    for the smallest upper bound ≥ K (see the constants block — the
+    measured nprobe ∝ K^0.8 scale rule replacing the r11 sqrt
+    heuristic, whose recall decayed with K). K=8 → 2 (the historical
+    behavior at test scale); the DuckDB oracles read the same table
+    as a CASE ladder (_SQL_NPROBE) computed in-plan from COUNT(*)."""
+    for bound, np_ in _NPROBE_BY_K:
+        if k <= bound:
+            return np_
+    return _NPROBE_BY_K[-1][1]
 
 
 def _conf_target_list(spark: SparkSession) -> int:
@@ -726,6 +759,61 @@ def screen_verdicts(
     )
 
 
+def _rank_probes(en: DataFrame, cn: DataFrame, nprobe: int) -> DataFrame:
+    """Rank-nprobe probe selection over a whole corpus — every vector's
+    top-``nprobe`` trained-quantizer lists, shared by both IVF-routed
+    corpus operators (``dedup_embedding_ivf`` pairs,
+    ``ann_knn_graph_ivf`` edges). Output carries ALL of ``en``'s
+    columns + ``list_id`` (one row per probe), so consumers never pay
+    a second corpus join-back for the arrays they already routed.
+
+    ``en`` carries (vec_id, embedding, en=exact norm); ``cn`` carries
+    (list_id, centroid, cn=exact norm), K rows, broadcast. The
+    _assign margin prefilter generalized to rank-nprobe: each vector
+    first scores all K centroids with a plain DOUBLE cosine and only
+    centroids within 1e-6 of its nprobe-th double cosine pay the
+    exact-decimal fold (NULL kth ⇔ zero-norm vector or K < nprobe —
+    keep all; lossless by the same |double − exact| ≲ 3e-12 vs 5e-9
+    rounding-granularity margin, pinned in
+    tests/test_margin_prefilters.py)."""
+    from aichemy_data_pipelines_spark.functions.vectors import spark_dot
+
+    wd = Window.partitionBy("vec_id").orderBy(F.desc("dcos"), "list_id")
+    kth = F.max(F.when(F.col("drk") == nprobe, F.col("dcos"))).over(
+        Window.partitionBy("vec_id")
+    )
+    surv = (
+        en.crossJoin(F.broadcast(cn))
+        .select(
+            "vec_id",
+            "list_id",
+            F.expr(
+                f"try_divide({spark_dot('embedding', 'centroid')}, "
+                "en * cn)"
+            ).alias("dcos"),
+        )
+        .withColumn("drk", F.row_number().over(wd))
+        .withColumn("kth", kth)
+        .where(
+            F.col("kth").isNull()
+            | (F.col("dcos") >= F.col("kth") - 1e-6)
+        )
+        .select("vec_id", "list_id")
+    )
+    cdot = spark_dot_exact("embedding", "centroid")
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "list_id")
+    return (
+        surv.join(en, "vec_id")
+        .join(F.broadcast(cn), "list_id")
+        .withColumn(
+            "c_cos", F.round(F.expr(f"try_divide({cdot}, en * cn)"), 8)
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .where(F.col("prk") <= nprobe)
+        .select(*en.columns, "list_id")
+    )
+
+
 def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs ROUTED THROUGH THE TRAINED IVF INDEX
     — the FAISS production recipe for near-dup candidate generation,
@@ -740,10 +828,9 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     generators A/B directly (scripts/ivf_route_ab.py; measured table
     in BASELINE.md r16).
 
-    Plan: the probe ranking reuses _assign's lossless double-cosine
-    prefilter generalized to rank-nprobe (only centroids within 1e-6
-    of a vector's nprobe-th double cosine pay the exact-decimal
-    fold); the candidate join is ONE equi-join on list_id with
+    Plan: the probe ranking is the shared ``_rank_probes`` (the
+    _assign lossless double-cosine prefilter generalized to
+    rank-nprobe); the candidate join is ONE equi-join on list_id with
     expected fanout N·nprobe·_TARGET_LIST; each raw candidate pays a
     plain double cosine and only pairs within 1e-6 of the threshold
     pay the exact fold (the ann_incremental_screen margin recipe —
@@ -774,49 +861,12 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
     cn = cents.withColumn("cn", F.expr(cnorm))
-    # rank-nprobe probe selection with the _assign margin prefilter:
-    # keep centroids within 1e-6 of the vector's nprobe-th DOUBLE
-    # cosine (NULL kth ⇔ zero-norm vector or K < nprobe — keep all),
-    # exact-score the survivors, take the top nprobe at 8dp
-    wd = Window.partitionBy("vec_id").orderBy(F.desc("dcos"), "list_id")
-    kth = F.max(F.when(F.col("drk") == nprobe, F.col("dcos"))).over(
-        Window.partitionBy("vec_id")
-    )
-    surv = (
-        en.crossJoin(F.broadcast(cn))
-        .select(
-            "vec_id",
-            "list_id",
-            F.expr(
-                f"try_divide({spark_dot('embedding', 'centroid')}, "
-                "en * cn)"
-            ).alias("dcos"),
-        )
-        .withColumn("drk", F.row_number().over(wd))
-        .withColumn("kth", kth)
-        .where(
-            F.col("kth").isNull()
-            | (F.col("dcos") >= F.col("kth") - 1e-6)
-        )
-        .select("vec_id", "list_id")
-    )
-    cdot = spark_dot_exact("embedding", "centroid")
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"), "list_id")
-    probes = (
-        surv.join(en, "vec_id")
-        .join(F.broadcast(cn), "list_id")
-        .withColumn(
-            "c_cos", F.round(F.expr(f"try_divide({cdot}, en * cn)"), 8)
-        )
-        .withColumn("prk", F.row_number().over(wq))
-        .where(F.col("prk") <= nprobe)
-        .select(
-            "vec_id",
-            "label",
-            F.col("embedding").alias("va"),
-            F.col("en").alias("na"),
-            "list_id",
-        )
+    probes = _rank_probes(en, cn, nprobe).select(
+        "vec_id",
+        "label",
+        F.col("embedding").alias("va"),
+        F.col("en").alias("na"),
+        "list_id",
     )
     m = (
         lists.join(
@@ -864,11 +914,126 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KNN_K = 3  # graph out-degree — matches similarity.ann_knn_graph
+
+
+def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-corpus k-NN graph (k=3) ROUTED THROUGH THE TRAINED IVF
+    INDEX — the scale twin of similarity.ann_knn_graph (r16 verdict
+    #1): the banded generator's OR-width B grows ~N^0.59 past
+    planes=6 and its wall ~N^1.6 (574 s at the 10x corpus,
+    BASELINE.md), and past the B=48 clamp its recall guarantee decays
+    again — while this generator's candidates stay ~N·nprobe·
+    _TARGET_LIST with recall governed by nprobe/K ROUTING (the frozen
+    _NPROBE_BY_K rule), which does not decay with corpus growth. The
+    graph feeds clustering/pagerank — the first consumer a 100 TB
+    deployment moves to the routed path.
+
+    Semantics: every vector is a query; its candidates are the
+    vectors inside its n_probe(K) nearest trained lists (the
+    ann_ivf_topk search contract applied corpus-wide — directed, like
+    every k-NN graph; no label restriction, matching the banded
+    graph). Probe selection is the shared ``_rank_probes``; each raw
+    candidate pays a plain DOUBLE cosine and only the margin-lossless
+    top-k survivors (the ann_knn_graph kth-window recipe — drops are
+    provably outranked by K strictly-better pairs at 8dp) pay the
+    exact-decimal fold via two slim join-backs. A pair can meet in
+    several shared probed lists, so candidates dedup with a
+    (vec, nbr) max-aggregate before ranking (the oracle's DISTINCT
+    twin).
+
+    Output: (vec_id, rk, nbr_id, cosine) — the ann_knn_graph shape,
+    so the two generators A/B directly (ann_knn_graph_agreement,
+    scripts/ivf_route_ab.py --graph).
+
+    Scale: training driver-bounded (module docstring); probe scoring
+    N·K double folds against a broadcast centroid table; the only
+    corpus-scale shuffles are the list_id equi-join (fanout
+    ~N·nprobe·_TARGET_LIST, no term quadratic in N or growing with
+    the banded tier's plane count) and the output-sized survivor
+    re-rank.
+    """
+    from aichemy_data_pipelines_spark.functions.vectors import spark_dot
+
+    k = corpus_list_count(spark, sf_dir)
+    nprobe = n_probe(k)
+    cents, lists = _kmeans(spark, sf_dir, k=k)
+    e = load_table(spark, sf_dir, "embeddings").transform(
+        spread_small_input
+    )
+    en = e.select("vec_id", "embedding").withColumn("en", F.expr(_NORM))
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    cn = cents.withColumn("cn", F.expr(cnorm))
+    a = _rank_probes(en, cn, nprobe).select(
+        "vec_id",
+        F.col("embedding").alias("va"),
+        F.col("en").alias("na"),
+        "list_id",
+    )
+    b = (
+        lists.select(
+            F.col("vec_id").alias("nbr_id"),
+            F.col("embedding").alias("vb"),
+            "list_id",
+        )
+        .withColumn("nb", F.expr(f"sqrt({spark_dot_exact('vb', 'vb')})"))
+    )
+    # candidate pass: one DOUBLE fold per raw candidate; try_divide —
+    # a zero-norm vector's candidates score NULL and drop here (the
+    # vector emits no edges), never reaching the exact re-rank
+    cand = (
+        a.join(b, "list_id")
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .withColumn(
+            "dcos",
+            F.expr(f"try_divide({spark_dot('va', 'vb')}, na * nb)"),
+        )
+        .where(F.col("dcos").isNotNull())
+        .groupBy("vec_id", "nbr_id")
+        .agg(F.max("dcos").alias("dcos"))
+    )
+    wd = Window.partitionBy("vec_id").orderBy(F.desc("dcos"), "nbr_id")
+    kth = F.max(F.when(F.col("drk") == _KNN_K, F.col("dcos"))).over(
+        Window.partitionBy("vec_id")
+    )
+    surv = (
+        cand.withColumn("drk", F.row_number().over(wd))
+        .withColumn("kth", kth)
+        .where(
+            (F.col("drk") <= _KNN_K)
+            | F.col("kth").isNull()
+            | (F.col("dcos") >= F.col("kth") - 1e-6)
+        )
+        .select("vec_id", "nbr_id")
+    )
+    ea = en.select(
+        "vec_id", F.col("embedding").alias("va"), F.col("en").alias("na")
+    )
+    eb = en.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("embedding").alias("vb"),
+        F.col("en").alias("nb"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), "nbr_id")
+    dot = spark_dot_exact("va", "vb")
+    return (
+        surv.join(ea, "vec_id")
+        .join(eb, "nbr_id")
+        .withColumn(
+            "cosine", F.round(F.expr(f"try_divide({dot}, na * nb)"), 8)
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _KNN_K)
+        .select("vec_id", "rk", "nbr_id", "cosine")
+    )
+
+
 QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_incremental_screen": ann_incremental_screen,
     "embeddings_cluster_outliers": embeddings_cluster_outliers,
     "dedup_embedding_ivf": dedup_embedding_ivf,
+    "ann_knn_graph_ivf": ann_knn_graph_ivf,
 }
 
 _DECD = "CAST(CAST({v} AS DOUBLE) AS DECIMAL(18,12))"
@@ -940,8 +1105,12 @@ def _sql_nk(src: str = "embeddings") -> str:
 
 
 _SQL_NK = _sql_nk()
+# the frozen _NPROBE_BY_K table as a pure-integer CASE ladder — no
+# float function anywhere near a ceil boundary (constants block)
 _SQL_NPROBE = (
-    f"GREATEST({_NPROBE}, CAST(CEIL(SQRT(nk.k / 2.0)) AS BIGINT))"
+    "(CASE "
+    + " ".join(f"WHEN nk.k <= {b} THEN {p}" for b, p in _NPROBE_BY_K)
+    + f" ELSE {_NPROBE_BY_K[-1][1]} END)"
 )
 
 
@@ -1105,6 +1274,46 @@ ORACLE = {
             FROM expl GROUP BY label, id_a, id_b
         )
         SELECT label, id_a, id_b, cosine FROM cos WHERE cosine >= 0.25
+    """,
+    "ann_knn_graph_ivf": f"""
+        WITH {_KMEANS_CTES}, qc AS (
+            SELECT q.vec_id AS query_id, cv.list_id,
+                   unnest(q.embedding) AS xa, unnest(cv.centroid) AS xb
+            FROM embeddings q, cent2 cv
+        ), qscore AS (
+            SELECT query_id, list_id, {_sql_pair_cos('xa', 'xb')} AS c_cos
+            FROM qc GROUP BY query_id, list_id
+        ), probes AS (
+            SELECT query_id, list_id FROM (
+                SELECT query_id, list_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c_cos DESC, list_id) AS prk
+                FROM qscore) t, nk
+            WHERE prk <= {_SQL_NPROBE}
+        ), cand AS (
+            -- DISTINCT: a DIRECTED edge candidate can meet in several
+            -- shared probed lists (the Spark side's max-aggregate
+            -- twin); no LEAST/GREATEST — the graph is directed
+            SELECT DISTINCT p.query_id AS vec_id, l.vec_id AS nbr_id
+            FROM probes p
+            JOIN lists l ON l.list_id = p.list_id
+                        AND l.vec_id <> p.query_id
+        ), expl AS (
+            SELECT c.vec_id, c.nbr_id,
+                   unnest(a.embedding) AS xa, unnest(b.embedding) AS xb
+            FROM cand c
+            JOIN embeddings a ON a.vec_id = c.vec_id
+            JOIN embeddings b ON b.vec_id = c.nbr_id
+        ), cos AS (
+            SELECT vec_id, nbr_id, {_sql_pair_cos('xa', 'xb')} AS cosine
+            FROM expl GROUP BY vec_id, nbr_id
+        )
+        SELECT vec_id, rk, nbr_id, cosine FROM (
+            SELECT vec_id, nbr_id, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, nbr_id) AS rk
+            FROM cos) t
+        WHERE rk <= {_KNN_K}
     """,
     "embeddings_cluster_outliers": f"""
         WITH {_KMEANS_CTES}, vc AS (

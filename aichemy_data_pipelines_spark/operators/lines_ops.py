@@ -161,8 +161,14 @@ ORACLE = {
                CAST(COUNT(*) AS BIGINT) AS n_lines,
                CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_removed,
-               ROUND(SUM(CASE WHEN removed THEN 1.0 ELSE 0.0 END)
-                     / COUNT(*), 6) AS removed_frac,
+               -- CAST ... AS DOUBLE before ROUND (r16 ADVICE #4):
+               -- DuckDB's bare 1.0 is DECIMAL, so the uncast form
+               -- rounds a DECIMAL quotient while Spark rounds a
+               -- DOUBLE — divergent HALF_UP on an exact 6dp half-way
+               -- ratio; one numeric domain on both sides (the
+               -- _sql_pair_cos convention)
+               ROUND(CAST(SUM(CASE WHEN removed THEN 1.0 ELSE 0.0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS removed_frac,
                md5(COALESCE(string_agg(
                        CASE WHEN NOT removed THEN seg_text END, ' '
                        ORDER BY seg_idx), '')) AS cleaned_hash

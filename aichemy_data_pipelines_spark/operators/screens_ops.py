@@ -1,7 +1,7 @@
 """The curation capstone: every per-document quality screen in the
 suite, joined into ONE verdict matrix.
 
-``corpus_screens_matrix`` runs the six independent screens a
+``corpus_screens_matrix`` runs the seven independent screens a
 training-corpus build applies before tokenization —
 
 1. heuristic quality score   (textops.text_quality ≥ 0.40)
@@ -17,9 +17,11 @@ training-corpus build applies before tokenization —
    matrix uses the self-calibrating relative form; the mean is
    snapped to DECIMAL(18,9) from exact decimal sums so the
    comparison is engine-portable)
+7. blocklist                 (blocklist_ops.docs_blocklist_filter,
+   not blocked — the C4-style badwords/domain cut; r17)
 
 — and emits one row per document with each score, each pass flag,
-the failure count, and the final ``kept`` verdict (all six pass).
+the failure count, and the final ``kept`` verdict (all seven pass).
 This is the "why was my document dropped" audit table every corpus
 pipeline owes its users, and the single declarative query a
 reference user would run to reproduce the whole funnel.
@@ -52,6 +54,7 @@ from aichemy_data_pipelines_spark.catalog import (
     share_table_scan,
 )
 from aichemy_data_pipelines_spark.operators import (
+    blocklist_ops,
     corpus_ops,
     dsir_ops,
     lm_ops,
@@ -93,6 +96,9 @@ def corpus_screens_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dw.crossJoin(F.broadcast(dmean)).select(
         "doc_id", (F.col("lr") >= F.col("lr_mean")).alias("selected")
     )
+    bl = blocklist_ops.docs_blocklist_filter(spark, sf_dir).select(
+        "doc_id", "n_term_hits", "blocked"
+    )
     # LEFT joins from the documents spine: a doc too short for a
     # member screen (e.g. < 5 tokens → no boilerplate row, < 2 → no
     # perplexity row) must still get an audit row.  Un-scoreable
@@ -106,12 +112,14 @@ def corpus_screens_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "doc_id", "left")
         .join(k, "doc_id", "left")
         .join(d, "doc_id", "left")
+        .join(bl, "doc_id", "left")
         .select(
             "doc_id",
             "quality_score",
             "boilerplate_frac",
             "flesch",
             "ppl",
+            "n_term_hits",
             F.coalesce(
                 F.col("quality_score") >= _MIN_QUALITY, F.lit(False)
             ).alias("pass_quality"),
@@ -128,6 +136,9 @@ def corpus_screens_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pass_dedup"
             ),
             F.coalesce(F.col("selected"), F.lit(False)).alias("pass_dsir"),
+            F.coalesce(~F.col("blocked"), F.lit(False)).alias(
+                "pass_blocklist"
+            ),
         )
     )
     flags = [
@@ -137,6 +148,7 @@ def corpus_screens_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pass_ppl",
         "pass_dedup",
         "pass_dsir",
+        "pass_blocklist",
     ]
     n_failed = None
     for f in flags:
@@ -157,7 +169,8 @@ _FLAG_SQL = """
     COALESCE(r.flesch > 0.0, FALSE) AS pass_readability,
     COALESCE(p.ppl <= {maxppl}, FALSE) AS pass_ppl,
     COALESCE(k.keep = 1, FALSE) AS pass_dedup,
-    COALESCE(d.selected, FALSE) AS pass_dsir
+    COALESCE(d.selected, FALSE) AS pass_dsir,
+    COALESCE(NOT bl.blocked, FALSE) AS pass_blocklist
 """.format(minq=_MIN_QUALITY, maxppl=_MAX_PPL)
 
 ORACLE = {
@@ -182,9 +195,10 @@ ORACLE = {
             SELECT doc_id, lr >= (SELECT lr_mean FROM dmean) AS selected
             FROM dw
         ),
+        bl AS ({blocklist_ops.ORACLE["docs_blocklist_filter"]}),
         m AS (
             SELECT s.doc_id, q.quality_score, b.boilerplate_frac,
-                   r.flesch, p.ppl,
+                   r.flesch, p.ppl, bl.n_term_hits,
                    {_FLAG_SQL}
             FROM (SELECT doc_id FROM documents) s
             LEFT JOIN q ON s.doc_id = q.doc_id
@@ -193,6 +207,7 @@ ORACLE = {
             LEFT JOIN p ON s.doc_id = p.doc_id
             LEFT JOIN k ON s.doc_id = k.doc_id
             LEFT JOIN d ON s.doc_id = d.doc_id
+            LEFT JOIN bl ON s.doc_id = bl.doc_id
         )
         SELECT *,
                CAST((CASE WHEN pass_quality THEN 0 ELSE 1 END)
@@ -201,13 +216,15 @@ ORACLE = {
                     + (CASE WHEN pass_ppl THEN 0 ELSE 1 END)
                     + (CASE WHEN pass_dedup THEN 0 ELSE 1 END)
                     + (CASE WHEN pass_dsir THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_blocklist THEN 0 ELSE 1 END)
                     AS INTEGER) AS n_failed,
                (CASE WHEN pass_quality THEN 0 ELSE 1 END)
                     + (CASE WHEN pass_boilerplate THEN 0 ELSE 1 END)
                     + (CASE WHEN pass_readability THEN 0 ELSE 1 END)
                     + (CASE WHEN pass_ppl THEN 0 ELSE 1 END)
                     + (CASE WHEN pass_dedup THEN 0 ELSE 1 END)
-                    + (CASE WHEN pass_dsir THEN 0 ELSE 1 END) = 0
+                    + (CASE WHEN pass_dsir THEN 0 ELSE 1 END)
+                    + (CASE WHEN pass_blocklist THEN 0 ELSE 1 END) = 0
                  AS kept
         FROM m
     """,

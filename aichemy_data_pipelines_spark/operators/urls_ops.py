@@ -40,6 +40,7 @@ from aichemy_data_pipelines_spark.functions.urls import (
     _HOST6_RE,
     _HOST_RE,
     _PATH_RE,
+    _PORT6_RE,
     _PORT_RE,
     _QUERY_RE,
     _SCHEME_RE,
@@ -112,11 +113,17 @@ def sql_canonical_url(u: str) -> str:
     scheme = f"(CASE WHEN {scheme0} = '' THEN 'http' ELSE {scheme0} END)"
     host6 = ext(_HOST6_RE)
     hostp = f"regexp_replace({ext(_HOST_RE)}, " r"'\.+$', '')"
+    # bracketed IPv6 keeps its brackets in the canonical form (the
+    # functions/urls.canonical_url r17 contract — a non-default port
+    # needs them); plain hosts strip trailing dots and leading www.
     host = (
-        f"regexp_replace(lower(CASE WHEN {host6} <> '' "
-        f"THEN {host6} ELSE {hostp} END), '^www\\.', '')"
+        f"(CASE WHEN {host6} <> '' THEN '[' || lower({host6}) || ']' "
+        f"ELSE regexp_replace(lower({hostp}), '^www\\.', '') END)"
     )
-    port0 = ext(_PORT_RE)
+    port0 = (
+        f"(CASE WHEN {host6} <> '' THEN {ext(_PORT6_RE)} "
+        f"ELSE {ext(_PORT_RE)} END)"
+    )
     port = (
         f"(CASE WHEN ({scheme} = 'http' AND {port0} = '80') "
         f"OR ({scheme} = 'https' AND {port0} = '443') "

@@ -57,7 +57,7 @@ class CorpusBuildConfig:
     #: filters) — at 100 TB this is the difference between a shard
     #: scan and a file-pruned scan
     files_per_shard: int = 1
-    #: enrich the verdicts snapshot with the FULL six-screen audit
+    #: enrich the verdicts snapshot with the FULL seven-screen audit
     #: matrix (operators/screens_ops.py): per-doc pass flags and
     #: failure counts recorded next to the build's own funnel
     #: verdicts — the "why was my doc dropped" record shipped with
@@ -107,6 +107,7 @@ class CorpusBuildPipeline:
                 "pass_ppl",
                 "pass_dedup",
                 "pass_dsir",
+                "pass_blocklist",
                 "n_failed",
             )
             v = v.join(audit, "doc_id", "left")

@@ -13,12 +13,19 @@ past the B clamp (planes >= 11, i.e. ~64k+ vectors per block target).
 
 Usage: python scripts/ivf_route_ab.py [sf_dir] [--double-truth]
                                       [--skip-banded] [--skip-ivf]
-                                      [--nprobe=N1,N2,...]
+                                      [--nprobe=N1,N2,...] [--graph]
 
 --nprobe sweeps the IVF row over explicit probe counts (patching
 ivf.n_probe for the run, the recall_frontier patching idiom) — the
 committed query's own point is n_probe(K); extra points price the
 recall/candidate frontier the routing knob buys.
+
+--graph (r17) switches the A/B to the k-NN GRAPH generators:
+similarity.ann_knn_graph (banded) vs ivf.ann_knn_graph_ivf (routed),
+measured as EDGE recall against the exact top-3 graph (numpy double
+cosines — blockwise, the r15 double-truth convention). This is the
+measurement behind the r17 decision of which generator the 100 TB
+graph consumer (clustering/pagerank) defaults to.
 """
 
 from __future__ import annotations
@@ -30,11 +37,83 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def graph_mode(sf: str) -> None:
+    """Banded vs IVF-routed k-NN graph: edge recall vs the exact
+    top-3 graph + wall, one row per generator (and per --nprobe
+    point for the routed side)."""
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.operators import ivf, similarity
+    from aichemy_data_pipelines_spark.session import get_spark
+
+    spark = get_spark(app_name="ivf_route_ab_graph")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = sorted(
+        spark.read.parquet(f"{sf}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in rows])
+    v = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    n = len(ids)
+    planes, bands = similarity.corpus_lsh_params(spark, sf)
+    k = ivf.corpus_list_count(spark, sf)
+    print(
+        f"{sf}: {n} vectors | banded planes={planes} B={bands} "
+        f"| ivf K={k} nprobe={ivf.n_probe(k)}"
+    )
+    # exact top-3 truth, blockwise (n^2 doubles never materialize)
+    truth = set()
+    t0 = time.time()
+    for lo in range(0, n, 2048):
+        hi = min(n, lo + 2048)
+        block = vn[lo:hi] @ vn.T
+        for i in range(hi - lo):
+            block[i, lo + i] = -2.0
+        top = np.argpartition(-block, 3, axis=1)[:, :3]
+        for i in range(hi - lo):
+            src = int(ids[lo + i])
+            for j in top[i]:
+                truth.add((src, int(ids[j])))
+    print(f"truth: {len(truth)} exact top-3 edges ({time.time()-t0:.0f}s)")
+    print(f"{'path':>8} | {'edge_recall':>11} | {'wall_s':>7}")
+
+    def report(name, edges_fn):
+        t0 = time.time()
+        got = {(r.vec_id, r.nbr_id) for r in edges_fn().collect()}
+        wall = time.time() - t0
+        print(
+            f"{name:>8} | {len(truth & got) / len(truth):>11.3f} "
+            f"| {wall:>7.1f}"
+        )
+
+    if "--skip-banded" not in sys.argv:
+        report("banded", lambda: similarity.ann_knn_graph(spark, sf))
+    nprobes = [ivf.n_probe(k)]
+    for arg in sys.argv[1:]:
+        if arg.startswith("--nprobe="):
+            nprobes = [int(x) for x in arg.split("=", 1)[1].split(",")]
+    if "--skip-ivf" not in sys.argv:
+        orig = ivf.n_probe
+        try:
+            for np_ in nprobes:
+                ivf.n_probe = lambda kk, _n=np_: _n
+                report(
+                    f"ivf@{np_}",
+                    lambda: ivf.ann_knn_graph_ivf(spark, sf),
+                )
+        finally:
+            ivf.n_probe = orig
+
+
 def main() -> None:
     sf = "/root/testdata/sf0.1"
     for arg in sys.argv[1:]:
         if not arg.startswith("--"):
             sf = arg
+    if "--graph" in sys.argv:
+        graph_mode(sf)
+        return
     double_truth = "--double-truth" in sys.argv
 
     from pyspark.sql import functions as F

@@ -162,7 +162,7 @@ def test_zordered_snapshot_tightens_file_bounds(spark, tmp_path):
 
 
 def test_full_audit_verdicts_carry_screen_matrix(spark, tmp_path):
-    """full_audit=True records the six-screen audit columns in the
+    """full_audit=True records the seven-screen audit columns in the
     versioned verdicts snapshot, consistent with the funnel verdicts."""
     from aichemy_data_pipelines_spark.pipeline.corpus_build import (
         CorpusBuildConfig,
@@ -188,12 +188,13 @@ def test_full_audit_verdicts_carry_screen_matrix(spark, tmp_path):
         "pass_ppl",
         "pass_dedup",
         "pass_dsir",
+        "pass_blocklist",
         "n_failed",
     } <= cols
     rows = v.collect()
     assert len(rows) == stats["n_raw"]
     for r in rows:
-        assert 0 <= r.n_failed <= 6
+        assert 0 <= r.n_failed <= 7
         # the matrix's dedup screen and the funnel's dedup verdict
         # are the same underlying keep-one component
         assert r.pass_dedup == bool(r.dedup_keep)

@@ -574,7 +574,9 @@ def test_perplexity_buckets_skip_cache_below_size_threshold(spark):
 #     ZERO scans and need no entry.
 _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # 11 before r11: the boilerplate member's shingle checkpoint cut 4
-    "corpus_screens_matrix": {"documents": 7},
+    # r17: +1 — the blocklist screen (pure map, one pruned scan below
+    # the share gate; collapses onto the shared cached scan above it)
+    "corpus_screens_matrix": {"documents": 8},
     "dq_orphan_check": {"orders": 2, "customer": 2},
     "q8_market_share": {"nation": 2},
     "q7_volume_shipping": {"nation": 2},
@@ -675,6 +677,13 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # the agreement eval composes both generators' plans verbatim:
     # banded 4 (persisted-sig prints) + ivf 5
     "dedup_generator_agreement": {"embeddings": 9},
+    # r17 routed graph: quantizer assign (2: prefilter + join-back) +
+    # probe ranking (2, arrays carried through — no second corpus
+    # join-back) + the exact re-rank's two survivor join-backs
+    "ann_knn_graph_ivf": {"embeddings": 6},
+    # graph agreement composes both graph generators verbatim:
+    # banded 4 (persisted-sig prints) + routed 6
+    "ann_knn_graph_agreement": {"embeddings": 10},
 }
 
 

@@ -20,6 +20,7 @@ _FLAGS = (
     "pass_ppl",
     "pass_dedup",
     "pass_dsir",
+    "pass_blocklist",  # r17: the seventh screen
 )
 
 
@@ -50,11 +51,20 @@ def test_matrix_flags_match_members(spark):
         str(round(float(sum(lrs.values())) / len(lrs), 9))
     )
     dsir = {doc: lr >= lr_mean for doc, lr in lrs.items()}
+    from aichemy_data_pipelines_spark.operators.blocklist_ops import (
+        docs_blocklist_filter,
+    )
+
+    blocked = {
+        r.doc_id: r.blocked
+        for r in docs_blocklist_filter(spark, SF_SMOKE).collect()
+    }
     for r in rows:
         assert r.pass_quality == (quality[r.doc_id] >= _MIN_QUALITY)
         assert r.pass_ppl == (r.ppl <= _MAX_PPL)
         assert r.pass_dedup == (keep[r.doc_id] == 1)
         assert r.pass_dsir == dsir[r.doc_id]
+        assert r.pass_blocklist == (not blocked[r.doc_id])
         n_failed = sum(0 if getattr(r, f) else 1 for f in _FLAGS)
         assert r.n_failed == n_failed
         assert r.kept == (n_failed == 0)

@@ -584,11 +584,128 @@ def test_dedup_embedding_ivf_semantics(spark):
     assert recall >= 0.45, f"IVF-routed recall collapsed: {recall:.3f}"
 
 
+def test_knn_graph_ivf_routing_shape_and_recall(spark):
+    """IVF-routed k-NN graph (r17): the ann_knn_graph output contract
+    (≤3 directed ranked edges per vector, no self-edges), the routing
+    contract (every emitted neighbor lives in one of the vector's
+    probed lists), and edge recall vs the exact top-3 graph clearing
+    a floor at the K=8/nprobe=2 smoke configuration (measured 0.503;
+    at deployment scale the _NPROBE_BY_K rule sizes the probe width —
+    BASELINE.md r17 frontier)."""
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _kmeans,
+        ann_knn_graph_ivf,
+        corpus_list_count,
+        n_probe,
+    )
+
+    rows = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = [r.vec_id for r in rows]
+    v = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos = vn @ vn.T
+    np.fill_diagonal(cos, -2.0)
+    idx = {d: i for i, d in enumerate(ids)}
+
+    got = ann_knn_graph_ivf(spark, SF_SMOKE).collect()
+    by_vec: dict[int, list] = {}
+    for r in got:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    assert len(by_vec) > 400  # near-all vectors emit edges
+    for vid, es in list(by_vec.items())[:50]:
+        assert len(es) <= 3
+        ranked = sorted(es, key=lambda r: r.rk)
+        cosines = [r.cosine for r in ranked]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.nbr_id != vid for r in es)
+
+    # routing contract: each edge's neighbor is assigned to one of
+    # the SOURCE vector's probed lists (directed — only the query
+    # side's probes generate candidates, the ann_ivf_topk semantics)
+    k = corpus_list_count(spark, SF_SMOKE)
+    cents, lists = _kmeans(spark, SF_SMOKE, k=k)
+    assign = {r.vec_id: r.list_id for r in lists.collect()}
+    cmat = np.array(
+        [r.centroid for r in sorted(cents.collect(), key=lambda r: r.list_id)]
+    )
+    cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    sims = vn @ cn.T
+    order = np.argsort(-sims, axis=1)
+    nprobe = n_probe(k)
+    probes = {
+        d: {int(order[idx[d], j]) + 1 for j in range(nprobe + 1)}
+        for d in ids
+    }  # +1 slack absorbs float-vs-exact rank ties at the boundary
+    for r in got:
+        assert assign[r.nbr_id] in probes[r.vec_id], (
+            r.vec_id,
+            r.nbr_id,
+            assign[r.nbr_id],
+        )
+
+    # edge recall vs the exact top-3 graph
+    hits = total = 0
+    for d in ids:
+        exact = {ids[j] for j in np.argsort(-cos[idx[d]])[:3]}
+        hits += len(exact & {r.nbr_id for r in by_vec.get(d, [])})
+        total += 3
+    recall = hits / total
+    assert recall >= 0.4, f"routed graph recall collapsed: {recall:.3f}"
+
+
+def test_agreement_empty_near_dup_corpus(spark, tmp_path):
+    """r16 ADVICE #2: on a corpus where BOTH near-dup generators emit
+    zero pairs, the agreement evals must return (0, 0, 0, NULL) — the
+    Spark full-outer join is EMPTY there, and un-coalesced SUMs
+    returned NULL counts while the DuckDB twin's scalar COUNTs said
+    0 (a driver value-gate mismatch), with the jaccard an ANSI 0/0
+    crash risk besides. Mutually-orthogonal one-hot vectors in
+    distinct labels guarantee zero pairs through any generator."""
+    from aichemy_data_pipelines_spark.operators.agreement_ops import (
+        dedup_generator_agreement,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        release_sig_frames,
+    )
+
+    dim = 64
+    rows = [
+        (i, i, [1.0 if j == i else 0.0 for j in range(dim)])
+        for i in range(12)
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).coalesce(1).write.parquet(f"{sf}/embeddings.parquet")
+
+    out = dedup_generator_agreement(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_banded, r.n_ivf, r.n_both) == (0, 0, 0)
+    assert r.jaccard is None  # jaccard of two empty sets is undefined
+    release_sig_frames()  # tmp-dir frames must not outlive the test
+
+
 def test_ivf_k_formula_and_probe_scaling():
-    """K = clamp(ceil(N/64), 8, 1024), nprobe = max(2, ceil(sqrt(K/2)))
-    — the pinned scale contract (r11 verdict #2): list sizes stay
-    ~constant as the corpus grows, probe count grows as sqrt(K)."""
-    from aichemy_data_pipelines_spark.operators.ivf import n_lists, n_probe
+    """K = clamp(ceil(N/64), 8, 1024); nprobe = the frozen
+    _NPROBE_BY_K measured tier table (r17 — matched recall needs
+    nprobe ∝ K^~0.8 per the r16 A/B; the former sqrt(K/2) default
+    decayed 0.463 → 0.319 at 10x). Table/formula equivalence: each
+    tier value is ceil(0.75 · bound^0.8) at the tier's upper bound
+    (except the K ≤ 8 historical test-scale anchor), recomputed here
+    so any silent table edit fails loudly."""
+    import math
+
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _NPROBE_BY_K,
+        n_lists,
+        n_probe,
+    )
 
     assert n_lists(1) == 8          # floor
     assert n_lists(500) == 8        # test corpora stay on K=8
@@ -598,9 +715,20 @@ def test_ivf_k_formula_and_probe_scaling():
     assert n_lists(20000) == 313    # the 10x stress corpus
     assert n_lists(10**9) == 1024   # cap
     assert n_probe(8) == 2          # historical behavior at the floor
-    assert n_probe(32) == 4
-    assert n_probe(313) == 13
-    assert n_probe(1024) == 23
+    assert n_probe(32) == 12        # the measured sf0.1 anchor (0.867)
+    assert n_probe(313) == 111      # 10x: tier 512
+    assert n_probe(1024) == 192
+    # formula pin for every non-anchor tier (the bands_for_planes
+    # recipe: freeze integers, keep the generating rule checkable).
+    # ceil is epsilon-guarded: libm pow returns 12.000000000000004
+    # at K=32 (true value 0.75·2^4·... = exactly 12) — the precise
+    # float hazard the frozen table exists to remove
+    for bound, np_ in _NPROBE_BY_K[1:]:
+        assert np_ == math.ceil(0.75 * bound**0.8 - 1e-9) == n_probe(bound)
+        assert np_ <= bound  # a probe count can never exceed K
+    # tiers are monotone: a bigger index never probes fewer lists
+    vals = [p for _, p in _NPROBE_BY_K]
+    assert vals == sorted(vals)
 
 
 def test_ivf_elevated_k_recall_and_bounded_lists(spark):
@@ -1025,6 +1153,7 @@ def test_zero_norm_vectors_do_not_crash_near_dup_generators(spark, tmp_path):
     )
     from aichemy_data_pipelines_spark.operators.ivf import (
         ann_incremental_screen,
+        ann_knn_graph_ivf,
         dedup_embedding_ivf,
     )
     from aichemy_data_pipelines_spark.operators.similarity import (
@@ -1050,6 +1179,9 @@ def test_zero_norm_vectors_do_not_crash_near_dup_generators(spark, tmp_path):
     edges = ann_knn_graph(spark, sf).collect()
     assert all(r.vec_id != 0 and r.nbr_id != 0 for r in edges)
     assert edges  # normal vectors still get their edges
+    redges = ann_knn_graph_ivf(spark, sf).collect()
+    assert all(r.vec_id != 0 and r.nbr_id != 0 for r in redges)
+    assert redges
     verdicts = {
         r.vec_id: r for r in ann_incremental_screen(spark, sf).collect()
     }

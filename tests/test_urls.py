@@ -77,13 +77,21 @@ CANON_CASES = [
     ("https://example.com/x?gclid", "https://example.com/x"),
     ("https://example.com/x?ref=&a=1", "https://example.com/x?a=1&ref="),
     ("//cdn.example.net/lib.js", "http://cdn.example.net/lib.js"),
-    # bracketed IPv6: host de-bracketed by url_host; the port is NOT
-    # re-attached (the plain port grab cannot see past the address's
-    # own colons) — crawl canonicalization keys on host, and IPv6
-    # literals are not registrable hosts anyway
-    ("https://[2001:db8::1]:8080/x", "https://2001:db8::1/x"),
+    # bracketed IPv6 (r17, r16 ADVICE #3): brackets KEPT, non-default
+    # ports re-attached via the IPv6-aware port branch — ':8080' and
+    # ':9090' variants of the same address must key DIFFERENT pages
+    ("https://[2001:db8::1]:8080/x", "https://[2001:db8::1]:8080/x"),
+    ("https://[2001:db8::1]:9090/x", "https://[2001:db8::1]:9090/x"),
+    ("https://[2001:DB8::1]:443/x", "https://[2001:db8::1]/x"),
+    ("//[::1]/health", "http://[::1]/health"),
     ("https://www.example.com///", "https://example.com"),
     ("http://example.com#frag-only", "http://example.com"),
+    # fragment-only '?' (r17, r16 ADVICE #1): SPA-route fragments must
+    # not leak their content into the canonical query
+    ("http://example.com/#/route?page=2", "http://example.com"),
+    ("HTTP://example.com#a?b=1", "http://example.com"),
+    # a second '?' is query CONTENT, not a new query (first-'?' rule)
+    ("http://example.com/p?a=1?b=2", "http://example.com/p?a=1?b=2"),
 ]
 
 
