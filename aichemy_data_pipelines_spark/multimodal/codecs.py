@@ -19,9 +19,11 @@ so ``decode_features`` uses a deterministic byte-level fake
 formats the standard library can parse outright: ``decode_wav_meta``
 (RIFF/PCM16), ``decode_bmp_meta`` (uncompressed 24-bit BMP) and
 ``decode_png_meta`` (8-bit grey/truecolor/RGBA PNG — zlib IDAT
-inflate + full five-filter unfiltering) at the bottom of this
-module are REAL decoders over real container bytes, tested against
-stdlib-generated files (tests/test_real_codecs.py). The Spark-side plumbing — schema, Arrow
+inflate + full five-filter unfiltering) and ``decode_jpeg_meta``
+(baseline SOF0 JPEG — Huffman entropy decode + IDCT of the Y
+channel; r17) at the bottom of this module are REAL decoders over
+real container bytes, tested against generated files
+(tests/test_real_codecs.py). The Spark-side plumbing — schema, Arrow
 batch shape, UDF signatures, partition behavior — is real and tested
 everywhere (tests/test_multimodal.py).
 """
@@ -539,3 +541,311 @@ def decode_png_meta(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(parse, PNG_META_SCHEMA)
+
+
+JPEG_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("ok", IntegerType()),
+        StructField("status", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_components", IntegerType()),
+        StructField("mean_lum", StringType()),  # 6dp string
+    ]
+)
+
+
+def _jpeg_one(doc_id: int, b: bytes) -> dict:
+    """Decode ONE baseline JPEG payload to (dims, mean luminance).
+
+    Scope — baseline sequential DCT (SOF0), 8-bit, Huffman: grayscale
+    and YCbCr with any 1-2 sampling factors (4:4:4, 4:2:2, 4:2:0),
+    optional restart intervals. JPEG's Y channel IS the ITU-R 601
+    luminance the BMP/PNG decoders report, so only the Y blocks are
+    dequantized + IDCT'd; the interleaved chroma blocks are
+    entropy-decoded (the bitstream cannot be skipped) and discarded.
+    Statuses follow decode_png_meta's contract: ``malformed`` (bad
+    markers / Huffman / truncation), ``unsupported`` (progressive
+    SOF2, arithmetic coding, 12-bit, hierarchical, >2 sampling —
+    valid JPEGs outside the decoded subset), ``too_large`` (a valid
+    header past the 16 MP metadata-decode budget — policy, not
+    corruption).
+
+    Module-level (not a closure) so the Arrow worker pickles one
+    function and the IDCT basis matrix builds once per interpreter.
+    """
+    import struct
+
+    import numpy as np
+
+    def bad(status: str = "malformed") -> dict:
+        return {
+            "doc_id": doc_id, "ok": 0, "status": status,
+            "width": None, "height": None, "n_components": None,
+            "mean_lum": None,
+        }
+
+    try:
+        if len(b) < 4 or b[0:2] != b"\xff\xd8":  # SOI
+            return bad()
+        pos = 2
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode LUT
+        sof = None
+        restart_interval = 0
+        scan = None
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                return bad()
+            marker = b[pos + 1]
+            if marker == 0xFF:  # legal fill byte before a marker
+                pos += 1
+                continue
+            if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
+                pos += 2
+                continue
+            if marker == 0xD9:  # EOI before SOS
+                return bad()
+            seglen = struct.unpack(">H", b[pos + 2:pos + 4])[0]
+            body = b[pos + 4:pos + 2 + seglen]
+            if len(body) != seglen - 2:
+                return bad()
+            if marker == 0xC4:  # DHT
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 0xF
+                    counts = list(body[i + 1:i + 17])
+                    nsym = sum(counts)
+                    syms = list(body[i + 17:i + 17 + nsym])
+                    if len(syms) < nsym:
+                        return bad()
+                    # canonical codes -> {(length, code): symbol}
+                    lut, code, k = {}, 0, 0
+                    for ln in range(1, 17):
+                        for _ in range(counts[ln - 1]):
+                            lut[(ln, code)] = syms[k]
+                            code += 1
+                            k += 1
+                        code <<= 1
+                    huff[(tc, th)] = lut
+                    i += 17 + nsym
+            elif marker == 0xDB:  # DQT
+                i = 0
+                while i < len(body):
+                    prec, tq = body[i] >> 4, body[i] & 0xF
+                    if prec != 0:
+                        return bad("unsupported")  # 16-bit tables
+                    qt[tq] = list(body[i + 1:i + 65])
+                    if len(qt[tq]) < 64:
+                        return bad()
+                    i += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                depth, h, w, nc = struct.unpack(">BHHB", body[:6])
+                if depth != 8:
+                    return bad("unsupported")
+                if w <= 0 or h <= 0 or nc not in (1, 3):
+                    return bad()
+                comps = []
+                for ci in range(nc):
+                    cid, samp, tq = body[6 + ci * 3:9 + ci * 3]
+                    comps.append((cid, samp >> 4, samp & 0xF, tq))
+                sof = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                # extended/progressive/lossless/arithmetic families
+                return bad("unsupported")
+            elif marker == 0xDD:  # DRI
+                restart_interval = struct.unpack(">H", body[:2])[0]
+            elif marker == 0xDA:  # SOS
+                ns = body[0]
+                scomps = []
+                for si in range(ns):
+                    cs, tables = body[1 + si * 2:3 + si * 2]
+                    scomps.append((cs, tables >> 4, tables & 0xF))
+                scan = (scomps, b[pos + 2 + seglen:])
+                break
+            # APPn / COM / others: skip
+            pos += 2 + seglen
+        if sof is None or scan is None:
+            return bad()
+        w, h, comps = sof
+        if w * h > 16 << 20:
+            return bad("too_large")  # 16 MP metadata-decode budget
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if hmax > 2 or vmax > 2 or any(
+            c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps
+        ):
+            return bad("unsupported")
+        scomps, data = scan
+        if len(scomps) != len(comps):
+            return bad("unsupported")  # multi-scan non-interleaved
+        by_id = {c[0]: c for c in comps}
+        order = []
+        for cs, td, ta in scomps:
+            if cs not in by_id:
+                return bad()
+            _, ch, cv, tq = by_id[cs]
+            if (0, td) not in huff or (1, ta) not in huff or tq not in qt:
+                return bad()
+            order.append((ch, cv, qt[tq], huff[(0, td)], huff[(1, ta)]))
+        y_idx = 0  # Y/grey is scan component 0 in both supported modes
+
+        # de-stuff the entropy stream; RSTn markers both segment the
+        # stream and byte-align it
+        segments, cur, i = [], bytearray(), 0
+        while i < len(data):
+            byte = data[i]
+            if byte == 0xFF:
+                nxt = data[i + 1] if i + 1 < len(data) else None
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                    continue
+                if nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    segments.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                    continue
+                break  # EOI or any other marker ends the scan
+            cur.append(byte)
+            i += 1
+        segments.append(bytes(cur))
+
+        zigzag = [
+            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+            54, 47, 55, 62, 63,
+        ]
+        # IDCT basis: f = C^T F C, C[u,x] = c(u)/2 * cos((2x+1)u*pi/16)
+        xs = np.arange(8)
+        cmat = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+        cmat *= 0.5
+        cmat[0, :] *= 1 / np.sqrt(2.0)
+
+        class Bits:
+            __slots__ = ("d", "p", "n")
+
+            def __init__(self, d: bytes):
+                self.d, self.p, self.n = d, 0, len(d)
+
+            def bit(self) -> int:
+                byte = self.p >> 3
+                if byte >= self.n:
+                    raise ValueError("bit starve")
+                v = (self.d[byte] >> (7 - (self.p & 7))) & 1
+                self.p += 1
+                return v
+
+            def bits(self, k: int) -> int:
+                v = 0
+                for _ in range(k):
+                    v = (v << 1) | self.bit()
+                return v
+
+        def huffdec(bits: Bits, lut: dict) -> int:
+            ln, code = 0, 0
+            while ln < 16:
+                code = (code << 1) | bits.bit()
+                ln += 1
+                sym = lut.get((ln, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("huffman overrun")
+
+        def extend(v: int, t: int) -> int:
+            # JPEG F.2.2.1 sign extension of a t-bit magnitude
+            return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        n_mcu = mcux * mcuy
+        yh, yv = order[y_idx][0], order[y_idx][1]
+        # padded Y raster (per-component sampling geometry)
+        yw, yhh = mcux * yh * 8, mcuy * yv * 8
+        yplane = np.zeros((yhh, yw), dtype=np.float64)
+        pred = [0] * len(order)
+        seg_i, bits = 0, Bits(segments[0])
+        per_seg = restart_interval or n_mcu
+        for m in range(n_mcu):
+            if m and restart_interval and m % per_seg == 0:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    return bad()
+                bits = Bits(segments[seg_i])
+                pred = [0] * len(order)
+            my, mx = divmod(m, mcux)
+            for ci, (ch, cv, q, dlut, alut) in enumerate(order):
+                for by in range(cv):
+                    for bx in range(ch):
+                        t = huffdec(bits, dlut)
+                        diff = extend(bits.bits(t), t) if t else 0
+                        pred[ci] += diff
+                        coef = [0] * 64
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = huffdec(bits, alut)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC overrun")
+                            coef[k] = extend(bits.bits(s), s)
+                            k += 1
+                        if ci != y_idx:
+                            continue  # chroma: entropy-decoded, dropped
+                        fmat = np.zeros(64)
+                        for zz, val in enumerate(coef):
+                            if val:
+                                fmat[zigzag[zz]] = val * q[zz]
+                        fmat = fmat.reshape(8, 8)
+                        px = cmat.T @ fmat @ cmat + 128.0
+                        r0 = (my * yv + by) * 8
+                        c0 = (mx * yh + bx) * 8
+                        yplane[r0:r0 + 8, c0:c0 + 8] = px
+    except Exception:
+        return bad()
+    # crop MCU padding to the true Y geometry, round+clamp like a
+    # real decoder, mean over the declared w x h
+    true_w = -(-w * yh // hmax)
+    true_h = -(-h * yv // vmax)
+    vis = np.clip(np.round(yplane[:true_h, :true_w]), 0, 255)
+    return {
+        "doc_id": doc_id, "ok": 1, "status": "ok", "width": w,
+        "height": h, "n_components": len(order),
+        "mean_lum": f"{float(vis.mean()):.6f}",
+    }
+
+
+def decode_jpeg_meta(media: DataFrame) -> DataFrame:
+    """REAL baseline JPEG decode via mapInPandas — stdlib + numpy
+    only (marker parse, canonical Huffman, de-stuffing, restart
+    segments, dequantize + IDCT of the Y channel): dimensions,
+    component count, and the mean Y luminance — the same statistic
+    the BMP/PNG decoders report (JPEG's Y IS ITU-R 601 luma). Closes
+    the sanctioned image-decode seam for the dominant crawl format;
+    progressive/arithmetic/12-bit payloads quarantine as
+    ``unsupported`` (see _jpeg_one for the full status contract).
+    Tested against a from-scratch baseline ENCODER (FDCT +
+    canonical Huffman + byte stuffing + restart markers) in
+    tests/test_real_codecs.py — exact on DC-only rasters, within
+    rounding tolerance on full-AC content."""
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [
+                    _jpeg_one(d, bytes(p))
+                    for d, p in zip(pdf["doc_id"], pdf["payload"])
+                ]
+            )
+
+    return media.mapInPandas(parse, JPEG_META_SCHEMA)

@@ -72,6 +72,11 @@ PANEL = [
     "ann_knn_graph",
     "ann_incremental_screen",
     "ann_cosine_topk",
+    # the IVF-ROUTED twins (r17): both near-dup/graph generators ride
+    # the panel so every future stress run re-prices the banded-vs-
+    # routed decision rule recorded in BASELINE.md
+    "dedup_embedding_ivf",
+    "ann_knn_graph_ivf",
 ]
 HEAVY = {"corpus_screens_matrix", "corpus_perplexity_buckets"}
 

@@ -290,3 +290,289 @@ def test_png_meta_quarantines_decompression_bomb(spark):
         "the 64 MB cap is POLICY, not corruption -- status must say so"
     )
     assert got[2].ok == 1 and got[2].status == "ok"
+
+
+# -- baseline JPEG (r17) ------------------------------------------------
+# A from-scratch baseline ENCODER (FDCT + canonical Huffman built from
+# the symbols actually used + byte stuffing + restart markers), so the
+# decoder (multimodal/codecs.decode_jpeg_meta) is proven against real
+# SOF0 bitstreams it did not write. With an all-ones quant table a
+# per-8x8-constant raster round-trips EXACTLY (DC = 8*(v-128) is
+# integral, ACs are 0), so the mean-luma comparison is string-equal;
+# full-AC content is compared within DCT rounding tolerance.
+
+_JZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+    28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+    37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+    54, 47, 55, 62, 63,
+]
+
+
+class _JBitWriter:
+    def __init__(self):
+        self.out, self.acc, self.nbits = bytearray(), 0, 0
+
+    def write(self, value: int, nbits: int):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.nbits = 0, 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1-bits
+
+
+def _jcat(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _jmag(v: int, t: int) -> int:
+    return v if v >= 0 else v + (1 << t) - 1
+
+
+def _jcanonical(symbols, length):
+    """All symbols at one code length (never the all-ones code);
+    returns ({sym: (code, len)}, BITS16, HUFFVAL)."""
+    assert len(symbols) <= (1 << length) - 1
+    codes = {s: (i, length) for i, s in enumerate(symbols)}
+    bits = [0] * 16
+    bits[length - 1] = len(symbols)
+    return codes, bits, list(symbols)
+
+
+def _jpeg_bytes(planes, samps, w, h, quant=None, restart=0):
+    """Baseline JPEG writer. ``planes``: per-component 2D uint8
+    arrays at their OWN sampled geometry; ``samps``: [(h_i, v_i)];
+    (w, h): declared luma dims; ``quant``: 64 ints zigzag (default
+    all-ones — the exactness trick above)."""
+    import numpy as np
+
+    q = quant or [1] * 64
+    nc = len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    xs = np.arange(8)
+    cm = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) * 0.5
+    cm[0, :] *= 1 / np.sqrt(2.0)
+
+    padded = []
+    for pl, (sh, sv) in zip(planes, samps):
+        pl = np.asarray(pl)
+        ph, pw = mcuy * sv * 8 - pl.shape[0], mcux * sh * 8 - pl.shape[1]
+        padded.append(np.pad(pl, ((0, ph), (0, pw)), mode="edge"))
+
+    def coeffs(block):
+        fm = cm @ (block.astype(np.float64) - 128.0) @ cm.T
+        return [int(round(fm.flat[_JZZ[zz]] / q[zz])) for zz in range(64)]
+
+    dc_syms, ac_syms = [set(), set()], [set(), set()]
+    units, pred = [], [0] * nc
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            pred = [0] * nc
+        my, mx = divmod(m, mcux)
+        for ci in range(nc):
+            sh, sv = samps[ci]
+            tcls = 0 if ci == 0 else 1
+            for by in range(sv):
+                for bx in range(sh):
+                    r0, c0 = (my * sv + by) * 8, (mx * sh + bx) * 8
+                    coef = coeffs(padded[ci][r0:r0 + 8, c0:c0 + 8])
+                    diff, pred[ci] = coef[0] - pred[ci], coef[0]
+                    t = _jcat(diff)
+                    dc_syms[tcls].add(t)
+                    acs, run = [], 0
+                    for k in range(1, 64):
+                        v = coef[k]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            acs.append((0xF0, 0, 0))
+                            ac_syms[tcls].add(0xF0)
+                            run -= 16
+                        s = _jcat(v)
+                        acs.append(((run << 4) | s, v, s))
+                        ac_syms[tcls].add((run << 4) | s)
+                        run = 0
+                    if run:
+                        acs.append((0x00, 0, 0))
+                        ac_syms[tcls].add(0x00)
+                    units.append((tcls, t, diff, acs))
+
+    dc_tabs, ac_tabs, dht = [], [], b""
+    for tcls in range(2 if nc > 1 else 1):
+        dcodes, dbits, dvals = _jcanonical(sorted(dc_syms[tcls]) or [0], 5)
+        acodes, abits, avals = _jcanonical(sorted(ac_syms[tcls]) or [0], 9)
+        dc_tabs.append(dcodes)
+        ac_tabs.append(acodes)
+        bd = bytes([0x00 | tcls]) + bytes(dbits) + bytes(dvals)
+        ba = bytes([0x10 | tcls]) + bytes(abits) + bytes(avals)
+        dht += b"\xff\xc4" + struct.pack(">H", 2 + len(bd)) + bd
+        dht += b"\xff\xc4" + struct.pack(">H", 2 + len(ba)) + ba
+
+    bw, data, ui, rst = _JBitWriter(), bytearray(), 0, 0
+    per_mcu = sum(s[0] * s[1] for s in samps)
+    for m in range(mcux * mcuy):
+        if restart and m and m % restart == 0:
+            bw.flush()
+            data += bw.out
+            bw = _JBitWriter()
+            data += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+        for _ in range(per_mcu):
+            tcls, t, diff, acs = units[ui]
+            ui += 1
+            code, ln = dc_tabs[tcls][t]
+            bw.write(code, ln)
+            if t:
+                bw.write(_jmag(diff, t), t)
+            for sym, v, s in acs:
+                code, ln = ac_tabs[tcls][sym]
+                bw.write(code, ln)
+                if s:
+                    bw.write(_jmag(v, s), s)
+    bw.flush()
+    data += bw.out
+
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + b"\x00" + bytes(q)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci in range(nc):
+        sof += bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    out += dht
+    if restart:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+    sos = bytes([nc])
+    for ci in range(nc):
+        tcls = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (tcls << 4) | tcls])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    return out + bytes(data) + b"\xff\xd9"
+
+
+def test_jpeg_grayscale_exact_and_padding_crop(spark):
+    """Per-8x8-constant 11x5 grayscale (non-multiple-of-8 dims → MCU
+    padding must be cropped before the mean): exact string match."""
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.multimodal.codecs import (
+        decode_jpeg_meta,
+    )
+
+    img = np.zeros((5, 11), dtype=np.uint8)
+    img[:, :8] = 40
+    img[:, 8:] = 200
+    got = decode_jpeg_meta(
+        _media_df(spark, [_jpeg_bytes([img], [(1, 1)], 11, 5)])
+    ).collect()[0]
+    assert (got.ok, got.status, got.width, got.height) == (1, "ok", 11, 5)
+    assert got.n_components == 1
+    assert got.mean_lum == f"{img.mean():.6f}"
+
+
+def test_jpeg_color_444_and_420_exact(spark):
+    """YCbCr 4:4:4 and 4:2:0: the decoder entropy-decodes the
+    interleaved chroma (it cannot be skipped) but reports the Y mean;
+    constant-per-block Y rasters are exact."""
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.multimodal.codecs import (
+        decode_jpeg_meta,
+    )
+
+    y1 = np.full((8, 8), 77, dtype=np.uint8)
+    c1 = np.full((8, 8), 10, dtype=np.uint8)
+    y2 = np.zeros((16, 16), dtype=np.uint8)
+    y2[:8, :8], y2[:8, 8:], y2[8:, :8], y2[8:, 8:] = 10, 60, 130, 220
+    c2 = np.full((8, 8), 200, dtype=np.uint8)
+    df = _media_df(
+        spark,
+        [
+            _jpeg_bytes([y1, c1, c1], [(1, 1)] * 3, 8, 8),
+            _jpeg_bytes([y2, c2, c2], [(2, 2), (1, 1), (1, 1)], 16, 16),
+        ],
+    )
+    got = {r.doc_id: r for r in decode_jpeg_meta(df).collect()}
+    assert got[0].ok == 1 and got[0].n_components == 3
+    assert got[0].mean_lum == f"{y1.mean():.6f}"
+    assert got[1].ok == 1
+    assert got[1].mean_lum == f"{y2.mean():.6f}"
+
+
+def test_jpeg_full_ac_content_and_restarts(spark):
+    """Non-constant raster exercises the AC/ZRL/EOB + zigzag +
+    dequant + IDCT paths (tolerance: DCT rounding); the restart
+    variant must decode to the identical value (DC predictor resets +
+    byte-aligned RSTn segmentation)."""
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.multimodal.codecs import (
+        decode_jpeg_meta,
+    )
+
+    img = (np.arange(16 * 24).reshape(16, 24) * 7 % 256).astype(np.uint8)
+    plain = _jpeg_bytes([img], [(1, 1)], 24, 16)
+    rst = _jpeg_bytes([img], [(1, 1)], 24, 16, restart=2)
+    got = {
+        r.doc_id: r
+        for r in decode_jpeg_meta(_media_df(spark, [plain, rst])).collect()
+    }
+    assert got[0].ok == 1 and got[1].ok == 1
+    assert abs(float(got[0].mean_lum) - img.mean()) < 0.5
+    assert got[0].mean_lum == got[1].mean_lum
+    # quantized variant (a real table's worth of loss) still lands
+    # within a coarse bound — proves dequantization multiplies back
+    q = [16] * 64
+    lossy = _jpeg_bytes([img], [(1, 1)], 24, 16, quant=q)
+    r = decode_jpeg_meta(_media_df(spark, [lossy])).collect()[0]
+    assert r.ok == 1
+    assert abs(float(r.mean_lum) - img.mean()) < 4.0
+
+
+def test_jpeg_quarantine_statuses(spark):
+    """Policy vs corruption vs unsupported — the decode_png_meta
+    status contract applied to JPEG."""
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.multimodal.codecs import (
+        decode_jpeg_meta,
+    )
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    good = _jpeg_bytes([img], [(1, 1)], 8, 8)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)  # SOF2
+    trunc = good[: len(good) - 6]
+    i = good.index(b"\xff\xdb") + 4
+    dqt16 = good[:i] + bytes([0x10]) + good[i + 1:]
+    j = good.index(b"\xff\xc0") + 5
+    huge = good[:j] + struct.pack(">HH", 5000, 5000) + good[j + 4:]
+    k = good.index(b"\xff\xc0") + 11
+    samp4 = good[:k] + bytes([0x44]) + good[k + 1:]
+    # legal 0xFF fill bytes before a marker must still decode
+    fi = good.index(b"\xff\xc0")
+    filled = good[:fi] + b"\xff\xff\xff" + good[fi:]
+    rows = [
+        good, prog, trunc, dqt16, huge, samp4,
+        b"\xff\xd8nope", b"", filled,
+    ]
+    got = {
+        r.doc_id: r
+        for r in decode_jpeg_meta(_media_df(spark, rows)).collect()
+    }
+    assert [got[i].ok for i in range(9)] == [1, 0, 0, 0, 0, 0, 0, 0, 1]
+    assert [got[i].status for i in range(9)] == [
+        "ok", "unsupported", "malformed", "unsupported",
+        "too_large", "unsupported", "malformed", "malformed", "ok",
+    ]
+    assert got[8].mean_lum == got[0].mean_lum
