@@ -173,9 +173,87 @@ def ann_knn_graph_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge recall of BOTH k-NN graph generators against the exact
+    top-3 neighbors, per query vector — the graph tier's acceptance
+    harness as a first-class query (the ann_recall_eval /
+    ann_ivf_recall_eval pattern applied to the graph shape): a
+    deployment choosing between the banded and routed graph
+    generators (BASELINE.md r17 decision rule) reads THIS number at
+    its own scale before switching.
+
+    Exact truth is query-bounded (the ann_cosine_topk vectors,
+    rk ≤ 3), so the eval adds only a ≤ 3·|Q|-row comparison on top
+    of the two generators' own plans; both graph sides restrict to
+    the query vectors' edges.
+
+    Output: (query_id, n_exact, banded_hits, routed_hits,
+    banded_recall, routed_recall) — 6dp recalls; the oracle nests
+    all three committed member oracles verbatim, so the eval can
+    never drift from the operators it evaluates.
+    """
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        ann_knn_graph_ivf,
+    )
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        _N_QUERIES,
+        ann_cosine_topk,
+        ann_knn_graph,
+    )
+
+    exact = (
+        ann_cosine_topk(spark, sf_dir)
+        .where(F.col("rk") <= 3)
+        .select("query_id", "cand_id")
+    )
+    b = (
+        ann_knn_graph(spark, sf_dir)
+        .where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nbr_id").alias("b_hit"),
+        )
+    )
+    i = (
+        ann_knn_graph_ivf(spark, sf_dir)
+        .where(F.col("vec_id") < _N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("nbr_id").alias("i_hit"),
+        )
+    )
+    return (
+        exact.join(
+            b,
+            (exact.query_id == b.query_id) & (exact.cand_id == b.b_hit),
+            "left",
+        )
+        .drop(b.query_id)
+        .join(
+            i,
+            (exact.query_id == i.query_id) & (exact.cand_id == i.i_hit),
+            "left",
+        )
+        .drop(i.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("b_hit").cast("long").alias("banded_hits"),
+            F.count("i_hit").cast("long").alias("routed_hits"),
+            F.round(F.count("b_hit") / F.count("*"), 6).alias(
+                "banded_recall"
+            ),
+            F.round(F.count("i_hit") / F.count("*"), 6).alias(
+                "routed_recall"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "dedup_generator_agreement": dedup_generator_agreement,
     "ann_knn_graph_agreement": ann_knn_graph_agreement,
+    "ann_graph_recall_eval": ann_graph_recall_eval,
 }
 
 ORACLE: dict = {}
@@ -217,6 +295,37 @@ def _register_oracles() -> None:
                     THEN ROUND(n_both / (n_banded + n_ivf - n_both), 6)
                     ELSE CAST(NULL AS DOUBLE) END AS jaccard
         FROM agg
+    """
+
+    from aichemy_data_pipelines_spark.operators.similarity import (
+        _N_QUERIES as _NQ,
+    )
+
+    ORACLE["ann_graph_recall_eval"] = f"""
+        WITH exact_all AS ({_SIM_ORACLE["ann_cosine_topk"]}),
+        exact AS (SELECT * FROM exact_all WHERE rk <= 3),
+        bg AS (
+            SELECT vec_id AS query_id, nbr_id
+            FROM ({_SIM_ORACLE["ann_knn_graph"]})
+            WHERE vec_id < {_NQ}
+        ),
+        ig AS (
+            SELECT vec_id AS query_id, nbr_id
+            FROM ({_IVF_ORACLE["ann_knn_graph_ivf"]})
+            WHERE vec_id < {_NQ}
+        )
+        SELECT e.query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_exact,
+               CAST(COUNT(b.nbr_id) AS BIGINT) AS banded_hits,
+               CAST(COUNT(i.nbr_id) AS BIGINT) AS routed_hits,
+               round(COUNT(b.nbr_id) / COUNT(*), 6) AS banded_recall,
+               round(COUNT(i.nbr_id) / COUNT(*), 6) AS routed_recall
+        FROM exact e
+        LEFT JOIN bg b
+          ON e.query_id = b.query_id AND e.cand_id = b.nbr_id
+        LEFT JOIN ig i
+          ON e.query_id = i.query_id AND e.cand_id = i.nbr_id
+        GROUP BY e.query_id
     """
 
     ORACLE["ann_knn_graph_agreement"] = f"""

@@ -684,6 +684,8 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # graph agreement composes both graph generators verbatim:
     # banded 4 (persisted-sig prints) + routed 6
     "ann_knn_graph_agreement": {"embeddings": 10},
+    # graph recall eval: exact baseline 2 + banded graph 4 + routed 6
+    "ann_graph_recall_eval": {"embeddings": 12},
 }
 
 
