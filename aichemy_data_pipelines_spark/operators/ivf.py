@@ -761,19 +761,26 @@ def screen_verdicts(
 
 def _rank_probes(en: DataFrame, cn: DataFrame, nprobe: int) -> DataFrame:
     """Rank-nprobe probe selection over a whole corpus — every vector's
-    top-``nprobe`` trained-quantizer lists, shared by both IVF-routed
-    corpus operators (``dedup_embedding_ivf`` pairs,
-    ``ann_knn_graph_ivf`` edges). Output carries ALL of ``en``'s
-    columns + ``list_id`` (one row per probe), so consumers never pay
-    a second corpus join-back for the arrays they already routed.
+    top-``nprobe`` trained-quantizer lists as a SLIM routing table
+    ``(vec_id, list_id, prk)``, shared by both IVF-routed corpus
+    operators (``dedup_embedding_ivf`` pairs, ``ann_knn_graph_ivf``
+    edges). The ``prk = 1`` slice IS the quantizer assignment (the
+    exact 8dp argmax ranked over a survivor superset that provably
+    contains it — identical ordering, NULLS-last + lowest-list_id
+    tie-break, to ``_assign``; equality pinned in
+    tests/test_similarity.py::test_rank1_probe_equals_assignment), so
+    a consumer derives its inverted-list MEMBER side from this one
+    frame instead of paying ``_assign``'s second N·K double-scoring
+    crossJoin + window shuffle — at K=1024 that stage is the routing
+    bottleneck, and this halves it.
 
-    ``en`` carries (vec_id, embedding, en=exact norm); ``cn`` carries
-    (list_id, centroid, cn=exact norm), K rows, broadcast. The
-    _assign margin prefilter generalized to rank-nprobe: each vector
-    first scores all K centroids with a plain DOUBLE cosine and only
-    centroids within 1e-6 of its nprobe-th double cosine pay the
-    exact-decimal fold (NULL kth ⇔ zero-norm vector or K < nprobe —
-    keep all; lossless by the same |double − exact| ≲ 3e-12 vs 5e-9
+    ``en`` carries (vec_id, [label,] embedding, en=exact norm); ``cn``
+    carries (list_id, centroid, cn=exact norm), K rows, broadcast.
+    The _assign margin prefilter generalized to rank-nprobe: each
+    vector first scores all K centroids with a plain DOUBLE cosine
+    and only centroids within 1e-6 of its nprobe-th double cosine pay
+    the exact-decimal fold (NULL kth ⇔ zero-norm vector or K < nprobe
+    — keep all; lossless by the same |double − exact| ≲ 3e-12 vs 5e-9
     rounding-granularity margin, pinned in
     tests/test_margin_prefilters.py)."""
     from aichemy_data_pipelines_spark.functions.vectors import spark_dot
@@ -810,7 +817,7 @@ def _rank_probes(en: DataFrame, cn: DataFrame, nprobe: int) -> DataFrame:
         )
         .withColumn("prk", F.row_number().over(wq))
         .where(F.col("prk") <= nprobe)
-        .select(*en.columns, "list_id")
+        .select("vec_id", "list_id", "prk")
     )
 
 
@@ -830,7 +837,13 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the probe ranking is the shared ``_rank_probes`` (the
     _assign lossless double-cosine prefilter generalized to
-    rank-nprobe); the candidate join is ONE equi-join on list_id with
+    rank-nprobe), localCheckpointed as a SLIM (vec_id, list_id, prk)
+    routing table — its prk=1 slice doubles as the quantizer
+    assignment, so the member side needs NO second N·K scoring pass
+    (r17; see _rank_probes), and the checkpoint stops the two
+    references from re-embedding the rank stage's lineage (the
+    lines_ops rationale); the candidate join is ONE equi-join on
+    list_id with
     expected fanout N·nprobe·_TARGET_LIST; each raw candidate pays a
     plain double cosine and only pairs within 1e-6 of the threshold
     pay the exact fold (the ann_incremental_screen margin recipe —
@@ -852,7 +865,9 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = corpus_list_count(spark, sf_dir)
     nprobe = n_probe(k)
-    cents, lists = _kmeans(spark, sf_dir, k=k)
+    # lists (the second _assign pass) is intentionally unused: the
+    # routing table's prk=1 slice is the assignment (see _rank_probes)
+    cents, _lists = _kmeans(spark, sf_dir, k=k)
     e = load_table(spark, sf_dir, "embeddings").transform(
         spread_small_input
     )
@@ -861,7 +876,8 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
     cn = cents.withColumn("cn", F.expr(cnorm))
-    probes = _rank_probes(en, cn, nprobe).select(
+    routing = _rank_probes(en, cn, nprobe).localCheckpoint()
+    probes = routing.drop("prk").join(en, "vec_id").select(
         "vec_id",
         "label",
         F.col("embedding").alias("va"),
@@ -869,19 +885,16 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "list_id",
     )
     m = (
-        lists.join(
-            load_table(spark, sf_dir, "embeddings").select(
-                "vec_id", "label"
-            ),
-            "vec_id",
-        )
+        routing.where(F.col("prk") == 1)
+        .drop("prk")
+        .join(en, "vec_id")
         .select(
             F.col("vec_id").alias("nbr_id"),
             F.col("label").alias("nbr_label"),
             F.col("embedding").alias("vb"),
+            F.col("en").alias("nb"),
             "list_id",
         )
-        .withColumn("nb", F.expr(f"sqrt({spark_dot_exact('vb', 'vb')})"))
     )
     dot = spark_dot_exact("va", "vb")
     return (
@@ -957,26 +970,32 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     k = corpus_list_count(spark, sf_dir)
     nprobe = n_probe(k)
-    cents, lists = _kmeans(spark, sf_dir, k=k)
+    # lists (the second _assign pass) is intentionally unused: the
+    # routing table's prk=1 slice is the assignment (see _rank_probes)
+    cents, _lists = _kmeans(spark, sf_dir, k=k)
     e = load_table(spark, sf_dir, "embeddings").transform(
         spread_small_input
     )
     en = e.select("vec_id", "embedding").withColumn("en", F.expr(_NORM))
     cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
     cn = cents.withColumn("cn", F.expr(cnorm))
-    a = _rank_probes(en, cn, nprobe).select(
+    routing = _rank_probes(en, cn, nprobe).localCheckpoint()
+    a = routing.drop("prk").join(en, "vec_id").select(
         "vec_id",
         F.col("embedding").alias("va"),
         F.col("en").alias("na"),
         "list_id",
     )
     b = (
-        lists.select(
+        routing.where(F.col("prk") == 1)
+        .drop("prk")
+        .join(en, "vec_id")
+        .select(
             F.col("vec_id").alias("nbr_id"),
             F.col("embedding").alias("vb"),
+            F.col("en").alias("nb"),
             "list_id",
         )
-        .withColumn("nb", F.expr(f"sqrt({spark_dot_exact('vb', 'vb')})"))
     )
     # candidate pass: one DOUBLE fold per raw candidate; try_divide —
     # a zero-norm vector's candidates score NULL and drop here (the

@@ -670,22 +670,24 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     # token-report branches + the training-split tokenize pass
     "decontam_source_rollup": {"documents": 3},
     "ann_incremental_screen": {"embeddings": 4},  # r14: +assign join-back
-    # r16: quantizer assign (2: prefilter + join-back) + probe ranking
-    # (2: prefilter + exact join-back) + the member-label join — all
-    # slim-column scans; candidates remain ONE equi-join on list_id
-    "dedup_embedding_ivf": {"embeddings": 5},
+    # r17: the rank-nprobe routing table is localCheckpointed SLIM
+    # (vec_id, list_id, prk) and its prk=1 slice doubles as the
+    # quantizer assignment (no second N·K scoring pass) — the rank
+    # stage's own scans happen at checkpoint time; the final plan
+    # pays only the probe-side and member-side array join-backs
+    "dedup_embedding_ivf": {"embeddings": 2},
     # the agreement eval composes both generators' plans verbatim:
-    # banded 4 (persisted-sig prints) + ivf 5
-    "dedup_generator_agreement": {"embeddings": 9},
-    # r17 routed graph: quantizer assign (2: prefilter + join-back) +
-    # probe ranking (2, arrays carried through — no second corpus
-    # join-back) + the exact re-rank's two survivor join-backs
-    "ann_knn_graph_ivf": {"embeddings": 6},
+    # banded 4 (persisted-sig prints) + routed 2
+    "dedup_generator_agreement": {"embeddings": 6},
+    # r17 routed graph: shared routing checkpoint (see
+    # dedup_embedding_ivf) + the exact re-rank's two survivor
+    # join-backs
+    "ann_knn_graph_ivf": {"embeddings": 4},
     # graph agreement composes both graph generators verbatim:
-    # banded 4 (persisted-sig prints) + routed 6
-    "ann_knn_graph_agreement": {"embeddings": 10},
-    # graph recall eval: exact baseline 2 + banded graph 4 + routed 6
-    "ann_graph_recall_eval": {"embeddings": 12},
+    # banded 4 (persisted-sig prints) + routed 4
+    "ann_knn_graph_agreement": {"embeddings": 8},
+    # graph recall eval: exact baseline 2 + banded graph 4 + routed 4
+    "ann_graph_recall_eval": {"embeddings": 10},
 }
 
 

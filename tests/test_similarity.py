@@ -658,6 +658,45 @@ def test_knn_graph_ivf_routing_shape_and_recall(spark):
     assert recall >= 0.4, f"routed graph recall collapsed: {recall:.3f}"
 
 
+def test_rank1_probe_equals_assignment(spark):
+    """The r17 routing-table sharing contract: _rank_probes' prk=1
+    slice must equal _assign's quantizer assignment vector-for-vector
+    (the routed corpus ops derive their inverted-list MEMBER side
+    from it instead of paying a second N·K scoring pass). Both rank
+    the same exact 8dp cosines with the same NULLS-last +
+    lowest-list_id tie-break over survivor sets that provably contain
+    the exact argmax."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _NORM,
+        _kmeans,
+        _rank_probes,
+        corpus_list_count,
+        n_probe,
+    )
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+    )
+
+    k = corpus_list_count(spark, SF_SMOKE)
+    cents, lists = _kmeans(spark, SF_SMOKE, k=k)
+    en = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("en", F.expr(_NORM))
+    )
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    cn = cents.withColumn("cn", F.expr(cnorm))
+    routing = _rank_probes(en, cn, n_probe(k))
+    top1 = {
+        r.vec_id: r.list_id
+        for r in routing.where(F.col("prk") == 1).collect()
+    }
+    assign = {r.vec_id: r.list_id for r in lists.collect()}
+    assert top1 == assign
+
+
 def test_agreement_empty_near_dup_corpus(spark, tmp_path):
     """r16 ADVICE #2: on a corpus where BOTH near-dup generators emit
     zero pairs, the agreement evals must return (0, 0, 0, NULL) — the
