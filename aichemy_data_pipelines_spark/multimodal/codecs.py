@@ -556,6 +556,72 @@ JPEG_META_SCHEMA = StructType(
 )
 
 
+
+#: JPEG zigzag scan order (T.81 Figure 5) — module-level so the Arrow
+#: worker builds the decode machinery once per interpreter, not per
+#: payload
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
+    28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
+    37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
+    54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_idct_basis():
+    """IDCT basis C with C[u,x] = c(u)/2 * cos((2x+1)u*pi/16)
+    (f = C^T F C) — built once, cached on the function object (numpy
+    import deferred so importing this module never requires it)."""
+    cached = getattr(_jpeg_idct_basis, "_c", None)
+    if cached is None:
+        import numpy as np
+
+        xs = np.arange(8)
+        cached = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
+        cached *= 0.5
+        cached[0, :] *= 1 / np.sqrt(2.0)
+        _jpeg_idct_basis._c = cached
+    return cached
+
+
+class _JpegBits:
+    __slots__ = ("d", "p", "n")
+
+    def __init__(self, d: bytes):
+        self.d, self.p, self.n = d, 0, len(d)
+
+    def bit(self) -> int:
+        byte = self.p >> 3
+        if byte >= self.n:
+            raise ValueError("bit starve")
+        v = (self.d[byte] >> (7 - (self.p & 7))) & 1
+        self.p += 1
+        return v
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_huffdec(bits: _JpegBits, lut: dict) -> int:
+    ln, code = 0, 0
+    while ln < 16:
+        code = (code << 1) | bits.bit()
+        ln += 1
+        sym = lut.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("huffman overrun")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    # JPEG F.2.2.1 sign extension of a t-bit magnitude
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
 def _jpeg_one(doc_id: int, b: bytes) -> dict:
     """Decode ONE baseline JPEG payload to (dims, mean luminance).
 
@@ -691,6 +757,18 @@ def _jpeg_one(doc_id: int, b: bytes) -> dict:
                 return bad()
             order.append((ch, cv, qt[tq], huff[(0, td)], huff[(1, ta)]))
         y_idx = 0  # Y/grey is scan component 0 in both supported modes
+        if len(order) == 1:
+            # T.81 A.2: a SINGLE-component scan is NON-interleaved —
+            # one 8x8 data unit per MCU, ceil(w/8)*ceil(h/8) units,
+            # sampling factors ignored — so a valid grayscale JPEG
+            # declaring Hi=Vi=2 carries the SAME bitstream as one
+            # declaring 1x1 (r17 review; pinned by the patched-
+            # sampling-byte case in tests/test_real_codecs.py).
+            # Treating it as an interleaved 2x2-blocks-per-MCU grid
+            # would read 4x the data units and bit-starve.
+            ch, cv, q0, dl, al = order[0]
+            order = [(1, 1, q0, dl, al)]
+            hmax = vmax = 1
 
         # de-stuff the entropy stream; RSTn markers both segment the
         # stream and byte-align it
@@ -713,53 +791,8 @@ def _jpeg_one(doc_id: int, b: bytes) -> dict:
             i += 1
         segments.append(bytes(cur))
 
-        zigzag = [
-            0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-            12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21,
-            28, 35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30,
-            37, 44, 51, 58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61,
-            54, 47, 55, 62, 63,
-        ]
-        # IDCT basis: f = C^T F C, C[u,x] = c(u)/2 * cos((2x+1)u*pi/16)
-        xs = np.arange(8)
-        cmat = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16)
-        cmat *= 0.5
-        cmat[0, :] *= 1 / np.sqrt(2.0)
-
-        class Bits:
-            __slots__ = ("d", "p", "n")
-
-            def __init__(self, d: bytes):
-                self.d, self.p, self.n = d, 0, len(d)
-
-            def bit(self) -> int:
-                byte = self.p >> 3
-                if byte >= self.n:
-                    raise ValueError("bit starve")
-                v = (self.d[byte] >> (7 - (self.p & 7))) & 1
-                self.p += 1
-                return v
-
-            def bits(self, k: int) -> int:
-                v = 0
-                for _ in range(k):
-                    v = (v << 1) | self.bit()
-                return v
-
-        def huffdec(bits: Bits, lut: dict) -> int:
-            ln, code = 0, 0
-            while ln < 16:
-                code = (code << 1) | bits.bit()
-                ln += 1
-                sym = lut.get((ln, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("huffman overrun")
-
-        def extend(v: int, t: int) -> int:
-            # JPEG F.2.2.1 sign extension of a t-bit magnitude
-            return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
-
+        zigzag = _JPEG_ZIGZAG
+        cmat = _jpeg_idct_basis()
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
         n_mcu = mcux * mcuy
@@ -768,27 +801,27 @@ def _jpeg_one(doc_id: int, b: bytes) -> dict:
         yw, yhh = mcux * yh * 8, mcuy * yv * 8
         yplane = np.zeros((yhh, yw), dtype=np.float64)
         pred = [0] * len(order)
-        seg_i, bits = 0, Bits(segments[0])
+        seg_i, bits = 0, _JpegBits(segments[0])
         per_seg = restart_interval or n_mcu
         for m in range(n_mcu):
             if m and restart_interval and m % per_seg == 0:
                 seg_i += 1
                 if seg_i >= len(segments):
                     return bad()
-                bits = Bits(segments[seg_i])
+                bits = _JpegBits(segments[seg_i])
                 pred = [0] * len(order)
             my, mx = divmod(m, mcux)
             for ci, (ch, cv, q, dlut, alut) in enumerate(order):
                 for by in range(cv):
                     for bx in range(ch):
-                        t = huffdec(bits, dlut)
-                        diff = extend(bits.bits(t), t) if t else 0
+                        t = _jpeg_huffdec(bits, dlut)
+                        diff = _jpeg_extend(bits.bits(t), t) if t else 0
                         pred[ci] += diff
                         coef = [0] * 64
                         coef[0] = pred[ci]
                         k = 1
                         while k < 64:
-                            rs = huffdec(bits, alut)
+                            rs = _jpeg_huffdec(bits, alut)
                             r, s = rs >> 4, rs & 0xF
                             if s == 0:
                                 if r == 15:
@@ -798,7 +831,7 @@ def _jpeg_one(doc_id: int, b: bytes) -> dict:
                             k += r
                             if k > 63:
                                 raise ValueError("AC overrun")
-                            coef[k] = extend(bits.bits(s), s)
+                            coef[k] = _jpeg_extend(bits.bits(s), s)
                             k += 1
                         if ci != y_idx:
                             continue  # chroma: entropy-decoded, dropped

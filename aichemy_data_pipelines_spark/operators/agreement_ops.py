@@ -13,6 +13,73 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+
+def _set_agreement(b: DataFrame, i: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared agreement aggregate: full-outer join two marker frames
+    (``in_b`` / ``in_i`` literals) on ``keys`` → one row
+    (n_banded, n_ivf, n_both, jaccard). Counts coalesce to 0 OUTSIDE
+    the sums too (r16 ADVICE #2: on an empty union the join is EMPTY
+    and SUM over zero rows is NULL while the DuckDB twin's scalar
+    COUNTs say 0), and jaccard of two empty sets is an explicit NULL
+    in lockstep with _SQL_AGREEMENT_TAIL — without the guard the
+    empty case is 0/0: an ANSI DIVIDE_BY_ZERO crash here, an
+    engine-dependent value in the oracle."""
+    return (
+        b.join(i, keys, "full_outer")
+        .agg(
+            F.coalesce(F.sum(F.coalesce("in_b", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_banded"),
+            F.coalesce(F.sum(F.coalesce("in_i", F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("n_ivf"),
+            F.coalesce(
+                F.sum(
+                    (
+                        F.col("in_b").isNotNull()
+                        & F.col("in_i").isNotNull()
+                    ).cast("long")
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_both"),
+        )
+        .select(
+            "n_banded",
+            "n_ivf",
+            "n_both",
+            F.when(
+                F.col("n_banded") + F.col("n_ivf") - F.col("n_both") > 0,
+                F.round(
+                    F.col("n_both")
+                    / (
+                        F.col("n_banded")
+                        + F.col("n_ivf")
+                        - F.col("n_both")
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(None).cast("double"))
+            .alias("jaccard"),
+        )
+    )
+
+
+#: the oracle twin of _set_agreement's count/jaccard tail — reads an
+#: ``agg(n_banded, n_ivf, n_both)`` CTE
+_SQL_AGREEMENT_TAIL = """
+        SELECT CAST(n_banded AS BIGINT) AS n_banded,
+               CAST(n_ivf AS BIGINT) AS n_ivf,
+               CAST(n_both AS BIGINT) AS n_both,
+               CASE WHEN n_banded + n_ivf - n_both > 0
+                    THEN ROUND(n_both / (n_banded + n_ivf - n_both), 6)
+                    ELSE CAST(NULL AS DOUBLE) END AS jaccard
+        FROM agg
+"""
+
+
 def dedup_generator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pair-set agreement between the TWO near-dup candidate
     generators — banded-LSH (dedup.dedup_embedding_cosine) and
@@ -45,55 +112,7 @@ def dedup_generator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = dedup_embedding_ivf(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("in_i")
     )
-    return (
-        b.join(i, ["id_a", "id_b"], "full_outer")
-        .agg(
-            # coalesce OUTSIDE the sums too (r16 ADVICE #2): on an
-            # empty-near-dup corpus the full-outer join is EMPTY and
-            # SUM over zero rows is NULL — the DuckDB twin's scalar
-            # COUNTs return 0 there, so the counts must too
-            F.coalesce(F.sum(F.coalesce("in_b", F.lit(0))), F.lit(0))
-            .cast("long")
-            .alias("n_banded"),
-            F.coalesce(F.sum(F.coalesce("in_i", F.lit(0))), F.lit(0))
-            .cast("long")
-            .alias("n_ivf"),
-            F.coalesce(
-                F.sum(
-                    (
-                        F.col("in_b").isNotNull()
-                        & F.col("in_i").isNotNull()
-                    ).cast("long")
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_both"),
-        )
-        .select(
-            "n_banded",
-            "n_ivf",
-            "n_both",
-            # jaccard of two empty sets is explicitly NULL (undefined)
-            # in BOTH engines — without the guard the empty-union case
-            # is 0/0: an ANSI DIVIDE_BY_ZERO crash here, an
-            # engine-dependent value in the oracle
-            F.when(
-                F.col("n_banded") + F.col("n_ivf") - F.col("n_both") > 0,
-                F.round(
-                    F.col("n_both")
-                    / (
-                        F.col("n_banded")
-                        + F.col("n_ivf")
-                        - F.col("n_both")
-                    ),
-                    6,
-                ),
-            )
-            .otherwise(F.lit(None).cast("double"))
-            .alias("jaccard"),
-        )
-    )
+    return _set_agreement(b, i, ["id_a", "id_b"])
 
 
 def ann_knn_graph_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,47 +149,7 @@ def ann_knn_graph_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = ann_knn_graph_ivf(spark, sf_dir).select(
         "vec_id", "nbr_id", F.lit(1).alias("in_i")
     )
-    return (
-        b.join(i, ["vec_id", "nbr_id"], "full_outer")
-        .agg(
-            F.coalesce(F.sum(F.coalesce("in_b", F.lit(0))), F.lit(0))
-            .cast("long")
-            .alias("n_banded"),
-            F.coalesce(F.sum(F.coalesce("in_i", F.lit(0))), F.lit(0))
-            .cast("long")
-            .alias("n_ivf"),
-            F.coalesce(
-                F.sum(
-                    (
-                        F.col("in_b").isNotNull()
-                        & F.col("in_i").isNotNull()
-                    ).cast("long")
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_both"),
-        )
-        .select(
-            "n_banded",
-            "n_ivf",
-            "n_both",
-            F.when(
-                F.col("n_banded") + F.col("n_ivf") - F.col("n_both") > 0,
-                F.round(
-                    F.col("n_both")
-                    / (
-                        F.col("n_banded")
-                        + F.col("n_ivf")
-                        - F.col("n_both")
-                    ),
-                    6,
-                ),
-            )
-            .otherwise(F.lit(None).cast("double"))
-            .alias("jaccard"),
-        )
-    )
+    return _set_agreement(b, i, ["vec_id", "nbr_id"])
 
 
 def ann_graph_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -288,13 +267,7 @@ def _register_oracles() -> None:
                  JOIN ivfp i ON b.id_a = i.id_a AND b.id_b = i.id_b)
                   AS n_both
         )
-        SELECT CAST(n_banded AS BIGINT) AS n_banded,
-               CAST(n_ivf AS BIGINT) AS n_ivf,
-               CAST(n_both AS BIGINT) AS n_both,
-               CASE WHEN n_banded + n_ivf - n_both > 0
-                    THEN ROUND(n_both / (n_banded + n_ivf - n_both), 6)
-                    ELSE CAST(NULL AS DOUBLE) END AS jaccard
-        FROM agg
+        {_SQL_AGREEMENT_TAIL}
     """
 
     from aichemy_data_pipelines_spark.operators.similarity import (
@@ -339,13 +312,7 @@ def _register_oracles() -> None:
                  JOIN ivfg i ON b.vec_id = i.vec_id
                             AND b.nbr_id = i.nbr_id) AS n_both
         )
-        SELECT CAST(n_banded AS BIGINT) AS n_banded,
-               CAST(n_ivf AS BIGINT) AS n_ivf,
-               CAST(n_both AS BIGINT) AS n_both,
-               CASE WHEN n_banded + n_ivf - n_both > 0
-                    THEN ROUND(n_both / (n_banded + n_ivf - n_both), 6)
-                    ELSE CAST(NULL AS DOUBLE) END AS jaccard
-        FROM agg
+        {_SQL_AGREEMENT_TAIL}
     """
 
 

@@ -855,9 +855,11 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: training is driver-bounded (module docstring); probe
     scoring is N·K double folds against a broadcast K-row centroid
-    table; candidates stay ~N·nprobe·_TARGET_LIST with nprobe ∝
-    √K — no term quadratic in N, no term growing with the banded
-    tier's plane count.
+    table, run ONCE for both sides (the shared routing table);
+    candidates stay ~N·nprobe·_TARGET_LIST with nprobe the frozen
+    _NPROBE_BY_K rule (∝ K^0.8 — r17, replacing the decaying √K
+    heuristic) — no term quadratic in N, no term growing with the
+    banded tier's plane count.
 
     Output: (label, id_a, id_b, cosine) — id_a < id_b.
     """
@@ -1328,10 +1330,17 @@ ORACLE = {
             FROM expl GROUP BY vec_id, nbr_id
         )
         SELECT vec_id, rk, nbr_id, cosine FROM (
+            -- cosine IS NOT NULL: a zero-norm vector divides to NULL
+            -- in DuckDB, and the Spark side DROPS NULL-dcos
+            -- candidates before ranking (the r16 try_divide
+            -- hardening) — without this filter the oracle would rank
+            -- NULL-cosine edges into the top-k on a degenerate
+            -- corpus (r17 review); parity on the zero-norm corpus is
+            -- pinned in test_zero_norm_vectors_do_not_crash_near_dup
             SELECT vec_id, nbr_id, cosine,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY cosine DESC, nbr_id) AS rk
-            FROM cos) t
+            FROM cos WHERE cosine IS NOT NULL) t
         WHERE rk <= {_KNN_K}
     """,
     "embeddings_cluster_outliers": f"""

@@ -740,10 +740,16 @@ ORACLE = {
             FROM expl GROUP BY vec_id, nbr_id
         )
         SELECT vec_id, rk, nbr_id, cosine FROM (
+            -- cosine IS NOT NULL: the Spark candidate pass DROPS
+            -- NULL-dcos rows (r16 try_divide hardening — a zero-norm
+            -- vector emits no edges), while DuckDB's 0-division
+            -- yields NULL and would otherwise RANK those rows into
+            -- the top-k on a degenerate corpus (r17 review); parity
+            -- pinned on the zero-norm corpus in tests
             SELECT vec_id, nbr_id, cosine,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY cosine DESC, nbr_id) AS rk
-            FROM cos) t
+            FROM cos WHERE cosine IS NOT NULL) t
         WHERE rk <= {_KNN_K}
     """,
 }

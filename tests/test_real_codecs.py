@@ -473,12 +473,23 @@ def test_jpeg_grayscale_exact_and_padding_crop(spark):
     img = np.zeros((5, 11), dtype=np.uint8)
     img[:, :8] = 40
     img[:, 8:] = 200
-    got = decode_jpeg_meta(
-        _media_df(spark, [_jpeg_bytes([img], [(1, 1)], 11, 5)])
-    ).collect()[0]
-    assert (got.ok, got.status, got.width, got.height) == (1, "ok", 11, 5)
-    assert got.n_components == 1
-    assert got.mean_lum == f"{img.mean():.6f}"
+    payload = _jpeg_bytes([img], [(1, 1)], 11, 5)
+    # T.81 A.2: a single-component scan is NON-interleaved — sampling
+    # factors are ignored, so the same bitstream with the SOF
+    # sampling byte patched 1x1 -> 2x2 must decode identically
+    # (an interleaved reading would bit-starve on 4x the data units)
+    si = payload.index(b"\xff\xc0") + 11
+    patched = payload[:si] + bytes([0x22]) + payload[si + 1:]
+    got = {
+        r.doc_id: r
+        for r in decode_jpeg_meta(
+            _media_df(spark, [payload, patched])
+        ).collect()
+    }
+    for r in (got[0], got[1]):
+        assert (r.ok, r.status, r.width, r.height) == (1, "ok", 11, 5)
+        assert r.n_components == 1
+        assert r.mean_lum == f"{img.mean():.6f}"
 
 
 def test_jpeg_color_444_and_420_exact(spark):

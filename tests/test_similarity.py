@@ -1225,4 +1225,35 @@ def test_zero_norm_vectors_do_not_crash_near_dup_generators(spark, tmp_path):
         r.vec_id: r for r in ann_incremental_screen(spark, sf).collect()
     }
     assert 0 in verdicts and verdicts[0].n_corpus_matches == 0
+
+    # oracle lockstep on the DEGENERATE corpus (r17 review): DuckDB's
+    # 0-division yields NULL, and without the graph oracles' cosine
+    # IS NOT NULL filter those NULL rows would RANK into the top-k
+    # while Spark drops them — run both engines on this corpus and
+    # compare exactly like the driver does
+    import duckdb
+
+    from aichemy_data_pipelines_spark.operators import (
+        agreement_ops,
+        ivf,
+        similarity,
+    )
+    from tests.driver_canon import canon, rep
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    for mod, name in (
+        (similarity, "ann_knn_graph"),
+        (ivf, "ann_knn_graph_ivf"),
+        (ivf, "dedup_embedding_ivf"),
+        (agreement_ops, "ann_knn_graph_agreement"),
+    ):
+        sdf = mod.QUERIES[name](spark, sf).toPandas()
+        odf = con.sql(mod.ORACLE[name]).df()
+        assert rep(canon(sdf)) == rep(canon(odf)), (
+            f"{name}: Spark/DuckDB diverge on the zero-norm corpus"
+        )
     release_sig_frames()  # tmp-dir frames must not outlive the test
