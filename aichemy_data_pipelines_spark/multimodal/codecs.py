@@ -668,7 +668,12 @@ def _jpeg_one(doc_id: int, b: bytes) -> dict:
             if marker == 0xFF:  # legal fill byte before a marker
                 pos += 1
                 continue
-            if marker == 0xD8 or (0xD0 <= marker <= 0xD7):
+            if marker == 0xD8 or marker == 0x01 or (
+                0xD0 <= marker <= 0xD7
+            ):
+                # standalone (parameterless) markers: SOI, TEM (0x01,
+                # r17 ADVICE — reserved-for-temporary, legal in a
+                # conformant stream), RSTn
                 pos += 2
                 continue
             if marker == 0xD9:  # EOI before SOS
@@ -756,7 +761,16 @@ def _jpeg_one(doc_id: int, b: bytes) -> dict:
             if (0, td) not in huff or (1, ta) not in huff or tq not in qt:
                 return bad()
             order.append((ch, cv, qt[tq], huff[(0, td)], huff[(1, ta)]))
-        y_idx = 0  # Y/grey is scan component 0 in both supported modes
+        # Y/grey is scan component 0 in both supported modes — but
+        # that holds only under the JFIF YCbCr convention (component
+        # ids 1=Y, 2=Cb, 3=Cr in scan order). A conformant SOF0 file
+        # in a different 3-component color space (Adobe RGB, ids
+        # 'R','G','B') or unconventional ordering would otherwise
+        # decode "ok" while reporting the WRONG channel's mean as
+        # mean_lum (r17 ADVICE #1) — gate it to ``unsupported``.
+        if len(scomps) == 3 and [s[0] for s in scomps] != [1, 2, 3]:
+            return bad("unsupported")
+        y_idx = 0
         if len(order) == 1:
             # T.81 A.2: a SINGLE-component scan is NON-interleaved —
             # one 8x8 data unit per MCU, ceil(w/8)*ceil(h/8) units,

@@ -70,10 +70,18 @@ def graph_mode(sf: str) -> None:
         block = vn[lo:hi] @ vn.T
         for i in range(hi - lo):
             block[i, lo + i] = -2.0
-        top = np.argpartition(-block, 3, axis=1)[:, :3]
         for i in range(hi - lo):
+            # deterministic top-3 (r17 ADVICE #3): argpartition alone
+            # breaks cosine ties arbitrarily, wobbling recall numbers
+            # run-to-run on corpora with tied cosines — gather ALL
+            # indices tied with the 3rd-largest cosine, then order by
+            # (-cos, id), matching the operators' nbr_id tie-break
+            row = block[i]
+            third = np.partition(row, -3)[-3]
+            cand = np.flatnonzero(row >= third)
+            top = cand[np.lexsort((ids[cand], -row[cand]))[:3]]
             src = int(ids[lo + i])
-            for j in top[i]:
+            for j in top:
                 truth.add((src, int(ids[j])))
     print(f"truth: {len(truth)} exact top-3 edges ({time.time()-t0:.0f}s)")
     print(f"{'path':>8} | {'edge_recall':>11} | {'wall_s':>7}")

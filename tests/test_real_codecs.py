@@ -587,3 +587,45 @@ def test_jpeg_quarantine_statuses(spark):
         "too_large", "unsupported", "malformed", "malformed", "ok",
     ]
     assert got[8].mean_lum == got[0].mean_lum
+
+
+def test_jpeg_tem_marker_and_non_ycbcr_gate(spark):
+    """r17 ADVICE #1/#2: (a) a standalone TEM marker (0xFF01) between
+    header segments is parameterless and legal — the decoder must
+    skip it like SOI/RSTn, not parse a bogus length and reject the
+    file; (b) a 3-component SOF0 whose component ids are NOT the
+    JFIF YCbCr convention (1,2,3) — e.g. Adobe 'R','G','B' — must
+    quarantine as ``unsupported`` instead of decoding "ok" with the
+    wrong channel's mean reported as mean_lum."""
+    import numpy as np
+
+    from aichemy_data_pipelines_spark.multimodal.codecs import (
+        decode_jpeg_meta,
+    )
+
+    img = np.full((8, 8), 99, dtype=np.uint8)
+    good = _jpeg_bytes([img], [(1, 1)], 8, 8)
+    fi = good.index(b"\xff\xc0")
+    tem = good[:fi] + b"\xff\x01" + good[fi:]
+
+    y = np.full((8, 8), 77, dtype=np.uint8)
+    c = np.full((8, 8), 10, dtype=np.uint8)
+    color = _jpeg_bytes([y, c, c], [(1, 1)] * 3, 8, 8)
+    # patch component ids 1,2,3 -> 'R','G','B' in BOTH SOF and SOS
+    si = color.index(b"\xff\xc0") + 10  # first comp id in SOF
+    rgb = bytearray(color)
+    for ci, cid in enumerate(b"RGB"):
+        rgb[si + 3 * ci] = cid
+    ss = color.index(b"\xff\xda") + 5  # first comp id in SOS
+    for ci, cid in enumerate(b"RGB"):
+        rgb[ss + 2 * ci] = cid
+    got = {
+        r.doc_id: r
+        for r in decode_jpeg_meta(
+            _media_df(spark, [tem, bytes(rgb), color])
+        ).collect()
+    }
+    assert (got[0].ok, got[0].status) == (1, "ok")
+    assert got[0].mean_lum == f"{img.mean():.6f}"
+    assert (got[1].ok, got[1].status) == (0, "unsupported")
+    assert (got[2].ok, got[2].status) == (1, "ok")  # control

@@ -697,6 +697,77 @@ def test_rank1_probe_equals_assignment(spark):
     assert top1 == assign
 
 
+def test_rank_probes_mapside_equals_shuffle(spark):
+    """r18 (r17 verdict #1): the map-side HOF probe routing must be
+    BIT-IDENTICAL, (vec_id, list_id, prk) for (vec_id, list_id, prk),
+    to the retained crossJoin + two-window reference twin
+    ``_rank_probes_shuffle`` — same double-cosine prefilter order
+    (DESC NULLS LAST, list_id tie-break), same 1e-6 margin, same 8dp
+    exact-fold ranking. Covers the corpus at the shipped nprobe AND
+    the edge cases: a zero-norm vector (all-NULL cosines → the
+    nprobe lowest list_ids), and nprobe > K (kth undefined → every
+    list survives, all K emitted)."""
+    from pyspark.sql import functions as F
+
+    from aichemy_data_pipelines_spark.functions.vectors import (
+        spark_dot_exact,
+    )
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _NORM,
+        _kmeans,
+        _rank_probes,
+        _rank_probes_shuffle,
+        corpus_list_count,
+        n_probe,
+    )
+
+    k = corpus_list_count(spark, SF_SMOKE)
+    cents, _ = _kmeans(spark, SF_SMOKE, k=k)
+    en = (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .withColumn("en", F.expr(_NORM))
+    )
+    cnorm = f"sqrt({spark_dot_exact('centroid', 'centroid')})"
+    cn = cents.withColumn("cn", F.expr(cnorm))
+    nprobe = n_probe(k)
+    new = sorted(
+        map(tuple, _rank_probes(en, cn, nprobe).collect())
+    )
+    old = sorted(
+        map(tuple, _rank_probes_shuffle(en, cn, nprobe).collect())
+    )
+    assert new and new == old
+
+    # edge cases on a synthetic 3-vector corpus: vec 1 aligned with
+    # list 1, vec 2 with list 2, vec 3 zero-norm
+    edge = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [0.0, 0.0]),
+        ],
+        "vec_id int, embedding array<float>",
+    ).withColumn("en", F.expr(_NORM))
+    ecn = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "list_id int, centroid array<double>",
+    ).withColumn("cn", F.expr(cnorm))
+    for np_ in (1, 2, 5):  # 5 > K=2: kth undefined, all lists emit
+        got = sorted(map(tuple, _rank_probes(edge, ecn, np_).collect()))
+        ref = sorted(
+            map(tuple, _rank_probes_shuffle(edge, ecn, np_).collect())
+        )
+        assert got == ref, (np_, got, ref)
+    # the zero-norm vector routes to the lowest list_ids in order
+    z = sorted(
+        (r.prk, r.list_id)
+        for r in _rank_probes(edge, ecn, 2).collect()
+        if r.vec_id == 3
+    )
+    assert z == [(1, 1), (2, 2)]
+
+
 def test_agreement_empty_near_dup_corpus(spark, tmp_path):
     """r16 ADVICE #2: on a corpus where BOTH near-dup generators emit
     zero pairs, the agreement evals must return (0, 0, 0, NULL) — the
