@@ -862,8 +862,12 @@ ORACLE["decontam_source_rollup"] = f"""
     GROUP BY tr.source
 """
 
-ORACLE["corpus_curation_funnel"] = f"""
-        WITH flags AS (
+# the curation flags + final-verdict CTE chain, shared between the
+# funnel oracle and export_ops' contamination-aware packing oracle
+# (r18) so the two compose the SAME per-stage definitions — emits
+# ``fin(source, doc_id, ws, q_keep, is_eval, contam, dedup_keep,
+# final)``
+_SQL_FIN = f"""flags AS (
             SELECT d.source, d.doc_id, len({_T}) AS ws,
                    COALESCE(q.keep, FALSE) AS q_keep,
                    d.doc_id % {_EVAL_MOD} = 0 AS is_eval,
@@ -881,7 +885,10 @@ ORACLE["corpus_curation_funnel"] = f"""
                    q_keep AND NOT is_eval AND NOT contam AND dedup_keep
                      AS final
             FROM flags
-        )
+        )"""
+
+ORACLE["corpus_curation_funnel"] = f"""
+        WITH {_SQL_FIN}
         SELECT source,
                COUNT(*) AS n_raw,
                CAST(SUM(CASE WHEN NOT q_keep THEN 1 ELSE 0 END) AS BIGINT)

@@ -87,9 +87,67 @@ def corpus_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_packing_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-aware packing (r17 verdict #6b): the _CTX-token
+    packing plan computed over ONLY the documents the curation funnel
+    keeps — ``corpus_packing_plan`` packs every document
+    independently of curation, so a benchmark-contaminated or
+    duplicate doc could still be laid out into a training shard even
+    though ``corpus_curation_funnel`` counted it dropped. This query
+    closes that gap: the packing input is the
+    ``curation_flags.final`` slice (quality gate AND NOT eval-holdout
+    AND NOT decontam-flagged AND dedup keep-one), so flagged docs
+    cannot enter shards by construction, and the packed totals
+    reconcile with the funnel's ``n_final`` / ``final_ws_tokens``
+    exactly (tests/test_export_ops.py funnel-consistency pin).
+
+    Scale: the flag table inherits each stage's optimal shape
+    (pure-map quality, broadcast decontam, equi-join dedup — see
+    corpus_ops.curation_flags); the packing adds the same ONE shard
+    shuffle + per-shard cumsum window as corpus_packing_plan. The
+    token counts reuse the flag table's ``ws`` column — no second
+    tokenize pass.
+
+    Output: (shard, bin, n_docs, bin_tokens) — the
+    corpus_packing_plan shape over the curated corpus.
+    """
+    from aichemy_data_pipelines_spark.catalog import share_table_scan
+    from aichemy_data_pipelines_spark.operators.corpus_ops import (
+        curation_flags,
+    )
+
+    # the funnel's own discipline: persist ONE documents scan for the
+    # flag stages past the footer-size gate (text leaves storage once)
+    share_table_scan(spark, sf_dir, "documents")
+    kept = (
+        curation_flags(spark, sf_dir)
+        .where(F.col("final"))
+        .select("doc_id", F.col("ws").alias("n_tokens"))
+        .withColumn(
+            "shard",
+            F.expr(
+                f"{spark_hash64('cast(doc_id as string)')} % {_N_SHARDS}"
+            ),
+        )
+    )
+    binned = kept.select(
+        "shard",
+        "n_tokens",
+        F.expr(f"(sum(n_tokens) over "
+               f"(partition by shard order by doc_id "
+               f"rows between unbounded preceding and current row) "
+               f"- n_tokens) div {_CTX}").alias("bin"),
+    )
+    return binned.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
 QUERIES = {
     "corpus_shard_plan": corpus_shard_plan,
     "corpus_packing_plan": corpus_packing_plan,
+    "corpus_packing_clean": corpus_packing_clean,
 }
 
 _SQL_SHARDED = f"""
@@ -122,3 +180,26 @@ ORACLE = {
         FROM binned GROUP BY shard, bin
     """,
 }
+
+from aichemy_data_pipelines_spark.operators import corpus_ops as _corpus_ops  # noqa: E402
+
+# composes the curation flag CTE verbatim (the funnel/screens
+# pattern): if any gate's per-stage definition drifts, the clean
+# packing drifts with it — and stays reconciled with the funnel
+ORACLE["corpus_packing_clean"] = f"""
+    WITH {_corpus_ops._SQL_FIN}, kept AS (
+        SELECT doc_id, ws AS n_tokens,
+               {sql_hash64('CAST(doc_id AS VARCHAR)')} % {_N_SHARDS} AS shard
+        FROM fin WHERE final
+    ), binned AS (
+        SELECT shard, n_tokens,
+               CAST((SUM(n_tokens) OVER (
+                    PARTITION BY shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) // {_CTX} AS BIGINT) AS bin
+        FROM kept
+    )
+    SELECT shard, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY shard, bin
+"""

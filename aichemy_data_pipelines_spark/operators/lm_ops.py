@@ -192,9 +192,107 @@ def corpus_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_perplexity_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE bigram LMs — CCNet's actual design (Wenzek et al.
+    2020 §3: one KenLM per language, each trained on its own target
+    slice, with per-language head/middle/tail cuts), closing the loop
+    the English-only ``corpus_bigram_perplexity`` leaves open (r17
+    verdict #6a): every document is scored under ITS detected
+    language's LM — a Spanish doc's fluency is judged against Spanish
+    bigram statistics, not English ones — then bucketed against its
+    language's tertiles (the ``corpus_perplexity_buckets`` recipe,
+    now with language-matched perplexities underneath).
+
+    Training: ONE pass reduces the corpus to (lang, b1, b2) pair
+    counts — bounded by |langs| · _B1 · _B2 buckets regardless of
+    corpus size (langs are ISO codes: ~10² at web scale → ≤ 400k
+    marginal rows ≈ 10 MB, still the collect-to-driver / re-enter-as-
+    broadcast-literal trained-artifact shape). Scoring is two
+    broadcast equi-joins on (lang, bucket) + one (doc_id) agg; the
+    tertile cutoffs are a per-language bounded aggregate broadcast
+    back (never a corpus-wide sort). Same 9dp-decimal logprob / 6dp
+    double rounding discipline as the member chain, so both engines
+    agree bit-for-bit.
+
+    Output: (doc_id, lang, n_bigrams, avg_logprob, ppl, bucket).
+    """
+    bi = _doc_bigrams(load_table(spark, sf_dir, "documents"))
+    pairs = (
+        bi.groupBy("lang", "b1", "b2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    uni_rows = pairs.groupBy("lang", "b1").agg(
+        F.sum("c").cast("bigint").alias("c")
+    ).collect()
+    bi_rows = pairs.groupBy("lang", "b2").agg(
+        F.sum("c").cast("bigint").alias("c")
+    ).collect()
+    uni = spark.createDataFrame(
+        [(r.lang, r.b1, r.c) for r in uni_rows] or [(None, None, None)],
+        "lang string, b1 bigint, c_uni bigint",
+    )
+    bigr = spark.createDataFrame(
+        [(r.lang, r.b2, r.c) for r in bi_rows] or [(None, None, None)],
+        "lang string, b2 bigint, c_bi bigint",
+    )
+    scored = (
+        bi.join(F.broadcast(uni), ["lang", "b1"], "left")
+        .join(F.broadcast(bigr), ["lang", "b2"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr(
+                f"cast(round(ln((coalesce(c_bi, 0) + 1)"
+                f" / cast(coalesce(c_uni, 0) + {_B2} as double)), 9)"
+                " as decimal(18,9))"
+            ).alias("lp"),
+        )
+    )
+    p = (
+        scored.groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum("lp").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            F.round(
+                F.col("s").cast("double") / F.col("n_bigrams"), 6
+            ).alias("avg_logprob"),
+            F.round(
+                F.exp(-F.col("s").cast("double") / F.col("n_bigrams")), 6
+            ).alias("ppl"),
+        )
+    )
+    j = share_frame(spark, p, sf_dir, "documents")
+    cuts = j.groupBy("lang").agg(
+        F.round(F.expr("percentile(ppl, cast(1 as double)/3)"), 6).alias(
+            "c1"
+        ),
+        F.round(F.expr("percentile(ppl, cast(2 as double)/3)"), 6).alias(
+            "c2"
+        ),
+    )
+    return j.join(F.broadcast(cuts), "lang").select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_logprob",
+        "ppl",
+        F.when(F.col("ppl") <= F.col("c1"), F.lit("head"))
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 QUERIES = {
     "corpus_bigram_perplexity": corpus_bigram_perplexity,
     "corpus_perplexity_buckets": corpus_perplexity_buckets,
+    "corpus_perplexity_by_lang": corpus_perplexity_by_lang,
 }
 
 _SQL_BI = f"""
@@ -243,6 +341,42 @@ ORACLE = {
         FROM agg
     """,
 }
+
+ORACLE["corpus_perplexity_by_lang"] = f"""
+    WITH bi AS ({_SQL_BI}),
+    uni AS (
+        SELECT lang, b1, CAST(COUNT(*) AS BIGINT) AS c_uni
+        FROM bi GROUP BY lang, b1
+    ), bigr AS (
+        SELECT lang, b2, CAST(COUNT(*) AS BIGINT) AS c_bi
+        FROM bi GROUP BY lang, b2
+    ), scored AS (
+        SELECT bi.doc_id, bi.lang,
+               CAST(round(ln((COALESCE(bigr.c_bi, 0) + 1)
+                    / CAST(COALESCE(uni.c_uni, 0) + {_B2} AS DOUBLE)),
+                    9) AS DECIMAL(18,9)) AS lp
+        FROM bi
+        LEFT JOIN uni ON bi.lang = uni.lang AND bi.b1 = uni.b1
+        LEFT JOIN bigr ON bi.lang = bigr.lang AND bi.b2 = bigr.b2
+    ), p AS (
+        SELECT doc_id, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               round(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6)
+                 AS avg_logprob,
+               round(exp(-CAST(SUM(lp) AS DOUBLE) / COUNT(*)), 6) AS ppl
+        FROM scored GROUP BY doc_id, lang
+    ), cuts AS (
+        SELECT lang,
+               round(quantile_cont(ppl, CAST(1 AS DOUBLE)/3), 6) AS c1,
+               round(quantile_cont(ppl, CAST(2 AS DOUBLE)/3), 6) AS c2
+        FROM p GROUP BY lang
+    )
+    SELECT p.doc_id, p.lang, p.n_bigrams, p.avg_logprob, p.ppl,
+           CASE WHEN p.ppl <= cuts.c1 THEN 'head'
+                WHEN p.ppl <= cuts.c2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM p JOIN cuts ON p.lang = cuts.lang
+"""
 
 ORACLE["corpus_perplexity_buckets"] = f"""
     WITH p AS ({ORACLE["corpus_bigram_perplexity"]}),

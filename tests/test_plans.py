@@ -637,6 +637,14 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
     "q8_market_share": {"nation": 2},
     "q7_volume_shipping": {"nation": 2},
     "corpus_curation_funnel": {"documents": 5},
+    # r18: the funnel flag chain (5) + the packing input's ws reuse
+    # (one more pruned scan below the share gate; collapses onto the
+    # shared cached scan above it, like the funnel)
+    "corpus_packing_clean": {"documents": 6},
+    # r18: per-language LM — training reduction (checkpointed) + the
+    # scoring re-reference of the bigram explode (the
+    # corpus_bigram_perplexity shape, one scan per side)
+    "corpus_perplexity_by_lang": {"documents": 2},
     # r14: ivf._assign's slim-shuffle prefilter adds ONE column-pruned
     # embeddings scan per assignment (the survivor join-back) — the
     # trade that stops the per-vector window from shuffling K x corpus
