@@ -111,6 +111,30 @@ _NPROBE_BY_K = (
     (512, 111),
     (1024, 192),
 )
+# The GRAPH shape needs a wider probe budget than the pair shape at
+# the same K (r17 verdict #2 / BASELINE.md physics note: the kth
+# neighbor needs its SPECIFIC list probed, while a loose 0.25-bar
+# pair meets through ANY of its many shared lists) — measured r18
+# (scripts/ivf_route_ab.py --graph --nprobe sweep, BASELINE.md):
+# at sf0.1 (K=32) edge recall 0.740@12 → 0.947@24; at 10x (K=313)
+# 0.878@111 → 0.988@222 — the DOUBLED pair tier beats the banded
+# generator on BOTH axes at 10x (banded 0.975 @ 574 s vs routed
+# 0.988 @ ~300 s), flipping the graph tier's at-scale default to
+# routed. Frozen as integer literals = exactly 2× _NPROBE_BY_K
+# (equality pinned in tests/test_similarity.py so the two tables
+# cannot drift); within-tier K below the bound may see nprobe ≥ K —
+# both engines then probe every list (row_number ≤ nprobe keeps all
+# K rows), which only rounds recall UP.
+_NPROBE_GRAPH_BY_K = (
+    (8, 4),
+    (16, 14),
+    (32, 24),
+    (64, 42),
+    (128, 74),
+    (256, 128),
+    (512, 222),
+    (1024, 384),
+)
 
 
 def n_lists(n_rows: int, target_list: int = _TARGET_LIST) -> int:
@@ -132,6 +156,17 @@ def n_probe(k: int) -> int:
         if k <= bound:
             return np_
     return _NPROBE_BY_K[-1][1]
+
+
+def n_probe_graph(k: int) -> int:
+    """Probe count for the k-NN GRAPH shape — the doubled pair tier
+    (_NPROBE_GRAPH_BY_K; see the constants block for the measured
+    r18 sweep behind it). Read by ``ann_knn_graph_ivf`` only; the
+    DuckDB oracle reads the same integers via _SQL_NPROBE_GRAPH."""
+    for bound, np_ in _NPROBE_GRAPH_BY_K:
+        if k <= bound:
+            return np_
+    return _NPROBE_GRAPH_BY_K[-1][1]
 
 
 def _conf_target_list(spark: SparkSession) -> int:
@@ -1073,12 +1108,17 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     BASELINE.md), and past the B=48 clamp its recall guarantee decays
     again — while this generator's candidates stay ~N·nprobe·
     _TARGET_LIST with recall governed by nprobe/K ROUTING (the frozen
-    _NPROBE_BY_K rule), which does not decay with corpus growth. The
+    _NPROBE_GRAPH_BY_K rule — r18, the DOUBLED pair tier: the kth
+    neighbor needs its SPECIFIC list probed, so the graph shape
+    needs a wider budget than the 0.25-bar pair shape; under it the
+    routed graph beats banded on BOTH axes at 10x — edge recall
+    0.988 vs 0.975 at ~half the wall, BASELINE.md r18), which does
+    not decay with corpus growth. The
     graph feeds clustering/pagerank — the first consumer a 100 TB
     deployment moves to the routed path.
 
     Semantics: every vector is a query; its candidates are the
-    vectors inside its n_probe(K) nearest trained lists (the
+    vectors inside its n_probe_graph(K) nearest trained lists (the
     ann_ivf_topk search contract applied corpus-wide — directed, like
     every k-NN graph; no label restriction, matching the banded
     graph). Probe selection is the shared ``_rank_probes``; each raw
@@ -1104,7 +1144,9 @@ def ann_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aichemy_data_pipelines_spark.functions.vectors import spark_dot
 
     k = corpus_list_count(spark, sf_dir)
-    nprobe = n_probe(k)
+    # the GRAPH probe rule (r18): doubled pair tier — see
+    # _NPROBE_GRAPH_BY_K for the measured sweep behind it
+    nprobe = n_probe_graph(k)
     # lists (the second _assign pass) is intentionally unused: the
     # routing table's prk=1 slice is the assignment (see _rank_probes)
     cents, _lists = _kmeans(spark, sf_dir, k=k)
@@ -1267,6 +1309,15 @@ _SQL_NPROBE = (
     "(CASE "
     + " ".join(f"WHEN nk.k <= {b} THEN {p}" for b, p in _NPROBE_BY_K)
     + f" ELSE {_NPROBE_BY_K[-1][1]} END)"
+)
+
+# the graph-shape twin (r18): the doubled tier, same in-plan recipe
+_SQL_NPROBE_GRAPH = (
+    "(CASE "
+    + " ".join(
+        f"WHEN nk.k <= {b} THEN {p}" for b, p in _NPROBE_GRAPH_BY_K
+    )
+    + f" ELSE {_NPROBE_GRAPH_BY_K[-1][1]} END)"
 )
 
 
@@ -1445,7 +1496,7 @@ ORACLE = {
                        row_number() OVER (PARTITION BY query_id
                                           ORDER BY c_cos DESC, list_id) AS prk
                 FROM qscore) t, nk
-            WHERE prk <= {_SQL_NPROBE}
+            WHERE prk <= {_SQL_NPROBE_GRAPH}
         ), cand AS (
             -- DISTINCT: a DIRECTED edge candidate can meet in several
             -- shared probed lists (the Spark side's max-aggregate

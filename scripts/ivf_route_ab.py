@@ -60,7 +60,7 @@ def graph_mode(sf: str) -> None:
     k = ivf.corpus_list_count(spark, sf)
     print(
         f"{sf}: {n} vectors | banded planes={planes} B={bands} "
-        f"| ivf K={k} nprobe={ivf.n_probe(k)}"
+        f"| ivf K={k} nprobe_graph={ivf.n_probe_graph(k)}"
     )
     # exact top-3 truth, blockwise (n^2 doubles never materialize)
     truth = set()
@@ -97,21 +97,23 @@ def graph_mode(sf: str) -> None:
 
     if "--skip-banded" not in sys.argv:
         report("banded", lambda: similarity.ann_knn_graph(spark, sf))
-    nprobes = [ivf.n_probe(k)]
+    # the graph generator reads the GRAPH tier (r18,
+    # ivf._NPROBE_GRAPH_BY_K) — sweep points patch that knob
+    nprobes = [ivf.n_probe_graph(k)]
     for arg in sys.argv[1:]:
         if arg.startswith("--nprobe="):
             nprobes = [int(x) for x in arg.split("=", 1)[1].split(",")]
     if "--skip-ivf" not in sys.argv:
-        orig = ivf.n_probe
+        orig = ivf.n_probe_graph
         try:
             for np_ in nprobes:
-                ivf.n_probe = lambda kk, _n=np_: _n
+                ivf.n_probe_graph = lambda kk, _n=np_: _n
                 report(
                     f"ivf@{np_}",
                     lambda: ivf.ann_knn_graph_ivf(spark, sf),
                 )
         finally:
-            ivf.n_probe = orig
+            ivf.n_probe_graph = orig
 
 
 def main() -> None:

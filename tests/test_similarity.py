@@ -598,7 +598,7 @@ def test_knn_graph_ivf_routing_shape_and_recall(spark):
         _kmeans,
         ann_knn_graph_ivf,
         corpus_list_count,
-        n_probe,
+        n_probe_graph,
     )
 
     rows = sorted(
@@ -636,7 +636,8 @@ def test_knn_graph_ivf_routing_shape_and_recall(spark):
     cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
     sims = vn @ cn.T
     order = np.argsort(-sims, axis=1)
-    nprobe = n_probe(k)
+    # the graph op reads the r18 GRAPH tier (doubled pair tier)
+    nprobe = n_probe_graph(k)
     probes = {
         d: {int(order[idx[d], j]) + 1 for j in range(nprobe + 1)}
         for d in ids
@@ -1328,3 +1329,22 @@ def test_zero_norm_vectors_do_not_crash_near_dup_generators(spark, tmp_path):
             f"{name}: Spark/DuckDB diverge on the zero-norm corpus"
         )
     release_sig_frames()  # tmp-dir frames must not outlive the test
+
+
+def test_graph_nprobe_tier_is_doubled_pair_tier(spark):
+    """r18: _NPROBE_GRAPH_BY_K is frozen as EXACTLY 2x the pair tier
+    at every bound (the measured sweep's rule — see the constants
+    block); this pin stops the two tables from drifting apart if one
+    is re-measured without the other."""
+    from aichemy_data_pipelines_spark.operators.ivf import (
+        _NPROBE_BY_K,
+        _NPROBE_GRAPH_BY_K,
+        n_probe,
+        n_probe_graph,
+    )
+
+    assert len(_NPROBE_GRAPH_BY_K) == len(_NPROBE_BY_K)
+    for (b1, p1), (b2, p2) in zip(_NPROBE_BY_K, _NPROBE_GRAPH_BY_K):
+        assert b1 == b2 and p2 == 2 * p1
+    for k in (1, 8, 9, 32, 313, 1024, 5000):
+        assert n_probe_graph(k) == 2 * n_probe(k)
