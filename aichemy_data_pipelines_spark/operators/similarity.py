@@ -206,17 +206,17 @@ def probe_xors(planes: int) -> list[int]:
 #: many sf_dirs cannot accumulate unbounded persisted copies (r15
 #: ADVICE #1). Unpersisting is always safe: a still-held reference
 #: just recomputes lazily.
-_SIG_CACHE: dict = {}  # (name, sf_dir) -> (fingerprint, DataFrame)
+_SIG_CACHE: dict = {}  # (name, sf_dir) -> (fingerprint, table, DataFrame)
 _SIG_CACHE_MAX = 4
 
 
-def _embeddings_fingerprint(sf_dir: str) -> str:
-    """size:mtime_ns fingerprint of the embeddings parquet under
+def _embeddings_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """size:mtime_ns fingerprint of ``table``'s parquet under
     ``sf_dir`` (single file or directory tree) — cheap os.stat walk,
     no Spark job."""
     import os
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
+    path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(path)
     except OSError:
@@ -239,7 +239,7 @@ def release_sig_frames() -> None:
     """Drain every cached signature frame (unpersist + drop) — the
     explicit release hook for daemon/CLI lifecycles that rewrite
     tables between operations (r15 ADVICE #1)."""
-    for _fp, df in _SIG_CACHE.values():
+    for _fp, _table, df in _SIG_CACHE.values():
         try:
             df.unpersist()
         except Exception:
@@ -247,33 +247,40 @@ def release_sig_frames() -> None:
     _SIG_CACHE.clear()
 
 
-def persist_sig_frame(name: str, sf_dir: str, df):
+def persist_sig_frame(name: str, sf_dir: str, df, table: str = "embeddings"):
     """Persist + eagerly fill ``df`` (MEMORY_AND_DISK), releasing (a)
     the frame a previous invocation under the same key left, (b) any
     frame over the same ``sf_dir`` whose data fingerprint went stale
     (rewritten table — see _SIG_CACHE), and (c) the oldest entry when
-    the cache is full."""
+    the cache is full. ``table`` names the parquet the frame derives
+    from, so staleness tracks the RIGHT input (r18: the minhash band
+    frame derives from documents, not embeddings)."""
     from pyspark import StorageLevel
 
-    fp = _embeddings_fingerprint(sf_dir)
+    fp = _embeddings_fingerprint(sf_dir, table)
     for k in list(_SIG_CACHE):
+        ent_fp, ent_table, ent_df = _SIG_CACHE[k]
+        # staleness is judged against the entry's OWN source table —
+        # entries over different tables under one sf_dir must not
+        # evict each other on a cross-table fingerprint mismatch
         if k == (name, sf_dir) or (
-            k[1] == sf_dir and _SIG_CACHE[k][0] != fp
+            k[1] == sf_dir
+            and ent_fp != _embeddings_fingerprint(sf_dir, ent_table)
         ):
-            _, old = _SIG_CACHE.pop(k)
+            _SIG_CACHE.pop(k)
             try:
-                old.unpersist()
+                ent_df.unpersist()
             except Exception:
                 pass  # session may already be gone
     while len(_SIG_CACHE) >= _SIG_CACHE_MAX:
-        _, old = _SIG_CACHE.pop(next(iter(_SIG_CACHE)))
+        _, _, old = _SIG_CACHE.pop(next(iter(_SIG_CACHE)))
         try:
             old.unpersist()
         except Exception:
             pass
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
-    _SIG_CACHE[(name, sf_dir)] = (fp, df)
+    _SIG_CACHE[(name, sf_dir)] = (fp, table, df)
     return df
 
 
