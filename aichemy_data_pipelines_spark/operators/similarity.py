@@ -258,14 +258,19 @@ def persist_sig_frame(name: str, sf_dir: str, df, table: str = "embeddings"):
     from pyspark import StorageLevel
 
     fp = _embeddings_fingerprint(sf_dir, table)
+    # memoize fingerprints within this call (r18 ADVICE #3): the
+    # os.walk behind directory-parquet fingerprints would otherwise
+    # re-run per cached same-sf_dir entry on every invocation
+    fp_memo: dict[str, str] = {table: fp}
     for k in list(_SIG_CACHE):
         ent_fp, ent_table, ent_df = _SIG_CACHE[k]
         # staleness is judged against the entry's OWN source table —
         # entries over different tables under one sf_dir must not
         # evict each other on a cross-table fingerprint mismatch
+        if ent_table not in fp_memo and k[1] == sf_dir:
+            fp_memo[ent_table] = _embeddings_fingerprint(sf_dir, ent_table)
         if k == (name, sf_dir) or (
-            k[1] == sf_dir
-            and ent_fp != _embeddings_fingerprint(sf_dir, ent_table)
+            k[1] == sf_dir and ent_fp != fp_memo[ent_table]
         ):
             _SIG_CACHE.pop(k)
             try:

@@ -16,6 +16,40 @@ def formatted_plan(df: DataFrame) -> str:
     )
 
 
+def strip_initial_plans(plan: str) -> str:
+    """Drop every ``== Initial Plan ==`` subtree from an executed-plan
+    string (r19). An already-executed AdaptiveSparkPlan embedded in a
+    plan rendering — e.g. the cached band-signature chain behind an
+    ``InMemoryTableScan`` (dedup.py r18 persist) — prints BOTH its
+    final plan and its never-executed initial plan, so substring
+    counters (Exchange / Scan parquet budgets) double-count nodes the
+    query never runs. Node depth = the column of the ``+-`` marker; a
+    section's subtree is every following line whose marker sits
+    deeper. Plans with no executed adaptive subtrees pass through
+    unchanged, so pre-r18 budget values keep their exact semantics.
+    """
+    def _depth(line: str) -> int:
+        # node marker: "+-" (last child) or ":-" (non-last child);
+        # marker-less lines (root, wrapped detail) nest under the
+        # current node
+        cands = [i for i in (line.find("+-"), line.find(":-")) if i >= 0]
+        return min(cands) if cands else 1 << 30
+
+    out: list[str] = []
+    skip_depth: int | None = None
+    for line in plan.splitlines(keepends=True):
+        depth = _depth(line)
+        if skip_depth is not None:
+            if depth > skip_depth:
+                continue
+            skip_depth = None
+        if "== Initial Plan ==" in line:
+            skip_depth = depth
+            continue
+        out.append(line)
+    return "".join(out)
+
+
 def assert_no_cartesian(df: DataFrame, name: str = "") -> None:
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, (

@@ -51,9 +51,16 @@ def main() -> None:
             "gen": len(re.findall(r"^\(\d+\) Generate", text, re.M)),
             "imr": len(re.findall(r"InMemoryTableScan", text)),
         }
-        scans = re.findall(r"Scan parquet .*?(\w+)\.parquet", text) or re.findall(
-            r"file:[^\]]*?/(\w+)\.parquet", text
-        )
+        # Formatted plans put the path on a per-scan "Location:" line
+        # (ADVICE r18: the old "Scan parquet <path>" regex never
+        # matched and fell through to counting every file: URI, which
+        # overcounts multi-path InMemoryFileIndex entries). One
+        # Location line per scan node; dedupe paths within the line.
+        scans = [
+            sorted({p for p in re.findall(r"/(\w+)\.parquet", ln)})[0]
+            for ln in text.splitlines()
+            if ln.startswith("Location:") and ".parquet" in ln
+        ]
         from collections import Counter
 
         sc = Counter(scans)

@@ -3,6 +3,8 @@ no cartesians — over every registered query."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -17,6 +19,7 @@ from aichemy_data_pipelines_spark.plans.explain import (
     assert_no_cartesian,
     assert_pruned_schema,
     assert_pushed_filters,
+    strip_initial_plans,
 )
 from tests.conftest import SF_SMOKE
 
@@ -200,6 +203,18 @@ def test_ewma_single_user_shuffle(spark):
 # plan, measured at the current plan shapes). A regression that adds
 # a shuffle to a headline query is a 100 TB incident even when the
 # values stay correct — pin the budget so it fails here first.
+#
+# r19: counted after strip_initial_plans — an executed adaptive
+# subtree embedded in the rendering (the r18 persisted band frame
+# behind dedup_minhash_lsh's InMemoryTableScans) prints its
+# never-executed "Initial Plan" alongside the final one, which would
+# double-count nodes the query never runs. Plans without cached
+# relations are unaffected, so every pre-r18 budget keeps its exact
+# value and meaning. (The persisted chain still renders once per
+# referencing InMemoryTableScan — 2x here, same count as the
+# pre-persist lazy double-evaluation, though it now EVALUATES once;
+# the evaluation claim is pinned by test_minhash_band_frame_persisted
+# below, not by this counter.)
 _SHUFFLE_BUDGET = {
     "q1_pricing_summary": 1,
     "q3_shipping_priority": 3,
@@ -218,7 +233,7 @@ _SHUFFLE_BUDGET = {
 
 @pytest.mark.parametrize("name", sorted(_SHUFFLE_BUDGET))
 def test_headline_shuffle_budget(spark, name):
-    plan = (
+    plan = strip_initial_plans(
         _QUERIES[name](spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
@@ -228,6 +243,28 @@ def test_headline_shuffle_budget(spark, name):
     assert n <= _SHUFFLE_BUDGET[name], (
         f"{name}: {n} exchanges > budget {_SHUFFLE_BUDGET[name]}"
     )
+
+
+def test_minhash_band_frame_persisted(spark):
+    """r18/r19: the band self-join's two sides must BOTH read the
+    persisted signature frame (InMemoryTableScan) — one evaluation of
+    the tokenize→shingle→md5→min-agg chain instead of two (the
+    broadcast side and the shuffle side share no canonical exchange,
+    so plan-level reuse cannot happen without the persist)."""
+    from aichemy_data_pipelines_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+
+    plan = strip_initial_plans(
+        dedup_minhash_lsh(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("InMemoryTableScan") == 2, plan
+    # the chain itself evaluated into the cache: the visible plan
+    # re-scans documents only through the cached relation's rendering
+    assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
 
 
 def test_vocabulary_joins_carry_no_forced_broadcast(spark):
@@ -441,7 +478,9 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
     ],
 )
 def test_round6_remaining_shuffle_budget(spark, name, budget):
-    plan = (
+    # strip_initial_plans: see _SHUFFLE_BUDGET — keeps pre-r18 budget
+    # values exact for plans embedding executed adaptive subtrees
+    plan = strip_initial_plans(
         _QUERIES[name](spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
@@ -757,10 +796,11 @@ _SCAN_BUDGET: dict[str, dict[str, int]] = {
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_scan_budget(spark, name):
-    import re
     from collections import Counter
 
-    plan = (
+    # strip_initial_plans: see _SHUFFLE_BUDGET — keeps pre-r18 budget
+    # values exact for plans embedding executed adaptive subtrees
+    plan = strip_initial_plans(
         _QUERIES[name](spark, SF_SMOKE)
         ._jdf.queryExecution()
         .executedPlan()
