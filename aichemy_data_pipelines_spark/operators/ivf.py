@@ -238,11 +238,20 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     en = e.withColumn("en", F.expr(_NORM))
     cn = cents.withColumn("cn", F.expr(cnorm))
     dmax = F.max("dcos").over(Window.partitionBy("vec_id"))
+    # r19: the exact vector norm RIDES THROUGH the slim window as one
+    # extra double per row instead of being recomputed on the re-join
+    # side — the old surv.join(en, ...) re-ran the interpreted
+    # exact-decimal norm fold for every vector a second time (en is
+    # referenced on both sides of the window and the two subtrees
+    # share no exchange). One fewer full-corpus decimal pass; values
+    # identical (same en doubles; A/B-checked bit-equal at
+    # sf0.01/sf0.1 incl. arrays, min wall 1.78→1.68 s at sf0.1).
     surv = (
         en.crossJoin(F.broadcast(cn))
         .select(
             "vec_id",
             "list_id",
+            "en",
             F.expr(
                 f"try_divide({spark_dot('embedding', 'centroid')}, "
                 "en * cn)"
@@ -262,11 +271,11 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
             F.col("dmax").isNull()
             | (F.col("dcos") >= F.col("dmax") - 1e-6)
         )
-        .select("vec_id", "list_id")
+        .select("vec_id", "list_id", "en")
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), "list_id")
     return (
-        surv.join(en, "vec_id")
+        surv.join(e, "vec_id")
         .join(F.broadcast(cn), "list_id")
         .withColumn(
             "a_cos",

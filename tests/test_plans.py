@@ -205,16 +205,11 @@ def test_ewma_single_user_shuffle(spark):
 # values stay correct — pin the budget so it fails here first.
 #
 # r19: counted after strip_initial_plans — an executed adaptive
-# subtree embedded in the rendering (the r18 persisted band frame
-# behind dedup_minhash_lsh's InMemoryTableScans) prints its
-# never-executed "Initial Plan" alongside the final one, which would
-# double-count nodes the query never runs. Plans without cached
+# subtree embedded in a rendering (a persisted/cached subplan) prints
+# its never-executed "Initial Plan" alongside the final one, which
+# would double-count nodes the query never runs. Plans without cached
 # relations are unaffected, so every pre-r18 budget keeps its exact
-# value and meaning. (The persisted chain still renders once per
-# referencing InMemoryTableScan — 2x here, same count as the
-# pre-persist lazy double-evaluation, though it now EVALUATES once;
-# the evaluation claim is pinned by test_minhash_band_frame_persisted
-# below, not by this counter.)
+# value and meaning.
 _SHUFFLE_BUDGET = {
     "q1_pricing_summary": 1,
     "q3_shipping_priority": 3,
@@ -225,7 +220,13 @@ _SHUFFLE_BUDGET = {
     "events_sessionize": 1,
     "events_topk_per_user": 1,
     "events_asof_join": 1,
-    "dedup_minhash_lsh": 6,
+    # r19 SHUFFLE_HASH band self-join: the PRE-execution plan counts
+    # 7 (spread + (doc_id,band) + (band,key) per side + the distinct)
+    # but at runtime AQE stage reuse collapses one whole side into a
+    # ReusedExchange — 4 executed shuffles, no broadcast build of the
+    # O(docs·16) band frame (was: 6 with the chain evaluated twice).
+    # Pinned by test_minhash_band_selfjoin_reuses_signature_chain.
+    "dedup_minhash_lsh": 7,
     "ann_cosine_topk": 4,
     "text_quality": 1,
 }
@@ -245,26 +246,30 @@ def test_headline_shuffle_budget(spark, name):
     )
 
 
-def test_minhash_band_frame_persisted(spark):
-    """r18/r19: the band self-join's two sides must BOTH read the
-    persisted signature frame (InMemoryTableScan) — one evaluation of
-    the tokenize→shingle→md5→min-agg chain instead of two (the
-    broadcast side and the shuffle side share no canonical exchange,
-    so plan-level reuse cannot happen without the persist)."""
+def test_minhash_band_selfjoin_reuses_signature_chain(spark):
+    """r19: the band self-join must evaluate the signature chain
+    (tokenize→shingle explode→md5→16-band min-agg) ONCE. The
+    SHUFFLE_HASH hint puts a canonical (band, key) Exchange on both
+    sides, so AQE stage reuse turns the second side into a
+    ReusedExchange of the first; unhinted, the planner broadcast one
+    side at test SF and both sides re-ran the chain (and at corpus
+    scale a broadcast of the O(docs·16) band frame is not viable at
+    all). Checked on the FINAL adaptive plan after execution — reuse
+    is a runtime stage decision."""
     from aichemy_data_pipelines_spark.operators.dedup import (
         dedup_minhash_lsh,
     )
 
+    df = dedup_minhash_lsh(spark, SF_SMOKE)
+    df.collect()
     plan = strip_initial_plans(
-        dedup_minhash_lsh(spark, SF_SMOKE)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+        df._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("InMemoryTableScan") == 2, plan
-    # the chain itself evaluated into the cache: the visible plan
-    # re-scans documents only through the cached relation's rendering
-    assert plan.count("Scan parquet") == plan.count("InMemoryRelation")
+    assert "ShuffledHashJoin" in plan, plan
+    assert "ReusedExchange" in plan, plan
+    # one evaluated documents scan in the final plan: the reused side
+    # re-renders nothing below its exchange
+    assert plan.count("FileScan parquet") == 1, plan
 
 
 def test_vocabulary_joins_carry_no_forced_broadcast(spark):
@@ -471,7 +476,12 @@ def test_no_input_exchange_when_spread_disabled(spark, name):
         # and localCheckpoints (0 exchanges in the returned plan);
         # the frozen-weights path keeps the 3-exchange join shape
         ("docs_quality_classifier", 3),
-        ("dedup_cross_modal", 9),  # both member pair plans + outer join
+        # both member pair plans + outer join; 9→10 in r19: the
+        # text member's SHUFFLE_HASH band self-join carries one more
+        # pre-execution Exchange than the old broadcast plan, and AQE
+        # stage reuse collapses it at runtime (see _SHUFFLE_BUDGET's
+        # dedup_minhash_lsh note)
+        ("dedup_cross_modal", 10),
         ("dedup_remove_spans", 6),  # tile hash agg + canon join + doc agg
         ("dedup_lsh_precision_eval", 10),  # jaccard member now checkpointed (was 27 lazy)
         ("corpus_clf_agreement", 5),  # classifier score + source rollup
